@@ -1,0 +1,13 @@
+from excel_to_database_spark.sources.csv_sniff import sniff_delimiter
+from excel_to_database_spark.sources.csv_source import read_csv_text, read_csv_path
+from excel_to_database_spark.sources.excel_source import read_excel
+from excel_to_database_spark.sources.payload import load_workbook_payload, matrix_to_df
+
+__all__ = [
+    "sniff_delimiter",
+    "read_csv_text",
+    "read_csv_path",
+    "read_excel",
+    "load_workbook_payload",
+    "matrix_to_df",
+]

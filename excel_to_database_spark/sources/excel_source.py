@@ -1,0 +1,78 @@
+"""Distributed Excel reader: ``binaryFile`` scan → per-executor decode.
+
+The workbook bytes are read by Spark's binary-file source and decoded by
+``xlsx_core.WorkbookReader`` inside ``mapInPandas`` — one task per
+workbook (xlsx is an unsplittable zip, format-capped at ~1M rows, so a
+file is the right task granule; a *directory* of workbooks parallelizes
+across executors, which is the scale path). The driver only ever opens
+one file's header to fix the schema — never data rows.
+
+Parity notes: header = row 0 promoted to sanitized column names
+(reference app/data.py:121, :24-27); all columns ``StringType``
+(data.py:57-62); ``visible_only`` mirrors the VBA visible-only
+submission (VBA/Excel2Database.vb:46-88).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from excel_to_database_spark.naming import sanitize_columns
+from excel_to_database_spark.sources.xlsx_core import WorkbookReader
+
+
+def sheet_names(path: str) -> list[str]:
+    """Enumerate sheets of a local workbook (driver-side, metadata only)."""
+    with open(path, "rb") as f:
+        return WorkbookReader(f.read()).sheet_names()
+
+
+def _header_of(path: str, sheet: str | None, visible_only: bool, bug_compat: bool) -> tuple[str, list[str]]:
+    with open(path, "rb") as f:
+        rdr = WorkbookReader(f.read(), bug_compat)
+    name = sheet or rdr.sheet_names()[0]
+    matrix = rdr.read_sheet(name, visible_only)
+    if not matrix:
+        raise ValueError(f"sheet {name!r} of {path} is empty")
+    return name, matrix[0]
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet: str | None = None,
+    visible_only: bool = False,
+    bug_compat_1900: bool = False,
+    sanitize: bool = True,
+) -> DataFrame:
+    """Read one sheet (by name; default first) from ``path`` — a file,
+    glob, or directory of .xlsx files sharing a header — as an
+    all-string DataFrame."""
+    import os as _os
+
+    pattern = _os.path.join(path, "*.xlsx") if _os.path.isdir(path) else path
+    candidates = sorted(_glob.glob(pattern)) or [path]
+    first = next((p for p in candidates if p.endswith(".xlsx")), candidates[0])
+    sheet_name, header = _header_of(first, sheet, visible_only, bug_compat_1900)
+    cols = sanitize_columns(header) if sanitize else [str(h) for h in header]
+    out_schema = StructType([StructField(c, StringType()) for c in cols])
+    ncols = len(cols)
+
+    def decode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rdr = WorkbookReader(bytes(row["content"]), bug_compat_1900)
+                matrix = rdr.read_sheet(sheet_name, visible_only)
+                body = [(r + [""] * ncols)[:ncols] for r in matrix[1:]]
+                yield pd.DataFrame(body, columns=cols, dtype=str) if body else pd.DataFrame(
+                    {c: pd.Series(dtype=str) for c in cols}
+                )
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.xlsx").load(path)
+    return files.select("content").mapInPandas(decode, schema=out_schema)

@@ -1,0 +1,186 @@
+"""Destinations — the engine's counterparts of the reference's four
+``destination_*`` sinks (SURVEY.md §2.7).
+
+Every destination implements one method, ``sync(df, table_name, path)``:
+read the destination's current column set, run the truncate-vs-drop
+decision (policy.py), then bulk-load through Spark's writer. The
+namespace rule is the reference's: schema prefix ``x_excel`` suffixed
+with the tenant ``path`` → ``x_excel_<path>`` (app/data.py:103-105).
+
+Sink mapping (reference → Spark):
+  * local CSV dir (data.py:137-153)        → LocalDestination (parquet
+    ``saveAsTable`` in the session catalog by default, CSV on request);
+  * Azure DW pyodbc batched INSERT 1000/stmt (data.py:188-201)
+                                            → JdbcDestination with
+    ``batchsize=1000`` — Spark's JDBC writer does batched prepared
+    inserts natively, per-partition in parallel;
+  * Redshift S3+COPY (data.py:88-134) and Snowflake stage+COPY INTO
+    (data.py:205-255)                       → CloudCopyDestination: the
+    COPY statement templates are generated (same options: GZIP CSV,
+    COMPUPDATE OFF for Redshift), execution requires the warehouse
+    JDBC driver on the classpath, so the network step is gated and
+    unit-tested at the SQL-generation level.
+
+At scale the load path is executor-parallel end-to-end: Spark writes N
+partitions concurrently (JDBC: N connections; cloud: N staged objects →
+one COPY), the driver only issues DDL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from excel_to_database_spark.report import LoadReport
+from excel_to_database_spark.sync.policy import SyncAction, decide_sync_action
+
+SCHEMA_PREFIX = "x_excel"  # reference: app/data.py:103
+
+
+def tenant_schema(path: str | None) -> str:
+    return f"{SCHEMA_PREFIX}_{path}" if path else SCHEMA_PREFIX
+
+
+class Destination:
+    """Interface mirroring the reference's destination dispatch
+    (app/home.py:28-35)."""
+
+    def sync(self, df: DataFrame, table_name: str, path: str | None = None) -> LoadReport:
+        raise NotImplementedError
+
+
+@dataclass
+class LocalDestination(Destination):
+    """Catalog-managed tables (parquet via ``saveAsTable``), or plain
+    CSV files when ``fmt='csv'`` for byte-parity with the reference's
+    local sink (data.py:137-153)."""
+
+    fmt: str = "parquet"
+    strict: bool = False
+
+    def sync(self, df: DataFrame, table_name: str, path: str | None = None) -> LoadReport:
+        spark = df.sparkSession
+        schema = tenant_schema(path)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+        fqtn = f"{schema}.{table_name}"
+        existing = None
+        if spark.catalog.tableExists(fqtn):
+            existing = [f.name for f in spark.catalog.listColumns(fqtn)]
+        action = decide_sync_action(existing, df.columns, strict=self.strict)
+        if action is SyncAction.TRUNCATE:
+            # same column set: INSERT OVERWRITE keeps the table identity.
+            # insertInto is positional, so align to the table's column
+            # order by name first — a deliberate fix of the reference's
+            # reorder blind spot (data.py:120-126; SURVEY.md §7.3), which
+            # would silently load misaligned data.
+            by_name = {c.lower(): c for c in df.columns}
+            df.select(*[by_name[c.lower()] for c in existing]).write.mode(
+                "overwrite"
+            ).insertInto(fqtn)
+        else:
+            if action is SyncAction.RECREATE:
+                spark.sql(f"DROP TABLE IF EXISTS {fqtn}")
+            df.write.format(self.fmt).mode("overwrite").saveAsTable(fqtn)
+        n = spark.table(fqtn).count()
+        return LoadReport(action.value, schema, table_name, n)
+
+
+@dataclass
+class JdbcDestination(Destination):
+    """Generic warehouse sink over JDBC (the reference's Azure DW path,
+    data.py:156-202, minus pyodbc). ``batchsize`` default honors the
+    reference's 1000-row INSERT batching (data.py:194)."""
+
+    url: str
+    properties: dict = field(default_factory=dict)
+    batchsize: int = 1000
+    strict: bool = False
+
+    def _existing_columns(self, spark, fqtn: str) -> list[str] | None:
+        try:
+            probe = (
+                spark.read.format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", f"(SELECT * FROM {fqtn} WHERE 1=0) q")
+                .options(**self.properties)
+                .load()
+            )
+            return probe.columns
+        except Exception:
+            return None  # table absent (or unreadable) → CREATE path
+
+    def sync(self, df: DataFrame, table_name: str, path: str | None = None) -> LoadReport:
+        spark = df.sparkSession
+        schema = tenant_schema(path)
+        fqtn = f"{schema}.{table_name}"
+        existing = self._existing_columns(spark, fqtn)
+        action = decide_sync_action(existing, df.columns, strict=self.strict)
+        writer = (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", fqtn)
+            .option("batchsize", self.batchsize)
+            .options(**self.properties)
+        )
+        if action is SyncAction.TRUNCATE:
+            writer.option("truncate", True).mode("overwrite").save()
+        else:
+            writer.mode("overwrite").save()
+        return LoadReport(action.value, schema, table_name, df.count())
+
+
+@dataclass
+class CloudCopyDestination(Destination):
+    """Stage-and-COPY pattern (Redshift data.py:88-134, Snowflake
+    data.py:205-255): executors write gzipped CSV to the stage URI in
+    parallel, then the driver issues one COPY statement over JDBC.
+
+    The COPY templates are exposed for testing; live execution needs the
+    warehouse JDBC driver + credentials, absent in this environment."""
+
+    kind: str  # "redshift" | "snowflake"
+    stage_uri: str
+    jdbc_url: str = ""
+    strict: bool = False
+
+    def copy_statement(self, fqtn: str, staged_path: str) -> str:
+        if self.kind == "redshift":
+            # data.py:106-112 options: CSV, GZIP, COMPUPDATE OFF
+            return (
+                f"COPY {fqtn} FROM '{staged_path}' "
+                "FORMAT CSV GZIP COMPUPDATE OFF IGNOREHEADER 0"
+            )
+        if self.kind == "snowflake":
+            # data.py:243-254: stage PUT + COPY INTO
+            return (
+                f"COPY INTO {fqtn} FROM '@{staged_path}' "
+                "FILE_FORMAT = (TYPE = CSV COMPRESSION = GZIP)"
+            )
+        raise ValueError(f"unknown cloud sink kind: {self.kind}")
+
+    def stage(self, df: DataFrame, table_name: str) -> str:
+        staged = f"{self.stage_uri.rstrip('/')}/{table_name}"
+        df.write.mode("overwrite").option("compression", "gzip").csv(staged)
+        return staged
+
+    def sync(self, df: DataFrame, table_name: str, path: str | None = None) -> LoadReport:
+        schema = tenant_schema(path)
+        fqtn = f"{schema}.{table_name}"
+        staged = self.stage(df, table_name)
+        if not self.jdbc_url:
+            raise NotImplementedError(
+                f"no JDBC endpoint configured; staged data at {staged}; "
+                f"would run: {self.copy_statement(fqtn, staged)}"
+            )
+        raise NotImplementedError("live warehouse COPY requires JDBC driver + credentials")
+
+
+def sync_table(
+    df: DataFrame,
+    table_name: str,
+    destination: Destination | None = None,
+    path: str | None = None,
+) -> LoadReport:
+    """One-call sheet→table sync (the engine's `/upload` per-sheet step)."""
+    return (destination or LocalDestination()).sync(df, table_name, path)

@@ -1,0 +1,63 @@
+import os
+
+from excel_to_database_spark.sources.csv_source import read_csv_path, read_csv_text
+from excel_to_database_spark.sources.payload import (
+    load_legacy_submit,
+    load_workbook_payload,
+    matrix_to_df,
+)
+
+
+def test_read_csv_text_header_promotion(spark):
+    df = read_csv_text(spark, "\n\nName,Order Date!\nalice,2021-01-01\nbob,2021-01-02\n\n")
+    assert df.columns == ["Name", "OrderDate"]
+    rows = sorted(r["Name"] for r in df.collect())
+    assert rows == ["alice", "bob"]
+    assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_read_csv_text_sniffs_pipe_and_pads_short_rows(spark):
+    # explicit delimiter: ragged body rows are padded to the header width
+    df = read_csv_text(spark, "a|b|c\n1|2|3\n4|5", delimiter="|")
+    assert df.columns == ["a", "b", "c"]
+    short = [r for r in df.collect() if r["a"] == "4"][0]
+    assert short["c"] == ""
+    # sniffed: rectangular sample → '|' detected
+    df2 = read_csv_text(spark, "a|b|c\n1|2|3\n4|5|6")
+    assert df2.columns == ["a", "b", "c"]
+
+
+def test_read_csv_path_sniffed(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("x;y\n1;2\n3;4\n")
+    df = read_csv_path(spark, str(p))
+    assert df.columns == ["x", "y"]
+    assert df.count() == 2
+
+
+def test_matrix_to_df(spark):
+    df = matrix_to_df(spark, [["Col A", "Col A", "n"], ["1", "2", "3"], ["4", "5"]])
+    assert df.columns == ["ColA", "ColA_2", "n"]
+    assert df.count() == 2
+
+
+def test_payload_dispatch_xlsx_and_csv(spark):
+    out = load_workbook_payload(
+        spark,
+        {
+            "data": {
+                "My Sheet (1)": [["h1", "h2"], ["a", "b"]],
+                "other.csv": "p,q\n1,2",
+            },
+            "type": "xlsx",
+        },
+    )
+    assert set(out) == {"my_sheet_1_", "other_csv"}
+    assert out["my_sheet_1_"].columns == ["h1", "h2"]
+    assert out["other_csv"].count() == 1
+
+
+def test_legacy_submit_tsv(spark):
+    out = load_legacy_submit(spark, {"name": "Legacy Tab", "data": "a\tb\n1\t2\n3\t4"})
+    assert list(out) == ["legacy_tab"]
+    assert out["legacy_tab"].count() == 2

@@ -1,0 +1,59 @@
+import pytest
+
+from excel_to_database_spark.sources.payload import matrix_to_df
+from excel_to_database_spark.sync.policy import SyncAction, decide_sync_action
+from excel_to_database_spark.sync.sinks import CloudCopyDestination, LocalDestination
+
+
+def test_decision_table():
+    d = decide_sync_action
+    assert d(None, ["a", "b"]) is SyncAction.CREATE
+    assert d(["a", "b"], ["b", "a"]) is SyncAction.TRUNCATE  # reorder → same set
+    assert d(["A", "B"], ["b", "a"]) is SyncAction.TRUNCATE  # case-insensitive
+    assert d(["a", "b"], ["a", "b", "c"]) is SyncAction.RECREATE  # added col
+    assert d(["a", "b"], ["a"]) is SyncAction.RECREATE  # dropped col
+    assert d(["a", "b"], ["a", "c"]) is SyncAction.RECREATE  # renamed col
+
+
+def test_strict_mode_rejects_reorder():
+    with pytest.raises(ValueError):
+        decide_sync_action(["a", "b"], ["b", "a"], strict=True)
+    assert decide_sync_action(["a", "b"], ["a", "b"], strict=True) is SyncAction.TRUNCATE
+
+
+def test_local_destination_lifecycle(spark):
+    dest = LocalDestination()
+    df1 = matrix_to_df(spark, [["a", "b"], ["1", "2"], ["3", "4"]])
+    r1 = dest.sync(df1, "t_life", path="tenant1")
+    assert (r1.action, r1.n_records) == ("Created", 2)
+    assert r1.fqtn == "x_excel_tenant1.t_life"
+    assert "2 records" in r1.message()
+
+    # same column set, different order → TRUNCATE, data replaced
+    df2 = matrix_to_df(spark, [["b", "a"], ["9", "8"]])
+    r2 = dest.sync(df2, "t_life", path="tenant1")
+    assert (r2.action, r2.n_records) == ("Truncated", 1)
+
+    # changed column set → RECREATE
+    df3 = matrix_to_df(spark, [["a", "c"], ["5", "6"]])
+    r3 = dest.sync(df3, "t_life", path="tenant1")
+    assert (r3.action, r3.n_records) == ("Recreated", 1)
+    assert [c.name for c in spark.catalog.listColumns("x_excel_tenant1.t_life")] == ["a", "c"]
+
+
+def test_cloud_copy_statements(tmp_path):
+    rs = CloudCopyDestination(kind="redshift", stage_uri=str(tmp_path))
+    stmt = rs.copy_statement("x_excel.t", "s3://bucket/t")
+    assert "GZIP" in stmt and "COMPUPDATE OFF" in stmt
+    sf = CloudCopyDestination(kind="snowflake", stage_uri=str(tmp_path))
+    assert "COPY INTO" in sf.copy_statement("x_excel.t", "%t")
+
+
+def test_cloud_copy_stages_gzip_csv(spark, tmp_path):
+    dest = CloudCopyDestination(kind="redshift", stage_uri=str(tmp_path / "stage"))
+    df = matrix_to_df(spark, [["a"], ["1"], ["2"]])
+    with pytest.raises(NotImplementedError) as exc:
+        dest.sync(df, "t_staged")
+    assert "COPY" in str(exc.value)
+    staged = list((tmp_path / "stage" / "t_staged").glob("*.csv.gz"))
+    assert staged, "expected gzipped CSV parts in the stage dir"

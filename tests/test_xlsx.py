@@ -1,0 +1,100 @@
+from excel_to_database_spark.sources.excel_source import read_excel, sheet_names
+from excel_to_database_spark.sources.xlsx_core import (
+    WorkbookReader,
+    a1_to_rowcol,
+    is_date_format,
+    serial_to_iso,
+)
+from tests.helpers_xlsx import build_xlsx
+
+
+def test_a1_to_rowcol():
+    assert a1_to_rowcol("A1") == (0, 0)
+    assert a1_to_rowcol("Z2") == (1, 25)
+    assert a1_to_rowcol("AA10") == (9, 26)
+    assert a1_to_rowcol("BC23") == (22, 54)
+
+
+def test_is_date_format():
+    assert is_date_format("dd/mm/yyyy")
+    assert is_date_format("yyyy-mm")
+    assert not is_date_format('0.0"days"')  # quoted literal d must not match
+    assert not is_date_format("#,##0.00")
+    assert not is_date_format("[Red]0.0")
+
+
+def test_serial_to_iso_around_1900_leap():
+    assert serial_to_iso(1) == "1900-01-01"
+    assert serial_to_iso(59) == "1900-02-28"
+    assert serial_to_iso(61) == "1900-03-01"
+    assert serial_to_iso(44197) == "2021-01-01"
+    # bug-compat mode shifts pre-March-1900 serials by one day
+    assert serial_to_iso(1, bug_compat_1900=True) == "1899-12-31"
+    assert serial_to_iso(44197, bug_compat_1900=True) == "2021-01-01"
+
+
+def _workbook() -> bytes:
+    return build_xlsx(
+        {
+            "Data Sheet": [
+                ["Name", "When", "Amount", "Custom Date", "Days"],
+                ["alice", 44197, 12.5, 44198, 3.5],
+                ["bob", 44199, 7, 44200, 1.5],
+                ["", "", "", "", ""],
+            ],
+            "Second": [["k"], ["v1"], ["v2"]],
+        },
+        date_styles={
+            ("Data Sheet", 1, 1): 1,
+            ("Data Sheet", 2, 1): 1,
+            ("Data Sheet", 1, 3): 2,
+            ("Data Sheet", 2, 3): 2,
+            ("Data Sheet", 1, 4): 3,
+            ("Data Sheet", 2, 4): 3,
+        },
+    )
+
+
+def test_workbook_reader_matrix():
+    rdr = WorkbookReader(_workbook())
+    assert rdr.sheet_names() == ["Data Sheet", "Second"]
+    m = rdr.read_sheet("Data Sheet")
+    assert m[0] == ["Name", "When", "Amount", "Custom Date", "Days"]
+    assert m[1] == ["alice", "2021-01-01", "12.5", "2021-01-02", "3.5"]
+    assert m[2] == ["bob", "2021-01-03", "7", "2021-01-04", "1.5"]
+    assert len(m) == 3  # trailing empty row trimmed
+
+
+def test_hidden_rows_and_cols():
+    wb = build_xlsx(
+        {"S": [["a", "b", "c"], ["1", "2", "3"], ["4", "5", "6"]]},
+        hidden_rows={"S": {2}},
+        hidden_cols={"S": {1}},
+    )
+    rdr = WorkbookReader(wb)
+    assert rdr.read_sheet("S") == [["a", "b", "c"], ["1", "2", "3"], ["4", "5", "6"]]
+    assert rdr.read_sheet("S", visible_only=True) == [["a", "c"], ["1", "3"]]
+
+
+def test_read_excel_spark(spark, tmp_path):
+    p = tmp_path / "book.xlsx"
+    p.write_bytes(_workbook())
+    assert sheet_names(str(p)) == ["Data Sheet", "Second"]
+    df = read_excel(spark, str(p))
+    assert df.columns == ["Name", "When", "Amount", "CustomDate", "Days"]
+    rows = {r["Name"]: r for r in df.collect()}
+    assert rows["alice"]["When"] == "2021-01-01"
+    assert rows["bob"]["Amount"] == "7"
+    df2 = read_excel(spark, str(p), sheet="Second")
+    assert df2.columns == ["k"]
+    assert df2.count() == 2
+
+
+def test_read_excel_directory_parallel(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"b{i}.xlsx").write_bytes(
+            build_xlsx({"S": [["id", "v"], [str(i * 2), "x"], [str(i * 2 + 1), "y"]]})
+        )
+    df = read_excel(spark, str(tmp_path))
+    assert df.count() == 6
+    assert df.columns == ["id", "v"]
