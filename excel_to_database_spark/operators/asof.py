@@ -1,0 +1,85 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively
+(SURVEY.md §2.4 [absent] row: "range/as-of/interval").
+
+Semantics: for every left row, attach the payload of the *latest* right
+row with the same key whose timestamp is ``<=`` the left timestamp
+(backward as-of; ``direction='forward'`` flips to the earliest ``>=``).
+
+Implementation — the scale-correct union+window merge, not a range
+join: tag both sides, union on (key, ts), then ``last(payload,
+ignorenulls=True)`` over an ordered window per key carries the most
+recent right payload forward onto each left row. Cost: ONE shuffle on
+the key (same as any join), zero row explosion — a naive
+``l.ts >= r.ts`` range join is O(|L|·|R|) per key and falls over at
+scale; this is O(|L|+|R|) log-sorted, and AQE handles key skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tiebreak: str | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+) -> DataFrame:
+    """Return ``left`` with ``payload`` columns from the as-of matching
+    ``right`` row (null where no match exists).
+
+    ``tiebreak``: right-side column ordering equal-timestamp right rows
+    (the greatest wins), making results deterministic.
+    ``strict``: exclusive bound (``<`` / ``>``) instead of inclusive.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lcols = left.columns
+    tagged_payload = [f"__r_{c}" for c in payload]
+
+    l_side = left.select(
+        F.col(left_on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__tie"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(p) for c, p in zip(payload, tagged_payload)],
+    )
+    r_side = right.select(
+        F.col(right_on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0)).alias("__tie"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(p) for c, p in zip(payload, tagged_payload)],
+    )
+    u = l_side.unionByName(r_side)
+
+    # Order so that, at the current left row, every eligible right row
+    # precedes it. Inclusive backward: right rows at equal ts sort
+    # before left rows (__is_left ascending); strict: after.
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__is_left").desc() if strict else F.col("__is_left").asc(), F.col("__tie").asc()]
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    else:
+        order = [F.col("__ts").asc(), F.col("__is_left").asc() if strict else F.col("__is_left").desc(), F.col("__tie").desc()]
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
+
+    w = Window.partitionBy("__key").orderBy(*order).rowsBetween(*frame)
+    carried = u.select(
+        "*", *[pick(p, ignorenulls=True).over(w).alias(f"__c_{p}") for p in tagged_payload]
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *lcols, *[F.col(f"__c_{p}").alias(c) for c, p in zip(payload, tagged_payload)]
+    )

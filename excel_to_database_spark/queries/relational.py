@@ -1,0 +1,789 @@
+"""Relational query inventory: aggregations, joins (all types), window
+functions, sorts/limits/top-k, set ops, grouping sets/rollup/cube, and
+the scalar-function surface (SURVEY.md §2.3-§2.6 — every row the
+reference lacks, expressed as pure Catalyst plans).
+
+Scale notes, verified via .explain on sf0.1 (see bench.py):
+  * dimension joins (region/nation/customer/supplier/part) broadcast —
+    they stay tiny relative to fact tables at any SF;
+  * fact-fact joins shuffle on their keys with AQE handling skew;
+  * every aggregate is partial+final (map-side combine) by construction;
+  * filters sit directly on parquet scans (PushedFilters) because the
+    plans are declarative end-to-end — no UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from excel_to_database_spark.queries.base import (
+    davg,
+    dsum,
+    query,
+    register_views,
+    sql_davg,
+    sql_dsum,
+    t,
+)
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (hash agg, partial+final)."""
+    l = t(spark, sf_dir, "lineitem")
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(price * (1 - disc), "sum_disc_price"),
+            dsum(price * (1 - disc) * (1 + tax), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_distinct_counts",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(*) AS n_rows
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q02_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q03_rollup_region_nation",
+    f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal', 'sum_acctbal')}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q03_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a two-level dimension hierarchy; both dim joins
+    broadcast (nation=25, region=5 rows at every SF)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "sum_acctbal"),
+    )
+
+
+@query(
+    "q04_cube_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q04_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "q05_grouping_sets",
+    f"""
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal', 'sum_acctbal')}
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def q05_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS n_customers,
+               {sql_dsum('c_acctbal', 'sum_acctbal')}
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q10_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q10_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter → broadcast; fact join
+    shuffles on orderkey; top-k with unique tiebreaker."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q11_local_supplier_volume",
+    f"""
+    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q11_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style five-way join; every dimension broadcast, single
+    shuffle on the orders⋈lineitem key."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "q12_semi_join_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_returnflag = 'R'
+          AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_semi_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (EXISTS) with an extra non-equi conjunct."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q13_anti_join_idle_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_idle
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q13_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_idle"))
+    )
+
+
+@query(
+    "q14_outer_join_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q14_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (COUNT(col)
+    skips the nulls they produce)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q15_theta_join_premium_lineitems",
+    f"""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND l_extendedprice > 20 * p_retailprice
+    GROUP BY p_brand
+    """,
+)
+def q15_theta_join_premium_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + theta residual: hash join on partkey, predicate as a
+    post-join filter Catalyst keeps inside the join."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        l.join(
+            F.broadcast(p),
+            (l.l_partkey == p.p_partkey)
+            & (l.l_extendedprice > 20 * p.p_retailprice),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+@query(
+    "q16_cross_join_matrix",
+    """
+    SELECT r_name, s.o_orderstatus, COUNT(*) AS n
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r_name, s.o_orderstatus
+    """,
+)
+def q16_cross_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region")
+    s = t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).groupBy("r_name", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q17_returned_items_topk",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q17_returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item ranking."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / sorts / limits
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q20_revenue_band_filter",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q20_revenue_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: every predicate reaches the parquet scan
+    (PushedFilters) — verified in bench plan review."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q21_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def q21_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — no full sort,
+    per-partition heaps + driver merge of k rows."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q30_running_customer_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def q30_running_customer_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "q31_rank_lag_lead",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           LAG(c_acctbal) OVER w AS prev_bal,
+           LEAD(c_acctbal) OVER w AS next_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q31_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("c_acctbal").over(w).alias("prev_bal"),
+        F.lead("c_acctbal").over(w).alias("next_bal"),
+    )
+
+
+@query(
+    "q32_topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def q32_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q40_set_intersect",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders
+    """,
+)
+def q40_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "q41_set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def q41_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)  # EXCEPT DISTINCT, matching the SQL oracle
+
+
+@query(
+    "q42_union_all_counts",
+    """
+    SELECT side, COUNT(*) AS n FROM (
+        SELECT 'customer' AS side, c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT 'supplier' AS side, s_nationkey AS nationkey FROM supplier
+    ) GROUP BY side
+    """,
+)
+def q42_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).groupBy("side").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q50_string_functions",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_name) AS name_lower,
+           SUBSTRING(p_type, 1, 5) AS type_prefix,
+           LENGTH(p_name) AS name_len,
+           SPLIT_PART(p_type, ' ', 1) AS type_head,
+           CONCAT_WS('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+           TRIM(p_name) AS name_trim,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+           REGEXP_REPLACE(LOWER(p_name), '[^a-z0-9]+', '_', 'g') AS name_sqlified,
+           REGEXP_REPLACE(p_name, '[^A-Za-z0-9_]', '', 'g') AS name_alnum
+    FROM part
+    """,
+)
+def q50_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery; the last two projections are the
+    reference's to_alnum/sqlify identifier rules (app/data.py:24-27,
+    :84-85) as data-plane expressions."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.regexp_replace(F.col("p_type"), " ", "_").alias("type_snake"),
+        F.regexp_extract(F.col("p_brand"), "([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace(F.lower("p_name"), "[^a-z0-9]+", "_").alias("name_sqlified"),
+        F.regexp_replace(F.col("p_name"), "[^A-Za-z0-9_]", "").alias("name_alnum"),
+    )
+
+
+@query(
+    "q51_date_functions",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+           COUNT(*) AS n_lineitems,
+           SUM(DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)))
+               AS total_delay_days,
+           CAST(SUM(DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)
+               / COUNT(*) AS avg_delay_days,
+           STRFTIME(MIN(DATE_TRUNC('month', o_orderdate)), '%Y-%m-%d') AS first_month
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY order_year, order_month
+    """,
+)
+def q51_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(delay).alias("total_delay_days"),
+            (F.sum(delay).cast("double") / F.count(F.lit(1))).alias("avg_delay_days"),
+            F.date_format(F.min(F.date_trunc("month", F.col("o_orderdate"))), "yyyy-MM-dd").alias(
+                "first_month"
+            ),
+        )
+    )
+
+
+@query(
+    "q52_math_functions",
+    f"""
+    SELECT l_linenumber,
+           COUNT(*) AS n,
+           {sql_dsum('ROUND(CAST(l_extendedprice AS DECIMAL(20,2)), 1)', 'sum_rounded')},
+           {sql_dsum('ABS(l_discount - 0.05)', 'sum_abs_disc')},
+           {sql_dsum('SQRT(l_quantity)', 'sum_sqrt_qty')},
+           SUM(CAST(FLOOR(l_quantity / 7) AS BIGINT)) AS sum_floor,
+           SUM(CAST(CEIL(l_quantity / 7) AS BIGINT)) AS sum_ceil,
+           SUM(l_orderkey % 97) AS sum_mod
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+)
+def q52_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    qty, price, disc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return l.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        # ROUND on decimal, not double: both engines round decimals
+        # ties-away-from-zero, while double rounding differs (Spark
+        # rounds the shortest decimal repr, DuckDB the exact binary)
+        dsum(F.round(price.cast("decimal(20,2)"), 1), "sum_rounded"),
+        dsum(F.abs(disc - 0.05), "sum_abs_disc"),
+        dsum(F.sqrt(qty), "sum_sqrt_qty"),
+        F.sum(F.floor(qty / 7).cast("bigint")).alias("sum_floor"),
+        F.sum(F.ceil(qty / 7).cast("bigint")).alias("sum_ceil"),
+        F.sum(F.col("l_orderkey") % 97).alias("sum_mod"),
+    )
+
+
+@query(
+    "q53_case_and_conditionals",
+    f"""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY price_band, status_label
+    """,
+)
+def q53_case_and_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band")
+    )
+    status = F.coalesce(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+    ).alias("status_label")
+    return o.groupBy(band, status).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+
+
+@query(
+    "q54_json_extraction",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q54_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal props column: JSON payload → typed values
+    (SURVEY.md §2.9 'multimodal columns' row, from_json/get_json_object)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q55_array_functions",
+    """
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_component,
+           CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12)))
+                AS DOUBLE) AS sq_norm
+    FROM (SELECT vec_id, embedding, UNNEST(embedding) AS x FROM embeddings)
+    GROUP BY vec_id, dim, first_component
+    """,
+)
+def q55_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array column surface: size, element access, element-wise reduce
+    (the exact-norm building block for similarity search). Exploded with
+    decimal summation for cross-engine exactness; the operators module
+    uses the single-pass F.aggregate form."""
+    e = t(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.element_at("embedding", 1).cast("double").alias("first_component"),
+            F.explode("embedding").alias("x"),
+        )
+        .groupBy("vec_id", "dim", "first_component")
+        # scale 12, not finer: past ~17 significant digits Spark's
+        # double→decimal cast (via shortest repr) and DuckDB's (exact
+        # binary) disagree; 1e-12 grid is safely inside both
+        .agg(F.sum((x * x).cast("decimal(30,12)")).cast("double").alias("sq_norm"))
+    )

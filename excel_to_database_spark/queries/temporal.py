@@ -1,0 +1,144 @@
+"""Temporal / event-stream queries over the ``events`` table: tumbling
+windows, sessionization, range joins, and the as-of join operator
+(SURVEY.md §2.4 range/as-of row and §2.9 windowing rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from excel_to_database_spark.operators.asof import asof_join
+from excel_to_database_spark.operators.sessionize import sessionize
+from excel_to_database_spark.queries.base import dsum, query, sql_dsum, t
+
+
+@query(
+    "q60_tumbling_window",
+    f"""
+    SELECT event_type,
+           CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS bucket_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type, bucket_start
+    """,
+)
+def q60_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregate. Batch form of the streaming
+    ``F.window`` aggregation (streaming/ingest.py runs the same logic
+    incrementally); bucket keyed by epoch so output is engine-portable."""
+    e = t(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("bigint").alias(
+        "bucket_start"
+    )
+    return e.groupBy("event_type", bucket).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+
+
+@query(
+    "q61_sessionization",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def q61_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) via the sessionize operator."""
+    e = t(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id")
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q62_range_self_join",
+    """
+    SELECT a.event_type,
+           COUNT(*) AS n_followups
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_id <> b.event_id
+    GROUP BY a.event_type
+    """,
+)
+def q62_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: equi key (user) + bounded time band. The
+    equi conjunct keeps it a hash join with a residual range predicate —
+    never a cartesian."""
+    a = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("event_type"),
+    )
+    b = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"),
+    )
+    return (
+        a.join(
+            b,
+            (a.a_user == b.b_user)
+            & (b.b_ts > a.a_ts)
+            & (b.b_ts <= a.a_ts + F.expr("INTERVAL 5 MINUTES"))
+            & (a.a_id != b.b_id),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+    )
+
+
+@query(
+    "q63_asof_join",
+    """
+    SELECT e.event_id,
+           (SELECT o.o_orderkey FROM orders o
+            WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate <= e.ts
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+            LIMIT 1) AS last_orderkey
+    FROM events e
+    """,
+)
+def q63_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the customer's most recent
+    order at event time. Spark side is the union+window asof_join
+    operator (operators/asof.py — one shuffle, no range explosion); the
+    oracle states the same semantics as a correlated LIMIT 1 subquery."""
+    e = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select("event_id", F.col("o_orderkey").alias("last_orderkey"))

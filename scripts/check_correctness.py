@@ -1,0 +1,100 @@
+"""Local differential harness mirroring the driver's t2 gate.
+
+For every entry in ``__spark_entry__.queries()``: run the Spark query
+and the DuckDB oracle at sf0.01, compare row count, column names, and
+the full multiset of values (exact equality — stricter than the
+driver's hash). Exits nonzero on any mismatch.
+
+Usage: python scripts/check_correctness.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        return repr(val)
+    if hasattr(val, "isoformat"):
+        return val.isoformat()
+    return repr(val)
+
+
+def row_multiset(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return out
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from excel_to_database_spark.session import get_session
+
+    only = set(sys.argv[1:])
+    spark = get_session("check-correctness", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append((name, f"columns {sorted(scols)} vs {sorted(dcols)}"))
+            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        if len(srows) != len(drows):
+            failures.append((name, f"rowcount {len(srows)} vs {len(drows)}"))
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            continue
+        sm, dm = row_multiset(scols, srows), row_multiset(dcols, drows)
+        if sm != dm:
+            diff = next(i for i, (a, b) in enumerate(zip(sm, dm)) if a != b)
+            failures.append((name, "value mismatch"))
+            print(f"FAIL {name}: first differing row #{diff}:")
+            print(f"  spark : {sm[diff]}")
+            print(f"  duckdb: {dm[diff]}")
+            continue
+        print(f"ok   {name}: {len(srows)} rows, exact match")
+
+    print(f"\n{len(failures)} failures / {len(queries)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,80 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from excel_to_database_spark.operators.asof import asof_join
+from excel_to_database_spark.operators.sessionize import sessionize
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), "e1"), (1, _ts("2024-01-01T12:00"), "e2"),
+         (2, _ts("2024-01-01T09:00"), "e3")],
+        "key long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30"), 100), (1, _ts("2024-01-01T11:00"), 200),
+         (1, _ts("2024-01-01T12:00"), 300), (3, _ts("2024-01-01T00:00"), 999)],
+        "key long, ts timestamp, val int",
+    )
+    out = asof_join(
+        left, right, left_on="key", right_on="key", left_ts="ts", right_ts="ts",
+        payload=["val"], tiebreak="val",
+    )
+    got = {r["name"]: r["val"] for r in out.collect()}
+    # e1@10:00 → 09:30 row; e2@12:00 → inclusive equal-ts 12:00 row; e3 → no match
+    assert got == {"e1": 100, "e2": 300, "e3": None}
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T12:00"), "e")], "key long, ts timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00"), 1), (1, _ts("2024-01-01T11:00"), 2)],
+        "key long, ts timestamp, val int",
+    )
+    out = asof_join(left, right, "key", "key", "ts", "ts", ["val"], tiebreak="val", strict=True)
+    assert out.collect()[0]["val"] == 2
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T10:00"), "e")], "key long, ts timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00"), 1), (1, _ts("2024-01-01T10:30"), 2),
+         (1, _ts("2024-01-01T11:00"), 3)],
+        "key long, ts timestamp, val int",
+    )
+    out = asof_join(left, right, "key", "key", "ts", "ts", ["val"], tiebreak="val", direction="forward")
+    assert out.collect()[0]["val"] == 2
+
+
+def test_asof_tiebreak_picks_greatest(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T12:00"), "e")], "key long, ts timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T11:00"), 5), (1, _ts("2024-01-01T11:00"), 9)],
+        "key long, ts timestamp, val int",
+    )
+    out = asof_join(left, right, "key", "key", "ts", "ts", ["val"], tiebreak="val")
+    assert out.collect()[0]["val"] == 9
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), 1), (1, _ts("2024-01-01T10:10"), 2),
+         (1, _ts("2024-01-01T11:30"), 3), (2, _ts("2024-01-01T10:00"), 4)],
+        "user long, ts timestamp, eid long",
+    )
+    out = sessionize(df, key="user", ts="ts", gap_seconds=1800, order_tiebreak="eid")
+    got = {r["eid"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both window passes must reuse one partitioning — exactly one
+    Exchange in the plan (scale guard: sessionize is one shuffle)."""
+    df = spark.createDataFrame([(1, _ts("2024-01-01T10:00"), 1)], "user long, ts timestamp, eid long")
+    plan = sessionize(df, "user", "ts", 60, "eid")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
