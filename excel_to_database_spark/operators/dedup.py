@@ -1,0 +1,193 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash
+(driver north star; SURVEY.md §2.9 'exact + fuzzy dedup').
+
+Scale design:
+  * exact dedup — hash groupBy on a normalized key: one shuffle.
+  * n-gram Jaccard — exact pairwise similarity via a shingle-inverted
+    index (explode → self-join on shingle → count). Correct but
+    quadratic in co-shingled docs; it is the *verifier*, not the
+    candidate generator, at scale.
+  * MinHash LSH — the scale path: per-doc signature (one groupBy),
+    banding, bucket self-join (only colliding docs meet), then exact
+    Jaccard verification of the candidates. This is the standard
+    shingle→minhash→band→bucket-join pipeline; every stage is a
+    DataFrame op with map-side combine.
+  * SimHash — per-doc 16-bit fingerprint from token hashes; near-dups
+    = fingerprints within Hamming distance d (banding by fingerprint
+    prefix generalizes to large corpora).
+
+Hash family: md5 (identical across engines) — minhash takes the
+lexicographic MIN of ``md5(seed:shingle)`` hex strings per seed, which
+is a valid uniform permutation family and lets the DuckDB oracles
+reproduce signatures bit-for-bit. No MLlib dependency, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from excel_to_database_spark.operators.text import words
+
+HEX = "0123456789abcdef"
+
+
+def normalized_text(text):
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group exact duplicates (after whitespace/case normalization):
+    representative = min id, plus duplicate count."""
+    return (
+        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+        .groupBy("__norm")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("__norm")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    w = words(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over shingle sets via inverted index:
+    (doc_a, doc_b, jaccard) for pairs ≥ threshold."""
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """Per-doc MinHash signature: h_i = MIN(md5('i:' || shingle))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Bucket join only touches colliding docs — never all pairs."""
+    per_band = []
+    for b in range(bands):
+        cols = [f"h{b * rows + r}" for r in range(rows)]
+        bs = sig.select(
+            F.col("doc"), F.concat_ws("|", *[F.col(c) for c in cols]).alias("sig")
+        )
+        x = bs.select(F.col("doc").alias("doc_a"), "sig")
+        y = bs.select(F.col("doc").alias("doc_b"), "sig")
+        per_band.append(
+            x.join(y, "sig").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        )
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full pipeline: shingle → minhash → band → bucket-join →
+    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    sh = shingles(df, id_col, text_col, n)
+    cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, num_hashes // bands)
+    verified = jaccard_pairs(sh, threshold)
+    return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _nibble(md5col, k: int):
+    """k-th hex nibble (1-based) of an md5 hex string as 0..15."""
+    return F.conv(F.substring(md5col, k, 1), 16, 10).cast("int")
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash over distinct words: bit j of md5(word) votes ±1;
+    fingerprint bit j = (vote sum > 0). 32 bits by default — enough to
+    separate a shared-vocabulary corpus."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
+    )
+    h = F.md5(F.col("w"))
+    votes = [
+        F.sum(
+            (F.shiftright(_nibble(h, 1 + j // 4), j % 4).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = tok.groupBy("doc").agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc", fp.cast("bigint").alias("fingerprint"))
+
+
+def simhash_pairs(fp: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Pairs within Hamming distance. All-pairs compare here (fine for
+    the verified query); at corpus scale, band by fingerprint prefix
+    first exactly like lsh_candidates."""
+    a = fp.select(F.col("doc").alias("doc_a"), F.col("fingerprint").alias("fa"))
+    b = fp.select(F.col("doc").alias("doc_b"), F.col("fingerprint").alias("fb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths (driver north star: 'brute-force cosine top-k as the
+baseline; an LSH-bucketed variant as the scale path'):
+
+  * ``cosine_topk`` — exact brute force. The *oracle-exact* variant
+    routes dot products through position-explode + decimal sums so
+    DuckDB reproduces every double bit-for-bit; the *fast* variant
+    (``exact=False``) is a single-pass JVM ``zip_with``/``aggregate``
+    reduction (no explode, no extra shuffle) for production use.
+  * ``ann_hyperplane_lsh`` — random-hyperplane LSH: 16 deterministic
+    ±1 hyperplanes derived from md5 parity (no RNG state), bucket by
+    sign pattern, search only within the bucket. Recall is tested
+    against brute force in tests/test_llm_ops.py.
+
+At 100 TB the brute-force path is |Q|·|D| work — it exists as the
+correctness baseline and for small |Q|; the LSH path turns the scan
+into a bucket-equi-join, which is the shape that survives scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+def cosine_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_filter=None,
+    exact: bool = True,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (rows matching
+    ``query_filter``; default: all rows) against the full table.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q = base.filter(query_filter) if query_filter is not None else base
+    q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+    d = base.select(F.col("id").alias("nid"), F.col("v").alias("nv"))
+    pairs = F.broadcast(q).crossJoin(d).filter(F.col("qid") != F.col("nid"))
+
+    if exact:
+        # position-explode + decimal sums: bit-identical across engines
+        e = pairs.select(
+            "qid",
+            "nid",
+            F.posexplode(F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double"))).alias("i", "xy"),
+            F.col("qv"),
+            F.col("nv"),
+        ).select(
+            "qid",
+            "nid",
+            F.col("xy").cast("decimal(30,12)").alias("xy"),
+            (F.get("qv", F.col("i")).cast("double") * F.get("qv", F.col("i")).cast("double")).cast("decimal(30,12)").alias("xx"),
+            (F.get("nv", F.col("i")).cast("double") * F.get("nv", F.col("i")).cast("double")).cast("decimal(30,12)").alias("yy"),
+        )
+        scored = e.groupBy("qid", "nid").agg(
+            (
+                F.sum("xy").cast("double")
+                / (F.sqrt(F.sum("xx").cast("double")) * F.sqrt(F.sum("yy").cast("double")))
+            ).alias("cosine")
+        )
+    else:
+        # single-pass JVM reduction — the production path
+        dot = F.aggregate(
+            F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nq = F.aggregate(
+            F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nd = F.aggregate(
+            F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = pairs.select(
+            "qid", "nid", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cosine")
+        )
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def hyperplane_bucket(vec_col, planes: int = 16, dim: int = 64):
+    """Deterministic random-hyperplane LSH bucket id: plane p has
+    component ±1 at dim i from the parity of md5('p:i'); bucket bit p =
+    sign of <v, plane_p>. Pure JVM expressions."""
+    bits = []
+    for p in range(planes):
+        signs = [
+            1 if int(_md5_hex(f"{p}:{i}")[0], 16) % 2 else -1 for i in range(dim)
+        ]
+        proj = None
+        for i, s in enumerate(signs):
+            term = F.get(vec_col, i).cast("double") * s
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("bigint")
+
+
+def _md5_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def ann_hyperplane_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    planes: int = 8,
+    query_filter=None,
+) -> DataFrame:
+    """Approximate top-k: candidates share the sign-pattern bucket
+    (equi-join on bucket id — the scan never goes all-pairs), ranked by
+    the fast cosine. Returns (query_id, neighbor_id, cosine, rank)."""
+    dim = len(emb.select(vec_col).first()[0])
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    q = base.filter(query_filter) if query_filter is not None else base
+    q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"), "bucket")
+    d = base.select(F.col("id").alias("nid"), F.col("v").alias("nv"), "bucket")
+    pairs = q.join(d, "bucket").filter(F.col("qid") != F.col("nid"))
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nd = F.aggregate(
+        F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("qid", "nid", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

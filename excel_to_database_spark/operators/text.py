@@ -1,0 +1,145 @@
+"""Text-analysis operators for LLM-data pipelines (driver north star;
+SURVEY.md §2.9): tokenization, quality scoring, language ID,
+fingerprinting.
+
+Everything here is a *column expression builder* over built-in
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd, zero
+Python in the data plane. Each has an exact ANSI-SQL twin used by the
+DuckDB oracles (llm_ops.py), so correctness is hash-verified."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "fr": ["le", "la", "et", "un", "dans"],
+    "de": ["der", "die", "und", "ein", "ist"],
+    "es": ["el", "los", "y", "una", "que"],
+}
+_LANG_ORDER = ["en", "fr", "de", "es"]
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens of lower-cased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Regex 'BPE-ish' token count (letters / digits / punct singles)."""
+    # group index 0 (whole match): Spark defaults to 1, DuckDB to 0
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    return punct.cast("double") / F.length(text)
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words(text), lambda t: t.isin(*sw)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    return stopword_hits(text, "en").cast("double") / token_count_ws(text)
+
+
+def mean_word_len(text: Column) -> Column:
+    w = words(text)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(w)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards stopword presence and sane
+    word length, penalizes punctuation soup. Same closed-form formula
+    as the SQL oracle — integer-derived doubles, so engine-exact."""
+    return F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(0.5)
+            + F.lit(0.5) * stopword_ratio(text)
+            - F.lit(2.0) * punct_ratio(text)
+            - F.lit(0.05) * F.abs(mean_word_len(text) - F.lit(5.0)),
+        ),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, lang) for lang in _LANG_ORDER}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hits, ties to earlier language in
+    (en, fr, de, es); 'und' (undetermined) when nothing hits."""
+    s = lang_scores(text)
+    best = F.greatest(*[s[lg] for lg in _LANG_ORDER])
+    out = F.when(best == 0, "und")
+    for lg in _LANG_ORDER:
+        out = out.when(s[lg] == best, lg)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB dialect, used by the oracles)
+# ---------------------------------------------------------------------------
+
+SQL_WORDS = "string_split_regex(lower(trim({t})), '\\s+')"
+SQL_TOKEN_COUNT_WS = f"len({SQL_WORDS})"
+SQL_TOKEN_COUNT_BPE = "len(regexp_extract_all({t}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+SQL_PUNCT_RATIO = (
+    "CAST(length(regexp_replace({t}, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length({t})"
+)
+
+
+def sql_stopword_hits(t: str, lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({SQL_WORDS.format(t=t)}, x -> x IN ({inlist})))"
+
+
+def sql_stopword_ratio(t: str) -> str:
+    return (
+        f"CAST({sql_stopword_hits(t, 'en')} AS DOUBLE) / {SQL_TOKEN_COUNT_WS.format(t=t)}"
+    )
+
+
+def sql_mean_word_len(t: str) -> str:
+    w = SQL_WORDS.format(t=t)
+    return f"CAST(list_sum(list_transform({w}, x -> length(x))) AS DOUBLE) / len({w})"
+
+
+def sql_quality_score(t: str) -> str:
+    return (
+        f"LEAST(1.0, GREATEST(0.0, 0.5 + 0.5 * ({sql_stopword_ratio(t)}) "
+        f"- 2.0 * ({SQL_PUNCT_RATIO.format(t=t)}) "
+        f"- 0.05 * ABS(({sql_mean_word_len(t)}) - 5.0)))"
+    )
+
+
+def sql_lang_id(t: str) -> str:
+    scores = {lg: sql_stopword_hits(t, lg) for lg in _LANG_ORDER}
+    best = "GREATEST(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN ({scores[lg]}) = ({best}) THEN '{lg}'" for lg in _LANG_ORDER
+    )
+    return f"CASE WHEN ({best}) = 0 THEN 'und' {whens} END"
+
+
+def sql_fingerprint(t: str) -> str:
+    return f"md5(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'))"

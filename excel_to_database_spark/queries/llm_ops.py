@@ -1,7 +1,368 @@
-"""LLM-data-pipeline query entries (dedup, similarity search, text
-analysis, multimodal) over ``documents``/``embeddings`` — populated by
-the operators module; registered here so the driver sees them in the
-same inventory as the relational queries."""
+"""LLM-data-pipeline queries over ``documents``/``embeddings``
+(driver north star: dedup, similarity search, multimodal columns, text
+analysis). Spark side uses the operators package; oracles reproduce
+the same math in DuckDB SQL — including MinHash signatures, which are
+engine-portable because the hash family is md5-string MIN."""
 
-# Implementations land in excel_to_database_spark/operators/{dedup,
-# similarity,text}.py and register below.
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from excel_to_database_spark.operators import dedup as D
+from excel_to_database_spark.operators import multimodal as M
+from excel_to_database_spark.operators import similarity as S
+from excel_to_database_spark.operators import text as T
+from excel_to_database_spark.queries.base import query, t
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q70_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({T.SQL_TOKEN_COUNT_WS.format(t='text')}) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM({T.SQL_TOKEN_COUNT_BPE.format(t='text')}) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q70_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count_ws(F.col("text"))).alias("total_ws_tokens"),
+        F.sum(T.token_count_bpe(F.col("text"))).alias("total_bpe_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q71_quality_scores",
+    f"""
+    SELECT doc_id,
+           {T.SQL_TOKEN_COUNT_WS.format(t='text')} AS n_tokens,
+           {T.SQL_PUNCT_RATIO.format(t='text')} AS punct_ratio,
+           {T.sql_stopword_ratio('text')} AS stopword_ratio,
+           {T.sql_mean_word_len('text')} AS mean_word_len,
+           {T.sql_quality_score('text')} AS quality
+    FROM documents
+    """,
+)
+def q71_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count_ws(txt).alias("n_tokens"),
+        T.punct_ratio(txt).alias("punct_ratio"),
+        T.stopword_ratio(txt).alias("stopword_ratio"),
+        T.mean_word_len(txt).alias("mean_word_len"),
+        T.quality_score(txt).alias("quality"),
+    )
+
+
+@query(
+    "q72_language_id",
+    f"""
+    SELECT lang AS labeled_lang,
+           {T.sql_lang_id('text')} AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY labeled_lang, predicted_lang
+    """,
+)
+def q72_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic, cross-tabbed against the
+    labeled language (the synthetic corpus shares one vocabulary across
+    labels, so this measures the heuristic's determinism, not accuracy)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id(F.col("text")).alias("predicted_lang"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "q73_fingerprints",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT {T.sql_fingerprint('text')}) AS n_distinct_fingerprints
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q73_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(T.fingerprint(F.col("text"))).alias("n_distinct_fingerprints"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q74_dedup_exact",
+    f"""
+    SELECT COUNT(*) AS n_groups,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           MAX(n_copies) AS max_copies
+    FROM (
+        SELECT COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    )
+    """,
+)
+def q74_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    groups = D.exact_dedup(d, "doc_id", "text")
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+        F.max("n_copies").alias("max_copies"),
+    )
+
+
+_SQL_SHINGLES = """
+    ws AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+    sh AS (SELECT doc_id AS doc,
+                  UNNEST(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        FOR i IN range(1, len(w) - 1)])) AS shingle
+           FROM ws)
+"""
+
+_SQL_JACCARD = """
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS c
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+               GROUP BY da, db),
+    jac AS (SELECT da, db, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc = da
+            JOIN sizes sb ON sb.doc = db)
+"""
+
+
+@query(
+    "q75_dedup_ngram_jaccard",
+    f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD}
+    SELECT da AS doc_a, db AS doc_b, jaccard
+    FROM jac WHERE jaccard >= 0.6
+    """,
+)
+def q75_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join)."""
+    d = t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
+
+
+def _sql_minhash() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc, {b} AS band, {sig} AS sig FROM sig".format(
+            b=b,
+            sig=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4)),
+        )
+        for b in range(4)
+    )
+    return f"""
+    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT a.doc AS da, b.doc AS db
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc)
+    """
+
+
+@query(
+    "q76_dedup_minhash_lsh",
+    f"""
+    WITH {_SQL_SHINGLES}, {_sql_minhash()}, {_SQL_JACCARD}
+    SELECT cand.da AS doc_a, cand.db AS doc_b, jac.jaccard
+    FROM cand JOIN jac ON jac.da = cand.da AND jac.db = cand.db
+    WHERE jac.jaccard >= 0.6
+    """,
+)
+def q76_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle → 16 md5-MinHashes → 4 bands → bucket join → exact
+    Jaccard verify. Signature math is engine-portable, so even the LSH
+    candidate set is oracle-verified — not just the final pairs."""
+    d = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.6
+    )
+
+
+def _sql_simhash() -> str:
+    votes = ", ".join(
+        f"SUM((((strpos('0123456789abcdef', substring(md5(w), {1 + j // 4}, 1)) - 1)"
+        f" >> {j % 4}) & 1) * 2 - 1) AS s{j}"
+        for j in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""
+    tok AS (SELECT doc_id AS doc,
+                   UNNEST(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS w
+            FROM documents),
+    votes AS (SELECT doc, {votes} FROM tok GROUP BY doc),
+    fp AS (SELECT doc, CAST({fp} AS BIGINT) AS fingerprint FROM votes)
+    """
+
+
+@query(
+    "q77_dedup_simhash",
+    f"""
+    WITH {_sql_simhash()}
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+    FROM fp a JOIN fp b ON a.doc < b.doc
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
+    """,
+)
+def q77_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs (Hamming ≤ 2)."""
+    d = t(spark, sf_dir, "documents")
+    return D.simhash_pairs(D.simhash_fingerprints(d, "doc_id", "text"), max_distance=2)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_COSINE = """
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    d AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+    pr AS (SELECT qid, nid, qv, nv FROM q CROSS JOIN d WHERE qid <> nid),
+    dims AS (SELECT DISTINCT UNNEST(generate_series(1, len(embedding))) AS i
+             FROM embeddings),
+    e AS (SELECT qid, nid,
+                 CAST(CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE) AS DECIMAL(30,12)) AS xy,
+                 CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,12)) AS xx,
+                 CAST(CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE) AS DECIMAL(30,12)) AS yy
+          FROM pr CROSS JOIN dims),
+    scored AS (SELECT qid, nid,
+                      CAST(SUM(xy) AS DOUBLE)
+                      / (SQRT(CAST(SUM(xx) AS DOUBLE)) * SQRT(CAST(SUM(yy) AS DOUBLE)))
+                          AS cosine
+               FROM e GROUP BY qid, nid)
+"""
+
+
+@query(
+    "q80_knn_bruteforce",
+    f"""
+    WITH {_SQL_COSINE}
+    SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q80_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id<10 (decimal-routed
+    dot products → engine-exact)."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(
+        e, "vec_id", "embedding", k=5, query_filter=F.col("id") < 10, exact=True
+    )
+
+
+@query("q81_ann_hyperplane_lsh")  # approximate — rows-only check by design
+def q81_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (bucketed candidate join). Approximate by
+    construction → no SQL oracle; recall vs brute force is asserted in
+    tests/test_llm_ops.py."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.ann_hyperplane_lsh(
+        e, "vec_id", "embedding", k=5, planes=8, query_filter=F.col("id") < 10
+    )
+
+
+@query(
+    "q82_embedding_near_dup",
+    f"""
+    WITH {_SQL_COSINE.replace('WHERE vec_id < 10', '')}
+    SELECT qid AS vec_a, nid AS vec_b, cosine
+    FROM scored WHERE qid < nid AND cosine >= 0.35
+    """,
+)
+def q82_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs at test SF; the
+    LSH bucket path is the scale variant of the same semantics)."""
+    e = t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_topk(
+        e, "vec_id", "embedding", k=10**9, query_filter=None, exact=True
+    )
+    return (
+        pairs.filter(F.col("query_id") < F.col("neighbor_id"))
+        .filter(F.col("cosine") >= 0.35)
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q83_multimodal_binary",
+    """
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_md5,
+           substring(to_base64(CAST(text AS BLOB)), 1, 16) AS b64_prefix
+    FROM documents
+    """,
+)
+def q83_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload handling: byte length, content hash,
+    base64 envelope — the typed-metadata side of multimodal columns."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.substring(F.base64(F.col("text").cast("binary")), 1, 16).alias("b64_prefix"),
+    )
+
+
+@query(
+    "q84_multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INTEGER) AS width,
+           CAST(16 + ascii(substring(text, 1, 1)) % 64 AS INTEGER) AS height,
+           1 AS n_frames
+    FROM documents
+    """,
+)
+def q84_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing (deterministic stub
+    codec) — the one Pandas-UDF path in the inventory, oracle-verified
+    because the stub is a closed-form function of the bytes."""
+    d = t(spark, sf_dir, "documents")
+    media = M.attach_payload(d, "doc_id", "text", kind="image")
+    return M.decode_media(media, decode_stub="fake")

@@ -639,7 +639,7 @@ def q50_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
            COUNT(*) AS n_lineitems,
-           SUM(DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)))
+           CAST(SUM(DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT)
                AS total_delay_days,
            CAST(SUM(DATEDIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)
                / COUNT(*) AS avg_delay_days,
@@ -677,9 +677,9 @@ def q51_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum('ROUND(CAST(l_extendedprice AS DECIMAL(20,2)), 1)', 'sum_rounded')},
            {sql_dsum('ABS(l_discount - 0.05)', 'sum_abs_disc')},
            {sql_dsum('SQRT(l_quantity)', 'sum_sqrt_qty')},
-           SUM(CAST(FLOOR(l_quantity / 7) AS BIGINT)) AS sum_floor,
-           SUM(CAST(CEIL(l_quantity / 7) AS BIGINT)) AS sum_ceil,
-           SUM(l_orderkey % 97) AS sum_mod
+           CAST(SUM(CAST(FLOOR(l_quantity / 7) AS BIGINT)) AS BIGINT) AS sum_floor,
+           CAST(SUM(CAST(CEIL(l_quantity / 7) AS BIGINT)) AS BIGINT) AS sum_ceil,
+           CAST(SUM(l_orderkey % 97) AS BIGINT) AS sum_mod
     FROM lineitem
     GROUP BY l_linenumber
     """,
@@ -735,7 +735,7 @@ def q53_case_and_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
     FROM events

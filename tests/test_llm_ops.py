@@ -1,0 +1,84 @@
+import pyspark.sql.functions as F
+import pytest
+
+from excel_to_database_spark.operators import dedup as D
+from excel_to_database_spark.operators import multimodal as M
+from excel_to_database_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog yesterday"),  # near-dup of 1
+        (3, "completely different content about spark query engines"),
+        (4, "The  Quick  Brown Fox jumps over the lazy dog today"),  # exact dup of 1 (normalized)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["representative_id"]: r["n_copies"] for r in D.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1] == 2  # docs 1 and 4 collapse
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = D.jaccard_pairs(D.shingles(docs, "doc_id", "text", 3), 0.5).collect()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} >= {(1, 2), (1, 4)}
+    j = {(p["doc_a"], p["doc_b"]): p["jaccard"] for p in pairs}
+    assert j[(1, 4)] == 1.0  # identical shingle sets
+
+
+def test_minhash_lsh_matches_exact_jaccard(docs):
+    got = D.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    assert {(p["doc_a"], p["doc_b"]) for p in got.collect()} == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_simhash_near_dup(docs):
+    fp = D.simhash_fingerprints(docs, "doc_id", "text")
+    pairs = D.simhash_pairs(fp, max_distance=4).collect()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    assert (1, 4) in found  # same word set → identical fingerprint, distance 0
+    d = {(p["doc_a"], p["doc_b"]): p["hamming"] for p in pairs}
+    assert d[(1, 4)] == 0
+
+
+def test_cosine_fast_matches_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = S.cosine_topk(emb, "vec_id", "embedding", k=3, query_filter=F.col("id") < 5, exact=True)
+    fast = S.cosine_topk(emb, "vec_id", "embedding", k=3, query_filter=F.col("id") < 5, exact=False)
+    e = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in exact.collect()}
+    f_ = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in fast.collect()}
+    assert set(e) == set(f_)
+    for k in e:
+        assert e[k][0] == f_[k][0]
+        assert abs(e[k][1] - f_[k][1]) < 1e-9
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """Bucketed ANN must recover a reasonable share of true neighbors
+    on random data (8 planes → recall is approximate by design)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = S.cosine_topk(emb, "vec_id", "embedding", k=3, query_filter=F.col("id") < 20, exact=False)
+    approx = S.ann_hyperplane_lsh(emb, "vec_id", "embedding", k=3, planes=4, query_filter=F.col("id") < 20)
+    t_ = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+    a_ = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(t_ & a_) / len(t_) > 0.15  # way above random chance (~6%)
+
+
+def test_multimodal_decode_stub(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = M.attach_payload(d, "doc_id", "text")
+    out = M.decode_media(media, decode_stub="fake").collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["width"] == 16 + r["n_bytes"] % 64
+        assert 16 <= r["height"] < 80 and r["n_frames"] == 1
+
+
+def test_multimodal_error_stub_raises(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
+    media = M.attach_payload(d, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        M.decode_media(media, decode_stub="error").collect()
