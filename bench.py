@@ -1,0 +1,74 @@
+"""Bench harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Headlines cover every operator family: scan+agg, multi-join, window,
+set op, temporal (sessionize/asof/range), text, dedup (exact-verify +
+LSH), similarity, streaming replay. Each query is fully materialized
+(count via collect-free foreach-noop -> we use count() which executes
+the whole plan; top-k queries collect their handful of rows)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q10_shipping_priority",
+    "q11_local_supplier_volume",
+    "q17_returned_items_topk",
+    "q30_running_customer_total",
+    "q51_date_functions",
+    "q60_tumbling_window",
+    "q61_sessionization",
+    "q63_asof_join",
+    "q65_stream_tumbling_window",
+    "q70_token_stats",
+    "q75_dedup_ngram_jaccard",
+    "q76_dedup_minhash_lsh",
+    "q80_knn_bruteforce",
+]
+
+
+def main() -> None:
+    from excel_to_database_spark.queries import QUERIES
+    from excel_to_database_spark.session import get_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_session("etds-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + parquet-footer warmup so q1 doesn't pay session startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,9 @@ def cosine_topk(
     q = base.filter(query_filter) if query_filter is not None else base
     q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
     d = base.select(F.col("id").alias("nid"), F.col("v").alias("nv"))
+    # corpus side drives parallelism; a small parquet arrives as one
+    # partition, which would serialize the dot-product explode below
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     pairs = F.broadcast(q).crossJoin(d).filter(F.col("qid") != F.col("nid"))
 
     if exact:

@@ -10,6 +10,11 @@ from pyspark.sql import functions as F
 from excel_to_database_spark.operators.asof import asof_join
 from excel_to_database_spark.operators.sessionize import sessionize
 from excel_to_database_spark.queries.base import dsum, query, sql_dsum, t
+from excel_to_database_spark.streaming.ingest import (
+    read_events_stream,
+    run_stream_to_memory,
+    windowed_counts,
+)
 
 
 @query(
@@ -110,6 +115,26 @@ def q62_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_followups"))
     )
+
+
+@query(
+    "q65_stream_tumbling_window",
+    """
+    SELECT CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY bucket_start, event_type
+    """,
+)
+def q65_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest of the events table (availableNow
+    bounded replay) → watermarked 10-minute tumbling counts. The oracle
+    is the equivalent *batch* SQL — streaming/batch parity is the
+    correctness claim."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    counts = windowed_counts(stream, window="10 minutes", watermark="30 minutes")
+    return run_stream_to_memory(spark, counts, "q65_tumbling", output_mode="complete")
 
 
 @query(

@@ -1,0 +1,8 @@
+from excel_to_database_spark.streaming.ingest import (
+    read_events_stream,
+    stream_dedup,
+    stream_sync,
+    windowed_counts,
+)
+
+__all__ = ["read_events_stream", "windowed_counts", "stream_dedup", "stream_sync"]

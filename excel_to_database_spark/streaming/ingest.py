@@ -1,0 +1,104 @@
+"""Structured Streaming surface (SURVEY.md §2.9): file-source ingest,
+watermarked tumbling windows, stateful dedup, and streaming sheet→table
+sync.
+
+The reference is strictly batch (synchronous request → load,
+app/home.py:16-48); these are the engine's streaming extensions. Batch
+parity is by construction: every operator here is the incremental form
+of a batch query in the inventory (windowed_counts ↔ q60), and
+``trigger(availableNow=True)`` replays a directory as one bounded run —
+that is how tests and the oracle compare streaming vs batch output.
+
+Scale notes: file-source ingest scales by partitioned listing +
+``maxFilesPerTrigger``; windowed aggs keep state bounded by the
+watermark; dedup state is bounded by ``dropDuplicatesWithinWatermark``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from excel_to_database_spark.sync.sinks import Destination, LocalDestination
+
+EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Stream the events table from a parquet directory. The ns
+    timestamps arrive as longs (same legacy conf as the batch loader)
+    and are truncated to µs-precision timestamps."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if not os.path.isdir(path):
+        # file source wants a directory: stream the parent, filtered
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the
+    incremental form of q60_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Stateful exact dedup on event_id with watermark-bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_sync(
+    df: DataFrame,
+    table_name: str,
+    destination: Destination | None = None,
+    path: str | None = None,
+    checkpoint: str = "/tmp/etds_stream_ckpt",
+):
+    """Streaming sheet→table sync: each micro-batch goes through the
+    same Destination.sync policy as a batch upload (foreachBatch — the
+    streaming form of the reference's per-request load)."""
+    dest = destination or LocalDestination()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            dest.sync(batch_df, table_name, path)
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming frame to a memory sink with availableNow and
+    return the materialized result (bounded replay for tests/oracles)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,61 @@
+import pyspark.sql.functions as F
+
+from excel_to_database_spark.streaming.ingest import (
+    read_events_stream,
+    run_stream_to_memory,
+    stream_dedup,
+    stream_sync,
+    windowed_counts,
+)
+
+
+def test_stream_matches_batch(spark, sf_dir):
+    """availableNow replay of the events file == batch aggregation."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    got = run_stream_to_memory(
+        spark, windowed_counts(stream), "t_stream_counts", "complete"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("bigint").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_dedup(spark, sf_dir, tmp_path):
+    """Duplicated input files → dropDuplicatesWithinWatermark removes
+    re-deliveries."""
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    d = tmp_path / "events_dup"
+    d.mkdir()
+    shutil.copy(src, d / "a.parquet")
+    shutil.copy(src, d / "b.parquet")
+    stream = read_events_stream(spark, str(d))
+    deduped = run_stream_to_memory(
+        spark, stream_dedup(stream), "t_stream_dedup", "append"
+    )
+    n_unique = spark.read.parquet(src).count()
+    assert deduped.count() == n_unique
+
+
+def test_stream_sync_foreachbatch(spark, sf_dir, tmp_path):
+    """Streaming sheet→table sync lands rows in the catalog through the
+    same Destination policy as batch."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("event_type"),
+    )
+    q = stream_sync(
+        stream, "events_synced", path="streamtest", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    n = spark.table("x_excel_streamtest.events_synced").count()
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
