@@ -787,3 +787,229 @@ def q55_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # binary) disagree; 1e-12 grid is safely inside both
         .agg(F.sum((x * x).cast("decimal(30,12)")).cast("double").alias("sq_norm"))
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates, subqueries, pivot (coverage extension)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q06_percentiles",
+    """
+    SELECT l_returnflag,
+           QUANTILE_CONT(l_quantity, 0.25) AS p25,
+           QUANTILE_CONT(l_quantity, 0.5) AS p50,
+           QUANTILE_CONT(l_quantity, 0.75) AS p75,
+           QUANTILE_CONT(l_quantity, 0.95) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q06_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. Safe cross-engine because
+    l_quantity is integral-valued doubles: interpolation lands on .0/.25
+    /.5/.75 exactly in both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+        F.percentile("l_quantity", 0.95).alias("p95"),
+    )
+
+
+@query(
+    "q07_stats_moments",
+    """
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+           SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q07_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev via the closed two-pass-free moment formula on
+    decimal-routed sums — Spark's stddev_samp (Welford) and DuckDB's
+    are not bit-comparable, so the engine exposes moments explicitly
+    when exact reproducibility is required."""
+    l = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    s1 = F.sum(qty.cast("decimal(30,6)")).cast("double")
+    s2 = F.sum((qty * qty).cast("decimal(30,6)")).cast("double")
+    n = F.count(F.lit(1))
+    return l.groupBy("l_linestatus").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("stddev_qty"),
+    )
+
+
+@query(
+    "q08_pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q08_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per status). Spark's pivot() with explicit
+    value list — Catalyst turns it into the same CASE aggregation the
+    oracle states."""
+    o = t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("P"),
+    )
+
+
+@query(
+    "q18_having_big_customers",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+       AND CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) >= 1000000
+    """,
+)
+def q18_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+        .filter((F.col("n_orders") >= 15) & (F.col("total_spend") >= 1000000))
+    )
+
+
+@query(
+    "q19_correlated_scalar_subquery",
+    """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice > 1.05 * (
+        SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+        FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def q19_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join); the inner average is decimal-routed on both
+    sides so the comparison boundary is identical."""
+    register_views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p
+        WHERE p_retailprice > 1.05 * (
+            SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+            FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+@query(
+    "q22_in_subquery",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def q22_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q23_cte_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q23_cte_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: CTE + uncorrelated scalar subquery (max)."""
+    register_views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                        AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+@query(
+    "q24_argmax_and_arrayagg",
+    """
+    SELECT c_mktsegment,
+           MAX_BY(c_name, c_custkey) AS latest_customer,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT c_nationkey)), ',') AS nation_keys
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q24_argmax_and_arrayagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a unique ordering key (deterministic) + sorted
+    distinct array aggregation rendered to a string (engine-portable
+    representation of a collected list)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_custkey").alias("latest_customer"),
+        F.array_join(
+            F.array_sort(F.collect_set("c_nationkey")).cast("array<string>"), ","
+        ).alias("nation_keys"),
+    )

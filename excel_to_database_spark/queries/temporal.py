@@ -167,3 +167,32 @@ def q63_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="o_orderkey",
     )
     return joined.select("event_id", F.col("o_orderkey").alias("last_orderkey"))
+
+
+@query(
+    "q64_sliding_range_window",
+    """
+    SELECT event_id,
+           user_id,
+           COUNT(*) OVER (PARTITION BY user_id
+                          ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+               AS n_last_10min
+    FROM events
+    """,
+)
+def q64_sliding_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event sliding look-back (RANGE frame over epoch seconds):
+    how many events this user produced in the trailing 10 minutes —
+    the window-function form of a sliding stream aggregation."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_10min")
+    )

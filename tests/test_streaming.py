@@ -59,3 +59,22 @@ def test_stream_sync_foreachbatch(spark, sf_dir, tmp_path):
     q.awaitTermination()
     n = spark.table("x_excel_streamtest.events_synced").count()
     assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_stateful_running_stats(spark, sf_dir):
+    """applyInPandasWithState totals == batch groupBy aggregation
+    (single availableNow batch drains the whole file)."""
+    from excel_to_database_spark.streaming.stateful import running_user_stats
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    got = run_stream_to_memory(
+        spark, running_user_stats(stream), "t_stateful", "update"
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    b = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
+    assert g == b
