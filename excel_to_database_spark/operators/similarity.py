@@ -45,25 +45,34 @@ def cosine_topk(
     pairs = F.broadcast(q).crossJoin(d).filter(F.col("qid") != F.col("nid"))
 
     if exact:
-        # position-explode + decimal sums: bit-identical across engines
-        e = pairs.select(
-            "qid",
-            "nid",
-            F.posexplode(F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double"))).alias("i", "xy"),
-            F.col("qv"),
-            F.col("nv"),
-        ).select(
-            "qid",
-            "nid",
-            F.col("xy").cast("decimal(30,12)").alias("xy"),
-            (F.get("qv", F.col("i")).cast("double") * F.get("qv", F.col("i")).cast("double")).cast("decimal(30,12)").alias("xx"),
-            (F.get("nv", F.col("i")).cast("double") * F.get("nv", F.col("i")).cast("double")).cast("decimal(30,12)").alias("yy"),
+        # single-pass decimal fold: decimal(30,12) addition is exact and
+        # order-independent, so the sequential aggregate equals the SQL
+        # oracle's SUM(decimal) bit-for-bit — no explode, no shuffle.
+        # The lambda re-casts after each add because decimal + widens
+        # precision (31,12) and the accumulator type must stay fixed;
+        # the cast is lossless (same scale, 18 integer digits headroom).
+        def dfold(arr):
+            return F.aggregate(
+                arr,
+                F.lit(0).cast("decimal(30,12)"),
+                lambda acc, x: (acc + x).cast("decimal(30,12)"),
+            ).cast("double")
+
+        dot = dfold(
+            F.zip_with(
+                "qv",
+                "nv",
+                lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(30,12)"),
+            )
         )
-        scored = e.groupBy("qid", "nid").agg(
-            (
-                F.sum("xy").cast("double")
-                / (F.sqrt(F.sum("xx").cast("double")) * F.sqrt(F.sum("yy").cast("double")))
-            ).alias("cosine")
+        nq = dfold(
+            F.transform("qv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)"))
+        )
+        nd = dfold(
+            F.transform("nv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)"))
+        )
+        scored = pairs.select(
+            "qid", "nid", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cosine")
         )
     else:
         # single-pass JVM reduction — the production path

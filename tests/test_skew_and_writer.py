@@ -1,0 +1,52 @@
+import pyspark.sql.functions as F
+import pytest
+
+from excel_to_database_spark.operators.skew import salted_join
+from excel_to_database_spark.sources.excel_source import read_excel
+from excel_to_database_spark.sources.xlsx_writer import write_excel
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed left: 10k rows on one hot key + a tail
+    left = spark.range(10000).select(
+        F.when(F.col("id") < 9000, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame([(1, "hot"), (9500, "cold")], "k long, rv string")
+    plain = left.join(right, "k", "inner").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", "inner", salt=8).select("k", "lv", "rv")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string")
+    right = spark.createDataFrame([(1, "x")], "k long, rv string")
+    out = {r["k"]: r["rv"] for r in salted_join(left, right, "k", "left", salt=4).collect()}
+    assert out == {1: "x", 2: None}
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="right"):
+        salted_join(df, df, "k", "full", salt=4)
+
+
+def test_excel_writer_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("alice", "2021-01-01", "12.5"), ("bob", "", "7")],
+        "Name string, When string, Amount string",
+    )
+    p = str(tmp_path / "export.xlsx")
+    n = write_excel(df, p, sheet_name="Export & Co")
+    assert n == 2
+    back = read_excel(spark, p)
+    assert back.columns == ["Name", "When", "Amount"]
+    rows = {r["Name"]: r for r in back.collect()}
+    assert rows["alice"]["Amount"] == "12.5"
+    assert rows["bob"]["When"] == ""  # empty cell survives
+
+
+def test_excel_writer_cap(spark, tmp_path):
+    df = spark.range(20).select(F.col("id").cast("string").alias("x"))
+    with pytest.raises(ValueError, match="cap"):
+        write_excel(df, str(tmp_path / "cap.xlsx"), max_rows=10)
