@@ -47,11 +47,24 @@ def load_workbook_payload(spark: SparkSession, payload: dict) -> dict[str, DataF
     return out
 
 
+def list_to_matrix(flat: list, n_cols: int) -> list[list]:
+    """Reshape a flat cell list into an n-column matrix (the reference's
+    ``list_to_matrix`` utility for VBA flat payloads, data.py:18-21)."""
+    if n_cols <= 0:
+        raise ValueError("n_cols must be positive")
+    return [flat[i : i + n_cols] for i in range(0, len(flat), n_cols)]
+
+
 def load_legacy_submit(spark: SparkSession, payload: dict) -> dict[str, DataFrame]:
     """Legacy VBA `/submit` payload: ``{"name":..., "data": tsv_text}``
     (home.py:51-100 intended behavior; TSV — tab is in the sniffer's
-    candidate set, csv_sniff.py:5)."""
+    candidate set, csv_sniff.py:5). A flat cell-list ``data`` with a
+    ``columns`` count is reshaped via ``list_to_matrix``."""
     for field in ("name", "data"):
         if field not in payload:
             raise ValueError(f"missing field {field!r}")
-    return {sqlify(payload["name"]): read_csv_text(spark, payload["data"])}
+    data = payload["data"]
+    if isinstance(data, list):
+        matrix = list_to_matrix(data, int(payload["columns"]))
+        return {sqlify(payload["name"]): matrix_to_df(spark, matrix)}
+    return {sqlify(payload["name"]): read_csv_text(spark, data)}

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.2 item 4:
+sniff+parse round-trips under random delimiters/content; sync decision
+under random column-set mutations. Pure driver-side properties (no
+SparkSession) so thousands of cases run in seconds."""
+
+import csv
+import io
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from excel_to_database_spark.naming import sanitize_columns, sqlify, to_alnum
+from excel_to_database_spark.sources.csv_sniff import sniff_delimiter
+from excel_to_database_spark.sources.payload import list_to_matrix
+from excel_to_database_spark.sources.xlsx_core import a1_to_rowcol, serial_to_iso
+from excel_to_database_spark.sync.policy import SyncAction, decide_sync_action
+
+# cell content free of delimiter/quote/newline chars
+_cell = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=200)
+@given(
+    delim=st.sampled_from([",", ";", "|", "\t"]),
+    rows=st.lists(st.lists(_cell, min_size=2, max_size=6), min_size=2, max_size=12),
+)
+def test_sniffer_recovers_delimiter_on_rectangular_data(delim, rows):
+    width = len(rows[0])
+    rect = [(r * width)[:width] for r in rows]  # rectangularize
+    text = "\n".join(delim.join(r) for r in rect)
+    sniffed = sniff_delimiter(text)
+    # the sniffed delimiter must re-parse to the same rectangle width
+    parsed = list(csv.reader(io.StringIO(text), delimiter=sniffed))
+    assert all(len(p) == len(parsed[0]) for p in parsed)
+    if width > 1:
+        assert sniffed == delim
+
+
+@settings(max_examples=200)
+@given(st.lists(st.text(max_size=12), min_size=1, max_size=10))
+def test_sanitize_columns_unique_nonempty(cols):
+    out = sanitize_columns(cols)
+    assert len(out) == len(cols)
+    assert len(set(out)) == len(out)
+    assert all(c and all(ch.isalnum() or ch == "_" for ch in c) for c in out)
+
+
+@settings(max_examples=200)
+@given(st.text(max_size=30))
+def test_naming_idempotent(s):
+    assert to_alnum(to_alnum(s)) == to_alnum(s)
+    assert sqlify(sqlify(s)) == sqlify(s)
+
+
+@settings(max_examples=200)
+@given(
+    existing=st.lists(_cell, min_size=1, max_size=8, unique_by=str.lower),
+    incoming=st.lists(_cell, min_size=1, max_size=8, unique_by=str.lower),
+)
+def test_sync_decision_properties(existing, incoming):
+    action = decide_sync_action(existing, incoming)
+    same_set = sorted(c.lower() for c in existing) == sorted(c.lower() for c in incoming)
+    assert action is (SyncAction.TRUNCATE if same_set else SyncAction.RECREATE)
+    # permutation invariance of the incoming header
+    assert decide_sync_action(existing, list(reversed(incoming))) is action
+
+
+@settings(max_examples=200)
+@given(st.integers(min_value=1, max_value=200000))
+def test_serial_date_monotonic(serial):
+    a, b = serial_to_iso(serial), serial_to_iso(serial + 1)
+    assert a < b  # ISO strings order like dates
+
+
+@settings(max_examples=200)
+@given(st.integers(min_value=0, max_value=2000), st.integers(min_value=0, max_value=500))
+def test_a1_roundtrip(row, col):
+    letters = ""
+    c = col + 1
+    while c:
+        c, rem = divmod(c - 1, 26)
+        letters = chr(65 + rem) + letters
+    assert a1_to_rowcol(f"{letters}{row + 1}") == (row, col)
+
+
+@settings(max_examples=200)
+@given(
+    flat=st.lists(st.integers(), min_size=0, max_size=40),
+    n_cols=st.integers(min_value=1, max_value=8),
+)
+def test_list_to_matrix_preserves_cells(flat, n_cols):
+    m = list_to_matrix(flat, n_cols)
+    assert [c for row in m for c in row] == flat
+    assert all(len(r) == n_cols for r in m[:-1])

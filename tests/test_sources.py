@@ -61,3 +61,13 @@ def test_legacy_submit_tsv(spark):
     out = load_legacy_submit(spark, {"name": "Legacy Tab", "data": "a\tb\n1\t2\n3\t4"})
     assert list(out) == ["legacy_tab"]
     assert out["legacy_tab"].count() == 2
+
+
+def test_legacy_submit_flat_list(spark):
+    out = load_legacy_submit(
+        spark,
+        {"name": "Flat", "columns": 2, "data": ["h1", "h2", "a", "b", "c", "d"]},
+    )
+    df = out["flat"]
+    assert df.columns == ["h1", "h2"]
+    assert sorted(map(tuple, df.collect())) == [("a", "b"), ("c", "d")]
