@@ -118,22 +118,26 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
 
 def lsh_candidates(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates.
-    Bucket join only touches colliding docs — never all pairs."""
-    per_band = []
-    for b in range(bands):
-        cols = [f"h{b * rows + r}" for r in range(rows)]
-        bs = sig.select(
-            F.col("doc"), F.concat_ws("|", *[F.col(c) for c in cols]).alias("sig")
-        )
-        x = bs.select(F.col("doc").alias("doc_a"), "sig")
-        y = bs.select(F.col("doc").alias("doc_b"), "sig")
-        per_band.append(
-            x.join(y, "sig").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        )
-    out = per_band[0]
-    for p in per_band[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    Bucket join only touches colliding docs — never all pairs.
+
+    All bands are exploded out of ONE signature row (posexplode of the
+    band-signature array) rather than unioning per-band branches — a
+    union would re-execute the signature aggregation once per band."""
+    band_sigs = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc", F.posexplode(band_sigs).alias("band", "sig"))
+    x = banded.select(F.col("doc").alias("doc_a"), "band", "sig")
+    y = banded.select(F.col("doc").alias("doc_b"), "band", "sig")
+    return (
+        x.join(y, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def minhash_lsh_dedup(

@@ -1127,3 +1127,16 @@ def q27_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("total_qty"))
         .select("c_custkey", "o_orderkey", "total_qty", "o_totalprice")
     )
+
+
+@query("q28_approx_count_distinct")  # approximate (HLL) — rows-only by design
+def q28_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory
+    distinct-count for 100 TB cardinality estimation. No SQL oracle —
+    DuckDB's approx_count_distinct uses a different sketch; accuracy vs
+    the exact count is asserted in tests/test_queries_smoke.py."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

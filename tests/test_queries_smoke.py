@@ -24,3 +24,23 @@ def test_oracles_subset_of_queries():
     assert set(os_) <= set(qs)
     # every oracle-less query is an explicitly non-SQL-expressible op
     assert all(isinstance(v, str) and v.strip() for v in os_.values())
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {
+        r["o_orderstatus"]: r["d"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    import __spark_entry__ as entrymod
+
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in entrymod.queries()["q28_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    for k, d in exact.items():
+        assert abs(approx[k] - d) / max(d, 1) < 0.1

@@ -57,3 +57,23 @@ def test_cloud_copy_stages_gzip_csv(spark, tmp_path):
     assert "COPY" in str(exc.value)
     staged = list((tmp_path / "stage" / "t_staged").glob("*.csv.gz"))
     assert staged, "expected gzipped CSV parts in the stage dir"
+
+
+def test_upload_api_end_to_end(spark):
+    from excel_to_database_spark.api import upload
+
+    out = upload(
+        spark,
+        {"data": {"Sheet One": [["a", "b"], ["1", "2"]], "c.csv": "x,y\n3,4"}},
+        path="apitest",
+    )
+    assert "messages" in out and len(out["messages"]) == 2
+    assert any("sheet_one" in m for m in out["messages"])
+    assert spark.table("x_excel_apitest.c_csv").count() == 1
+
+
+def test_upload_api_error_shape(spark):
+    from excel_to_database_spark.api import upload
+
+    out = upload(spark, {"data": {}})
+    assert set(out) == {"error"}
