@@ -29,9 +29,6 @@ from pyspark.sql import functions as F
 
 from excel_to_database_spark.operators.text import words
 
-HEX = "0123456789abcdef"
-
-
 def normalized_text(text):
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
@@ -156,8 +153,37 @@ def minhash_lsh_dedup(
     # MEMORY_AND_DISK so the cache degrades gracefully at corpus scale
     sh = shingles(df, id_col, text_col, n).persist()
     cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, num_hashes // bands)
-    verified = jaccard_pairs(sh, threshold)
-    return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    return verify_jaccard(cand, sh, threshold)
+
+
+def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for a *given* candidate pair set — the LSH verify
+    step. Work is O(|candidates| · shingles-per-doc), NOT the full
+    inverted-index sweep: attach doc_a's shingles to each pair, then
+    count which also exist for doc_b."""
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = pairs.join(sh.withColumnRenamed("doc", "doc_a"), "doc_a")
+    common = (
+        a_sh.join(
+            sh.select(F.col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -196,3 +196,46 @@ def q64_sliding_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_10min")
     )
+
+
+@query(
+    "q66_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def q66_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in F.session_window (30-min gap) in batch mode — the
+    native form of the §2.9 'session windows' row (q61 is the
+    hand-rolled equivalent). Oracle rebuilds sessions with the
+    lag/cumsum construction at full µs precision (Spark merges at
+    timestamp precision, so the oracle must not floor the gaps; the
+    session *start* is floored only for output portability)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
