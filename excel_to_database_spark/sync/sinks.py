@@ -97,6 +97,20 @@ class JdbcDestination(Destination):
     batchsize: int = 1000
     strict: bool = False
 
+    def _ensure_schema(self, spark, schema: str) -> None:
+        """CREATE SCHEMA if absent (reference: data.py:116, :175-177,
+        :231). Issued over a direct JDBC connection via the JVM;
+        'already exists' failures are ignored (portable stand-in for
+        IF NOT EXISTS, which not every warehouse dialect has)."""
+        try:
+            conn = spark._jvm.java.sql.DriverManager.getConnection(self.url)
+            try:
+                conn.createStatement().execute(f"CREATE SCHEMA {schema}")
+            finally:
+                conn.close()
+        except Exception:
+            pass  # exists already, or dialect auto-creates on write
+
     def _existing_columns(self, spark, fqtn: str) -> list[str] | None:
         try:
             probe = (
@@ -114,6 +128,7 @@ class JdbcDestination(Destination):
         spark = df.sparkSession
         schema = tenant_schema(path)
         fqtn = f"{schema}.{table_name}"
+        self._ensure_schema(spark, schema)
         existing = self._existing_columns(spark, fqtn)
         action = decide_sync_action(existing, df.columns, strict=self.strict)
         writer = (

@@ -1,0 +1,51 @@
+"""JDBC warehouse sink integration test against embedded Derby (ships
+on Spark's classpath) — the closest available stand-in for the
+reference's Azure DW pyodbc path (app/data.py:156-202): real DDL, real
+batched inserts, real catalog probe, full truncate-vs-drop lifecycle."""
+
+import pytest
+
+from excel_to_database_spark.sources.payload import matrix_to_df
+from excel_to_database_spark.sync.sinks import JdbcDestination
+
+DRIVER = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@pytest.fixture(scope="module")
+def dest(tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "wh"
+    return JdbcDestination(url=f"jdbc:derby:{db};create=true", properties=DRIVER)
+
+
+def _read(spark, dest, fqtn):
+    return (
+        spark.read.format("jdbc")
+        .option("url", dest.url)
+        .option("dbtable", fqtn)
+        .options(**dest.properties)
+        .load()
+    )
+
+
+def test_jdbc_lifecycle(spark, dest):
+    df1 = matrix_to_df(spark, [["a", "b"], ["1", "x"], ["2", "y"]])
+    r1 = dest.sync(df1, "t_jdbc", path="derbytest")
+    assert (r1.action, r1.n_records) == ("Created", 2)
+    fqtn = "x_excel_derbytest.t_jdbc"
+    assert sorted(map(tuple, _read(spark, dest, fqtn).collect())) == [
+        ("1", "x"),
+        ("2", "y"),
+    ]
+
+    # same column set, reordered → TRUNCATE; values land by name
+    df2 = matrix_to_df(spark, [["b", "a"], ["z", "9"]])
+    r2 = dest.sync(df2, "t_jdbc", path="derbytest")
+    assert (r2.action, r2.n_records) == ("Truncated", 1)
+    back = _read(spark, dest, fqtn).collect()[0]
+    assert (back["a"], back["b"]) == ("9", "z")
+
+    # changed column set → RECREATE with new schema
+    df3 = matrix_to_df(spark, [["a", "c"], ["5", "6"]])
+    r3 = dest.sync(df3, "t_jdbc", path="derbytest")
+    assert (r3.action, r3.n_records) == ("Recreated", 1)
+    assert sorted(c.lower() for c in _read(spark, dest, fqtn).columns) == ["a", "c"]
