@@ -1140,3 +1140,28 @@ def q28_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "q29_unpivot",
+    """
+    SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt); the oracle states the equivalent
+    stacked UNION ALL."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.col("o_custkey").cast("double").alias("o_custkey"),
+        )
+    )
+    return o.unpivot("o_orderkey", ["o_totalprice", "o_custkey"], "metric", "value")
