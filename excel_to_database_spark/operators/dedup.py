@@ -221,15 +221,40 @@ def simhash_fingerprints(
     return sums.select("doc", fp.cast("bigint").alias("fingerprint"))
 
 
-def simhash_pairs(fp: DataFrame, max_distance: int = 3) -> DataFrame:
-    """Pairs within Hamming distance. All-pairs compare here (fine for
-    the verified query); at corpus scale, band by fingerprint prefix
-    first exactly like lsh_candidates."""
-    a = fp.select(F.col("doc").alias("doc_a"), F.col("fingerprint").alias("fa"))
-    b = fp.select(F.col("doc").alias("doc_b"), F.col("fingerprint").alias("fb"))
+def simhash_pairs(
+    fp: DataFrame, max_distance: int = 3, bits: int = 32
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ d — via pigeonhole banding, not
+    an all-pairs scan: split the fingerprint into d+1 bit-chunks; two
+    fingerprints within distance d must agree EXACTLY on at least one
+    chunk (≤ d differing bits can dirty at most d chunks). Candidates
+    come from equi-joins on (chunk index, chunk value) — the same
+    bucket-join shape as MinHash LSH — then the exact Hamming check
+    filters. Results are identical to the quadratic scan, guaranteed."""
+    n_bands = max_distance + 1
+    width = -(-bits // n_bands)  # ceil
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("fingerprint"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = fp.select(
+        "doc", "fingerprint", F.posexplode(chunks).alias("band", "chunk")
+    )
+    a = banded.select(
+        F.col("doc").alias("doc_a"), F.col("fingerprint").alias("fa"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"), F.col("fingerprint").alias("fb"), "band", "chunk"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
         .select(
             "doc_a",
             "doc_b",

@@ -109,8 +109,8 @@ def _num_to_str(raw: str) -> str:
         f = float(raw)
     except ValueError:
         return raw
-    if f == int(f) and "e" not in raw.lower() and abs(f) < 1e16:
-        return str(int(f))
+    if f == int(f) and abs(f) < 1e16:
+        return str(int(f))  # integral (incl. 2.5e2 → 250): show as int
     return raw
 
 

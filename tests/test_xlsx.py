@@ -98,3 +98,40 @@ def test_read_excel_directory_parallel(spark, tmp_path):
     df = read_excel(spark, str(tmp_path))
     assert df.count() == 6
     assert df.columns == ["id", "v"]
+
+
+def test_inline_str_bool_and_formula_cells():
+    """Cell types beyond shared strings: inlineStr, boolean, and
+    formula-result (t="str") cells decode correctly."""
+    import zipfile, io
+    wb = build_xlsx({"S": [["h1", "h2", "h3"], ["x", 1, 2]]})
+    # patch the sheet to use inlineStr / boolean / formula-str cells
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(wb)) as zin, zipfile.ZipFile(buf, "w") as zout:
+        for item in zin.namelist():
+            data = zin.read(item)
+            if item == "xl/worksheets/sheet1.xml":
+                data = (
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                    '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                    "<sheetData>"
+                    '<row r="1"><c r="A1" t="inlineStr"><is><t>col a</t></is></c>'
+                    '<c r="B1" t="inlineStr"><is><t>col b</t></is></c>'
+                    '<c r="C1" t="inlineStr"><is><t>col c</t></is></c></row>'
+                    '<row r="2"><c r="A2" t="b"><v>1</v></c>'
+                    '<c r="B2" t="str"><v>computed</v></c>'
+                    '<c r="C2"><v>2.5e2</v></c></row>'
+                    "</sheetData></worksheet>"
+                ).encode()
+            zout.writestr(item, data)
+    rdr = WorkbookReader(buf.getvalue())
+    m = rdr.read_sheet("S")
+    assert m[0] == ["col a", "col b", "col c"]
+    assert m[1] == ["TRUE", "computed", "250"]
+
+
+def test_sparse_rows_and_gap_cells():
+    """Missing rows and column gaps densify to empty strings."""
+    wb = build_xlsx({"S": [["a", "b", "c"], ["", "", ""], ["1", "", "3"]]})
+    m = WorkbookReader(wb).read_sheet("S")
+    assert m == [["a", "b", "c"], ["", "", ""], ["1", "", "3"]]
