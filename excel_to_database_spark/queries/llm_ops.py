@@ -366,3 +366,53 @@ def q84_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     media = M.attach_payload(d, "doc_id", "text", kind="image")
     return M.decode_media(media, decode_stub="fake")
+
+
+@query(
+    "q85_training_data_pipeline",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, lang, text,
+               {T.sql_quality_score('text')} AS quality,
+               {T.sql_fingerprint('text')} AS fp
+        FROM documents
+    ), kept AS (
+        SELECT * FROM scored
+        WHERE quality >= 0.5
+          AND doc_id = (SELECT MIN(s2.doc_id) FROM scored s2 WHERE s2.fp = scored.fp)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+               AS total_tokens,
+           CAST(SUM(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) AS sum_quality
+    FROM kept
+    GROUP BY source
+    """,
+)
+def q85_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the canonical training-data prep flow:
+    quality-score → filter → exact-dedup (keep min-id representative) →
+    per-source token accounting. Every stage is a previously verified
+    operator; the oracle composes the same SQL stages."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        T.quality_score(txt).alias("quality"),
+        T.fingerprint(txt).alias("fp"),
+        T.token_count_ws(txt).alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp")
+    kept = (
+        scored.withColumn("rep", F.min("doc_id").over(w))
+        .filter((F.col("quality") >= 0.5) & (F.col("doc_id") == F.col("rep")))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("quality").cast("decimal(30,6)")).cast("double").alias("sum_quality"),
+    )

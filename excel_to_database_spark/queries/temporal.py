@@ -239,3 +239,37 @@ def q66_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q67_sliding_window",
+    """
+    WITH buckets AS (
+        SELECT event_type, value,
+               CAST(FLOOR(FLOOR(EPOCH(ts)) / 300) * 300 AS BIGINT) AS w0
+        FROM events
+    ), contrib AS (
+        SELECT event_type, value, w0 AS window_start FROM buckets
+        UNION ALL
+        SELECT event_type, value, w0 - 300 AS window_start FROM buckets
+    )
+    SELECT event_type, window_start, COUNT(*) AS n_events
+    FROM contrib
+    GROUP BY event_type, window_start
+    """,
+)
+def q67_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) windows: 10-minute window, 5-minute slide —
+    each event lands in exactly two windows. Spark's F.window handles
+    the window explosion; the oracle states it as two shifted
+    bucketings unioned."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+        )
+    )
