@@ -17,7 +17,9 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -89,3 +91,79 @@ def decode_media(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 16, decode_stub: str = "fake") -> DataFrame:
+    """Payload → fixed-dim float feature vector (the embedding step of
+    a multimodal pipeline). Stub featurizer: bytes folded into ``dim``
+    buckets, normalized — deterministic, vectorized per Arrow batch.
+    A real model (CLIP et al.) plugs into the same mapInPandas shape."""
+
+    def run(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError("real featurizer (e.g. CLIP) plugs in here")
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                pad = (-len(arr)) % dim
+                folded = np.pad(arr, (0, pad)).reshape(-1, dim).sum(axis=0).astype("float64")
+                norm = float(np.sqrt((folded * folded).sum())) or 1.0
+                feats.append((folded / norm).astype("float32").tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize stub: passes payloads through unchanged with the target
+    geometry recorded (a real implementation swaps the identity
+    transform for PIL's resize inside the same batch loop)."""
+
+    def run(batches) -> Iterator:
+        for pdf in batches:
+            out = pdf[["media_id", "kind", "payload", "mime"]].copy()
+            out["width"], out["height"] = width, height
+            yield out
+
+    # StructType.add mutates in place — build a fresh schema rather
+    # than extending the shared MEDIA_SCHEMA constant
+    schema = StructType(
+        MEDIA_SCHEMA.fields
+        + [StructField("width", IntegerType()), StructField("height", IntegerType())]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stub for video payloads: emits one output row per
+    sampled 'frame' (byte-stride stand-in for time-stride), up to
+    ``max_frames`` — the row-explosion shape a real ffmpeg-backed
+    sampler produces."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = min(max(len(r["payload"]) // every_n_bytes, 1), max_frames)
+                for i in range(n):
+                    chunk = bytes(r["payload"])[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append((r["media_id"], i, bytearray(chunk)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_payload"])
+
+    return df.mapInPandas(
+        run, schema="media_id long, frame_no int, frame_payload binary"
+    )

@@ -82,3 +82,25 @@ def test_multimodal_error_stub_raises(spark, sf_dir):
     media = M.attach_payload(d, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         M.decode_media(media, decode_stub="error").collect()
+
+
+def test_multimodal_feature_resize_framesample(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    media = M.attach_payload(d, "doc_id", "text", kind="video")
+
+    feats = M.extract_features(media, dim=16).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r["feature"]) == 16
+        norm = sum(x * x for x in r["feature"])
+        assert abs(norm - 1.0) < 1e-3  # unit-normalized
+
+    resized = M.resize_images(media, 32, 24).collect()
+    assert all((r["width"], r["height"]) == (32, 24) for r in resized)
+    assert resized[0]["payload"] is not None
+
+    frames = M.sample_frames(media, every_n_bytes=64, max_frames=4)
+    per = {r["media_id"]: r["n"] for r in
+           frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(1 <= n <= 4 for n in per.values())
+    assert len(per) == 10
