@@ -51,10 +51,20 @@ def query(name: str, oracle: str | None = None):
     check)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # pin the session timezone: the oracles treat the parquet's
+            # naive timestamps as UTC wall-clock; a driver session
+            # inheriting a non-UTC JVM default would shift every
+            # unix_timestamp/date_format by the zone offset
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
