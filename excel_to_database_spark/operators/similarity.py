@@ -182,3 +182,111 @@ def ann_hyperplane_lsh(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str, vec_col: str, n_lists: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """Partition vectors into ``n_lists`` cells around deterministic
+    centroids (the ``n_lists`` lowest-id vectors — a seed-free coarse
+    quantizer; one Lloyd sweep could refine it, but assignment quality
+    only affects recall, never correctness, because search re-ranks by
+    true cosine). Returns (centroids, assignments); both are plain
+    DataFrames so the index can be persisted as a table."""
+    w = Window.orderBy(F.asc("id"))
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_lists)
+        .select(F.col("rn").alias("cell"), F.col("v").alias("cv"))
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate(
+        F.transform("v", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform("cv", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "cell", (dot / (F.sqrt(nv) * F.sqrt(nc))).alias("sim")
+    )
+    pick = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "cell")
+    )
+    return cents, assigned
+
+
+def ann_ivf(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    query_filter=None,
+) -> DataFrame:
+    """IVF search: each query probes its ``n_probe`` nearest cells and
+    ranks only those cells' members by true cosine — candidate volume
+    is |corpus|·n_probe/n_lists instead of |corpus|. Same output shape
+    as the other ANN paths: (query_id, neighbor_id, cosine, rank)."""
+    cents, assigned = ivf_assign(emb, id_col, vec_col, n_lists)
+    q = assigned.filter(query_filter) if query_filter is not None else assigned
+    q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+
+    dot_c = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    probe_rank = Window.partitionBy("qid").orderBy(F.desc("psim"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qv", "cell", dot_c.alias("psim"))
+        .withColumn("rn", F.row_number().over(probe_rank))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "qv", "cell")
+    )
+    cand = probes.join(
+        assigned.select(F.col("id").alias("nid"), F.col("v").alias("nv"), "cell"),
+        "cell",
+    ).filter(F.col("qid") != F.col("nid"))
+
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nd = F.aggregate(
+        F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "qid", "nid", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cosine")
+    ).dropDuplicates(["qid", "nid"])
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

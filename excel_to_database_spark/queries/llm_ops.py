@@ -416,3 +416,15 @@ def q85_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum(F.col("quality").cast("decimal(30,6)")).cast("double").alias("sum_quality"),
     )
+
+
+@query("q86_ann_ivf")  # approximate (coarse quantizer) — rows-only by design
+def q86_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (16 lists, 4 probes): the inverted-file scale
+    path for similarity search; recall vs brute force asserted in
+    tests/test_llm_ops.py."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.ann_ivf(
+        e, "vec_id", "embedding", k=5, n_lists=16, n_probe=4,
+        query_filter=F.col("id") < 10,
+    )

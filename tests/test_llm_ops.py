@@ -104,3 +104,20 @@ def test_multimodal_feature_resize_framesample(spark, sf_dir):
            frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(1 <= n <= 4 for n in per.values())
     assert len(per) == 10
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF with n_probe=n_lists degenerates to exact brute force;
+    fewer probes trade recall."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = S.cosine_topk(emb, "vec_id", "embedding", k=3,
+                          query_filter=F.col("id") < 15, exact=False)
+    full = S.ann_ivf(emb, "vec_id", "embedding", k=3, n_lists=8, n_probe=8,
+                     query_filter=F.col("id") < 15)
+    t_ = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+    f_ = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f_ == t_  # probing every list == exact
+    part = S.ann_ivf(emb, "vec_id", "embedding", k=3, n_lists=8, n_probe=3,
+                     query_filter=F.col("id") < 15)
+    p_ = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+    assert len(p_ & t_) / len(t_) > 0.3  # partial probing: bounded recall loss
