@@ -54,10 +54,16 @@ class Destination:
 class LocalDestination(Destination):
     """Catalog-managed tables (parquet via ``saveAsTable``), or plain
     CSV files when ``fmt='csv'`` for byte-parity with the reference's
-    local sink (data.py:137-153)."""
+    local sink (data.py:137-153).
+
+    ``partition_by`` hive-partitions the table on write — at fact-table
+    scale this is what makes date/tenant-predicate queries prune files
+    instead of scanning the world (PartitionFilters in the plan;
+    tests/test_bucketing.py asserts it)."""
 
     fmt: str = "parquet"
     strict: bool = False
+    partition_by: tuple[str, ...] = ()
 
     def sync(self, df: DataFrame, table_name: str, path: str | None = None) -> LoadReport:
         spark = df.sparkSession
@@ -81,7 +87,10 @@ class LocalDestination(Destination):
         else:
             if action is SyncAction.RECREATE:
                 spark.sql(f"DROP TABLE IF EXISTS {fqtn}")
-            df.write.format(self.fmt).mode("overwrite").saveAsTable(fqtn)
+            writer = df.write.format(self.fmt).mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.saveAsTable(fqtn)
         n = spark.table(fqtn).count()
         return LoadReport(action.value, schema, table_name, n)
 

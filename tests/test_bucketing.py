@@ -36,3 +36,21 @@ def test_bucketed_groupby_has_no_exchange(spark):
     agg = spark.table("b_lineitem").groupBy("o_orderkey").agg(F.sum("l_quantity"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_partitioned_write_prunes(spark, sf_dir):
+    """Partitioned sync → a partition-key predicate scans only the
+    matching partition (PartitionFilters, not a full scan)."""
+    from excel_to_database_spark.sync.sinks import LocalDestination
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    dest = LocalDestination(partition_by=("order_year",))
+    dest.sync(orders, "p_orders", path="parttest")
+    q = spark.table("x_excel_parttest.p_orders").filter(F.col("order_year") == 1997)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan, plan[:800]
+    n97 = q.count()
+    assert n97 == orders.filter(F.col("order_year") == 1997).count()
+    assert 0 < n97 < orders.count()
