@@ -1,0 +1,98 @@
+"""Upsert (MERGE INTO) and SCD2 history — emulated with pure DataFrame
+ops since transactional formats (Delta/Iceberg) aren't on the
+classpath: anti-join + union for merge, window-closed validity
+intervals for SCD2. Each apply is one rewrite of the target table —
+the classic pre-lakehouse warehouse pattern, and the incremental
+counterpart of the reference's truncate/recreate-only sync.
+
+Scale notes: both operations shuffle once on the merge key; the
+rewrite is partition-parallel. With a date/tenant-partitioned target
+(LocalDestination.partition_by) only touched partitions need
+rewriting — dynamic partition overwrite is the natural extension."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession, target_table: str, updates: DataFrame, key: str | list[str]
+) -> None:
+    """MERGE semantics: update rows whose key matches, insert the rest.
+    ``updates`` must share the target's schema."""
+    keys = [key] if isinstance(key, str) else list(key)
+    target = spark.table(target_table)
+    kept = target.join(updates.select(*keys), keys, "left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+    # localCheckpoint breaks the self-referencing lineage so the
+    # overwrite doesn't read the table it is replacing
+    merged.localCheckpoint(eager=True).write.mode("overwrite").insertInto(target_table)
+
+
+SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_apply(
+    spark: SparkSession,
+    target_table: str,
+    updates: DataFrame,
+    key: str | list[str],
+    effective_ts: str,
+) -> None:
+    """Slowly-changing-dimension type 2: instead of overwriting matched
+    rows, close their validity interval (``valid_to`` = the update's
+    effective timestamp) and append the new versions as current.
+
+    Target schema = business columns + (valid_from, valid_to,
+    is_current); ``scd2_init`` builds it from a plain frame."""
+    keys = [key] if isinstance(key, str) else list(key)
+    target = spark.table(target_table)
+    biz_cols = [c for c in target.columns if c not in SCD2_COLS]
+
+    # the existing current row closes when the FIRST incoming version
+    # becomes effective (intervals must not overlap; later versions in
+    # the same batch chain among themselves below)
+    eff = (
+        updates.groupBy(*keys)
+        .agg(F.min(F.col(effective_ts)).alias("__eff"))
+    )
+    closed = (
+        target.join(eff, keys, "left")
+        .withColumn(
+            "valid_to",
+            F.when(F.col("is_current") & F.col("__eff").isNotNull(), F.col("__eff"))
+            .otherwise(F.col("valid_to")),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("__eff").isNotNull(), F.lit(False)).otherwise(
+                F.col("is_current")
+            ),
+        )
+        .drop("__eff")
+    )
+    # a batch may carry several versions of one key: chain them — each
+    # version's valid_to is the next version's effective ts, only the
+    # last is current
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(effective_ts).cast("timestamp"))
+    fresh = (
+        updates.withColumn("valid_from", F.col(effective_ts).cast("timestamp"))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*biz_cols, "valid_from", "valid_to", "is_current")
+    )
+    out = closed.select(*target.columns).unionByName(fresh.select(*target.columns))
+    out.localCheckpoint(eager=True).write.mode("overwrite").insertInto(target_table)
+
+
+def scd2_init(df: DataFrame, effective_ts: str) -> DataFrame:
+    """Wrap a plain frame as the initial SCD2 state (all rows current)."""
+    return df.select(
+        "*",
+        F.col(effective_ts).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )

@@ -1,0 +1,70 @@
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from excel_to_database_spark.sync.merge import merge_upsert, scd2_apply, scd2_init
+
+
+def test_merge_upsert(spark):
+    t0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    t0.write.mode("overwrite").saveAsTable("m_target")
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string")
+    merge_upsert(spark, "m_target", updates, key="id")
+    got = {r["id"]: r["v"] for r in spark.table("m_target").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_scd2_history(spark):
+    base = spark.createDataFrame(
+        [(1, "alice", dt.datetime(2024, 1, 1)), (2, "bob", dt.datetime(2024, 1, 1))],
+        "id long, name string, updated_at timestamp",
+    )
+    scd2_init(base, "updated_at").write.mode("overwrite").saveAsTable("s_target")
+
+    upd = spark.createDataFrame(
+        [(1, "ALICE", dt.datetime(2024, 2, 1))],
+        "id long, name string, updated_at timestamp",
+    )
+    scd2_apply(spark, "s_target", upd, key="id", effective_ts="updated_at")
+
+    rows = spark.table("s_target").orderBy("id", "valid_from").collect()
+    assert len(rows) == 3
+    v1, v2 = [r for r in rows if r["id"] == 1]
+    assert (v1["name"], v1["is_current"]) == ("alice", False)
+    assert v1["valid_to"] == dt.datetime(2024, 2, 1)  # closed at update time
+    assert (v2["name"], v2["is_current"], v2["valid_to"]) == ("ALICE", True, None)
+    bob = [r for r in rows if r["id"] == 2][0]
+    assert (bob["name"], bob["is_current"]) == ("bob", True)  # untouched
+
+    # second change to the same key extends the chain
+    upd2 = spark.createDataFrame(
+        [(1, "Alice2", dt.datetime(2024, 3, 1))],
+        "id long, name string, updated_at timestamp",
+    )
+    scd2_apply(spark, "s_target", upd2, key="id", effective_ts="updated_at")
+    hist = spark.table("s_target").filter(F.col("id") == 1).orderBy("valid_from").collect()
+    assert [r["name"] for r in hist] == ["alice", "ALICE", "Alice2"]
+    assert [r["is_current"] for r in hist] == [False, False, True]
+    assert hist[1]["valid_to"] == dt.datetime(2024, 3, 1)
+
+
+def test_scd2_multiversion_batch_chains(spark):
+    """A batch carrying several versions of one key produces a
+    contiguous, non-overlapping validity chain with one current row."""
+    base = spark.createDataFrame(
+        [(1, "x", dt.datetime(2024, 1, 1))], "id long, v string, ts timestamp"
+    )
+    scd2_init(base, "ts").write.mode("overwrite").saveAsTable("s_multi")
+    upd = spark.createDataFrame(
+        [(1, "y", dt.datetime(2024, 2, 1)), (1, "z", dt.datetime(2024, 3, 1))],
+        "id long, v string, ts timestamp",
+    )
+    scd2_apply(spark, "s_multi", upd, key="id", effective_ts="ts")
+    rows = spark.table("s_multi").orderBy("valid_from").collect()
+    assert [(r["v"], r["is_current"]) for r in rows] == [
+        ("x", False), ("y", False), ("z", True)
+    ]
+    assert rows[0]["valid_to"] == rows[1]["valid_from"]
+    assert rows[1]["valid_to"] == rows[2]["valid_from"]
