@@ -17,12 +17,25 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(
-    spark: SparkSession, target_table: str, updates: DataFrame, key: str | list[str]
+    spark: SparkSession,
+    target_table: str,
+    updates: DataFrame,
+    key: str | list[str],
+    partition_col: str | None = None,
 ) -> None:
     """MERGE semantics: update rows whose key matches, insert the rest.
-    ``updates`` must share the target's schema."""
+    ``updates`` must share the target's schema.
+
+    With ``partition_col`` (a hive-partitioned target), only the
+    partitions present in ``updates`` are read and rewritten — dynamic
+    partition overwrite. At fact-table scale this turns a full-table
+    rewrite into one proportional to the touched partitions."""
     keys = [key] if isinstance(key, str) else list(key)
     target = spark.table(target_table)
+    if partition_col:
+        parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        target = target.filter(F.col(partition_col).isin(parts))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     kept = target.join(updates.select(*keys), keys, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
     # localCheckpoint breaks the self-referencing lineage so the

@@ -68,3 +68,26 @@ def test_scd2_multiversion_batch_chains(spark):
     ]
     assert rows[0]["valid_to"] == rows[1]["valid_from"]
     assert rows[1]["valid_to"] == rows[2]["valid_from"]
+
+
+def test_merge_dynamic_partition_overwrite(spark, tmp_path):
+    """Partitioned merge rewrites only the touched partition — files in
+    untouched partitions stay physically identical."""
+    import glob
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "a", 2023), (2, "b", 2023), (3, "c", 2024)],
+        "id long, v string, yr int",
+    )
+    df.write.mode("overwrite").partitionBy("yr").saveAsTable("m_part")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    untouched = sorted(glob.glob(f"{wh}/m_part/yr=2023/*.parquet"))
+    mtimes_before = [os.path.getmtime(p) for p in untouched]
+
+    upd = spark.createDataFrame([(3, "C", 2024), (4, "d", 2024)], "id long, v string, yr int")
+    merge_upsert(spark, "m_part", upd, key="id", partition_col="yr")
+
+    got = {r["id"]: r["v"] for r in spark.table("m_part").collect()}
+    assert got == {1: "a", 2: "b", 3: "C", 4: "d"}
+    assert [os.path.getmtime(p) for p in sorted(glob.glob(f"{wh}/m_part/yr=2023/*.parquet"))] == mtimes_before

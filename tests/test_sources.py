@@ -71,3 +71,14 @@ def test_legacy_submit_flat_list(spark):
     df = out["flat"]
     assert df.columns == ["h1", "h2"]
     assert sorted(map(tuple, df.collect())) == [("a", "b"), ("c", "d")]
+
+
+def test_read_csv_path_infer_schema(spark, tmp_path):
+    p = tmp_path / "typed.csv"
+    p.write_text("id,amount\n1,10.5\n2,20.25\n")
+    df = read_csv_path(spark, str(p), infer_schema=True)
+    types = dict(df.dtypes)
+    assert types["id"] in ("int", "bigint") and types["amount"] == "double"
+    # default stays all-string (reference parity)
+    df2 = read_csv_path(spark, str(p))
+    assert all(t == "string" for _, t in df2.dtypes)

@@ -77,3 +77,13 @@ def test_upload_api_error_shape(spark):
 
     out = upload(spark, {"data": {}})
     assert set(out) == {"error"}
+
+
+def test_snowflake_stage_and_statement(spark, tmp_path):
+    dest = CloudCopyDestination(kind="snowflake", stage_uri=str(tmp_path / "sfstage"))
+    df = matrix_to_df(spark, [["a"], ["1"]])
+    with pytest.raises(NotImplementedError) as exc:
+        dest.sync(df, "t_sf")
+    msg = str(exc.value)
+    assert "COPY INTO" in msg and "GZIP" in msg
+    assert list((tmp_path / "sfstage" / "t_sf").glob("*.csv.gz"))
