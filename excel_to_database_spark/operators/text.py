@@ -143,3 +143,42 @@ def sql_lang_id(t: str) -> str:
 
 def sql_fingerprint(t: str) -> str:
     return f"md5(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (DataFrame-native; no MLlib state)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df, id_col: str, text_col: str, k: int = 5, log_idf: bool = True
+):
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Pure DataFrame pipeline: explode terms → per-doc term counts (TF)
+    → document frequencies (one aggregate) → weight → window top-k.
+    ``log_idf=True`` uses the standard ``ln((N+1)/(df+1)) + 1``;
+    ``log_idf=False`` uses the rational weight ``(N+1)/(df+1)`` —
+    rank-equivalent per fixed df and bit-identical across engines
+    (``ln`` is only ~1-ulp reproducible), which is what the oracle
+    uses."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    ratio = (F.lit(n_docs + 1).cast("double")) / (F.col("df") + 1).cast("double")
+    idf = (F.log(ratio) + 1) if log_idf else ratio
+    scored = tf.join(dfreq, "term").select(
+        "doc", "term", (F.col("tf") * idf).alias("weight")
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "term", "weight", "rank")
+    )

@@ -428,3 +428,34 @@ def q86_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", k=5, n_lists=16, n_probe=4,
         query_filter=F.col("id") < 10,
     )
+
+
+@query(
+    "q87_tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc, term, COUNT(*) AS tf FROM tok GROUP BY doc, term
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc, term,
+               tf * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS weight
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc AS doc_id, term, weight, rank FROM (
+        SELECT doc, term, weight,
+               ROW_NUMBER() OVER (PARTITION BY doc ORDER BY weight DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q87_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (rational IDF for cross-engine
+    bit-equality; ln-IDF available on the operator for production)."""
+    d = t(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(d, "doc_id", "text", k=5, log_idf=False)
