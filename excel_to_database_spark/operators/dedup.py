@@ -67,6 +67,26 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return staged.select("doc", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles of the normalized text —
+    the word-boundary-free variant (robust to tokenization differences
+    and agglutinative scripts). Same output contract as ``shingles``,
+    so every downstream stage (jaccard_pairs, minhash, LSH) composes
+    unchanged."""
+    staged = df.select(
+        F.col(id_col).alias("doc"), normalized_text(F.col(text_col)).alias("t")
+    )
+    t_col = F.col("t")
+    grams = F.when(
+        F.length(t_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t_col) - n + 1),
+            lambda i: F.substring(t_col, i, n),
+        ),
+    ).otherwise(F.array())
+    return staged.select("doc", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
 def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over shingle sets via inverted index:
     (doc_a, doc_b, jaccard) for pairs ≥ threshold.

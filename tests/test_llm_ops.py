@@ -121,3 +121,13 @@ def test_ann_ivf_recall(spark, sf_dir):
                      query_filter=F.col("id") < 15)
     p_ = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
     assert len(p_ & t_) / len(t_) > 0.3  # partial probing: bounded recall loss
+
+
+def test_char_shingles_pipeline(spark, docs):
+    sh = D.char_shingles(docs, "doc_id", "text", n=5)
+    rows = sh.filter(F.col("doc") == 1).collect()
+    assert all(len(r["shingle"]) == 5 for r in rows)
+    # docs 1 and 4 normalize identically -> identical char-shingle sets
+    pairs = D.jaccard_pairs(D.char_shingles(docs, "doc_id", "text", 5), 0.9).collect()
+    j = {(p["doc_a"], p["doc_b"]): p["jaccard"] for p in pairs}
+    assert j[(1, 4)] == 1.0
