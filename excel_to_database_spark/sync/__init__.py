@@ -1,5 +1,8 @@
+from excel_to_database_spark.sync.bucketing import write_bucketed
+from excel_to_database_spark.sync.merge import merge_upsert, scd2_apply, scd2_init
 from excel_to_database_spark.sync.policy import SyncAction, decide_sync_action
 from excel_to_database_spark.sync.sinks import (
+    CloudCopyDestination,
     Destination,
     JdbcDestination,
     LocalDestination,
@@ -12,5 +15,10 @@ __all__ = [
     "Destination",
     "LocalDestination",
     "JdbcDestination",
+    "CloudCopyDestination",
     "sync_table",
+    "write_bucketed",
+    "merge_upsert",
+    "scd2_apply",
+    "scd2_init",
 ]
