@@ -1264,3 +1264,97 @@ def q35_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "q36_levenshtein",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n,
+           CAST(SUM(levenshtein(p_name, p_type)) AS BIGINT) AS total_edit_distance,
+           MIN(levenshtein(p_name, p_type)) AS min_edit_distance
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q36_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar (deterministic integer metric both engines)."""
+    p = t(spark, sf_dir, "part")
+    lev = F.levenshtein("p_name", "p_type")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lev).alias("total_edit_distance"),
+        F.min(lev).alias("min_edit_distance"),
+    )
+
+
+@query(
+    "q37_date_parts",
+    """
+    SELECT CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+           CAST(ISODOW(o_orderdate) AS BIGINT) AS iso_dow,
+           STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY qtr, iso_dow, month_end, plus3m
+    """,
+)
+def q37_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar functions: quarter, ISO day-of-week (Spark's dayofweek
+    is Sunday=1 — remapped to ISO Monday=1 to match DuckDB), last_day,
+    add_months."""
+    o = t(spark, sf_dir, "orders")
+    iso_dow = ((F.dayofweek("o_orderdate") + 5) % 7 + 1).cast("bigint")
+    return o.groupBy(
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        iso_dow.alias("iso_dow"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(F.col("o_orderdate").cast("date"), 3), "yyyy-MM-dd").alias("plus3m"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q38_relational_division",
+    """
+    SELECT o_custkey AS custkey
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT EXTRACT(YEAR FROM o_orderdate)) =
+           (SELECT COUNT(DISTINCT EXTRACT(YEAR FROM o_orderdate)) FROM orders)
+    """,
+)
+def q38_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ('for all'): customers who ordered in EVERY
+    year present in the data — distinct-count equality against the
+    universe, the shuffle-friendly form of the double-NOT-EXISTS."""
+    o = t(spark, sf_dir, "orders")
+    n_years = o.select(F.year("o_orderdate")).distinct().count()
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.countDistinct(F.year("o_orderdate")).alias("ny"))
+        .filter(F.col("ny") == n_years)
+        .select("custkey")
+    )
+
+
+@query(
+    "q39_self_join_pairs",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, r_name
+    FROM nation a
+    JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    JOIN region ON a.n_regionkey = r_regionkey
+    """,
+)
+def q39_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-temporal self-join: unordered same-region nation pairs."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    a = n.select(F.col("n_name").alias("nation_a"), F.col("n_regionkey").alias("rk_a"), F.col("n_nationkey").alias("ka"))
+    b = n.select(F.col("n_name").alias("nation_b"), F.col("n_regionkey").alias("rk_b"), F.col("n_nationkey").alias("kb"))
+    return (
+        a.join(b, (F.col("rk_a") == F.col("rk_b")) & (F.col("ka") < F.col("kb")))
+        .join(F.broadcast(r), F.col("rk_a") == r.r_regionkey)
+        .select("nation_a", "nation_b", "r_name")
+    )
