@@ -459,3 +459,30 @@ def q87_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equality; ln-IDF available on the operator for production)."""
     d = t(spark, sf_dir, "documents")
     return T.tfidf_top_terms(d, "doc_id", "text", k=5, log_idf=False)
+
+
+@query(
+    "q88_array_set_functions",
+    """
+    SELECT doc_id,
+           len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+               AS n_unique_words,
+           len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                              ['the', 'a', 'and', 'data', 'spark'])) AS n_marker_words,
+           CAST(list_contains(string_split_regex(lower(trim(text)), '\\s+'), 'spark')
+                AS BOOLEAN) AS mentions_spark
+    FROM documents
+    """,
+)
+def q88_array_set_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra on token arrays: distinct size, intersection
+    with a marker vocabulary, membership."""
+    d = t(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    markers = F.array(*[F.lit(x) for x in ["the", "a", "and", "data", "spark"]])
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(w)).alias("n_unique_words"),
+        F.size(F.array_intersect(F.array_distinct(w), markers)).alias("n_marker_words"),
+        F.array_contains(w, "spark").alias("mentions_spark"),
+    )

@@ -78,3 +78,41 @@ def test_sessionize_single_shuffle(spark):
     df = spark.createDataFrame([(1, _ts("2024-01-01T10:00"), 1)], "user long, ts timestamp, eid long")
     plan = sessionize(df, "user", "ts", 60, "eid")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_duplicate_left_timestamps(spark):
+    """Two left rows at the identical timestamp each get the same
+    as-of match (no cross-contamination)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00"), "e1"), (1, _ts("2024-01-01T12:00"), "e2")],
+        "key long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T11:00"), 7)], "key long, ts timestamp, val int"
+    )
+    out = asof_join(left, right, "key", "key", "ts", "ts", ["val"], tiebreak="val")
+    assert {r["name"]: r["val"] for r in out.collect()} == {"e1": 7, "e2": 7}
+
+
+def test_salted_join_left_semi(spark):
+    from excel_to_database_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    left = spark.range(100).select((F.col("id") % 5).alias("k"), "id")
+    right = spark.createDataFrame([(0,), (1,)], "k long")
+    plain = left.join(right, "k", "left_semi")
+    salted = salted_join(left, right, "k", "left_semi", salt=4)
+    assert sorted(r["id"] for r in plain.collect()) == sorted(
+        r["id"] for r in salted.collect()
+    )
+
+
+def test_sessionize_tie_timestamps(spark):
+    """Events at the same instant stay in one session, counted once
+    each, in tiebreak order."""
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), 1), (1, _ts("2024-01-01T10:00"), 2)],
+        "user long, ts timestamp, eid long",
+    )
+    out = sessionize(df, "user", "ts", 60, "eid").collect()
+    assert sorted((r["eid"], r["session_id"]) for r in out) == [(1, 1), (2, 1)]
