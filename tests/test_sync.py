@@ -87,3 +87,17 @@ def test_snowflake_stage_and_statement(spark, tmp_path):
     msg = str(exc.value)
     assert "COPY INTO" in msg and "GZIP" in msg
     assert list((tmp_path / "sfstage" / "t_sf").glob("*.csv.gz"))
+
+
+def test_local_destination_csv_format(spark):
+    """The reference's local sink is CSV (data.py:137-153) — the
+    fmt='csv' parity mode must survive the full lifecycle."""
+    dest = LocalDestination(fmt="csv")
+    df = matrix_to_df(spark, [["a", "b"], ["1", "x"], ["2", "y"]])
+    r1 = dest.sync(df, "t_csvfmt", path="csvtest")
+    assert (r1.action, r1.n_records) == ("Created", 2)
+    df2 = matrix_to_df(spark, [["b", "a"], ["z", "9"]])
+    r2 = dest.sync(df2, "t_csvfmt", path="csvtest")
+    assert r2.action == "Truncated"
+    row = spark.table("x_excel_csvtest.t_csvfmt").collect()[0]
+    assert (row["a"], row["b"]) == ("9", "z")
