@@ -1358,3 +1358,37 @@ def q39_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("rk_a") == r.r_regionkey)
         .select("nation_a", "nation_b", "r_name")
     )
+
+
+@query(
+    "q59_string_extras",
+    """
+    SELECT p_partkey,
+           REVERSE(p_brand) AS brand_rev,
+           REPEAT(p_brand, 2) AS brand_twice,
+           TRANSLATE(p_type, 'AEIOU', 'aeiou') AS type_translated,
+           LEFT(p_name, 4) AS name_left4,
+           RIGHT(p_name, 4) AS name_right4,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(STRPOS(p_type, 'A') AS INTEGER) AS first_a,
+           STARTS_WITH(p_brand, 'Brand') AS is_brand,
+           CAST(p_name LIKE '%e%' AS BOOLEAN) AS has_e
+    FROM part
+    """,
+)
+def q59_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: reverse/repeat/translate/left/right/
+    lpad/strpos/starts_with/LIKE."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_translated"),
+        F.substring("p_name", 1, 4).alias("name_left4"),
+        F.substring(F.col("p_name"), -4, 4).alias("name_right4"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr("p_type", "A").cast("int").alias("first_a"),
+        F.startswith(F.col("p_brand"), F.lit("Brand")).alias("is_brand"),
+        F.col("p_name").like("%e%").alias("has_e"),
+    )

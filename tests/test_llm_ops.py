@@ -131,3 +131,19 @@ def test_char_shingles_pipeline(spark, docs):
     pairs = D.jaccard_pairs(D.char_shingles(docs, "doc_id", "text", 5), 0.9).collect()
     j = {(p["doc_a"], p["doc_b"]): p["jaccard"] for p in pairs}
     assert j[(1, 4)] == 1.0
+
+
+def test_operators_on_empty_input(spark):
+    """Every dedup/similarity operator degrades to empty output (not an
+    error) on an empty frame."""
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert D.exact_dedup(empty_docs, "doc_id", "text").count() == 0
+    sh = D.shingles(empty_docs, "doc_id", "text")
+    assert sh.count() == 0
+    assert D.jaccard_pairs(sh, 0.5).count() == 0
+    assert D.minhash_lsh_dedup(empty_docs, "doc_id", "text").count() == 0
+    assert D.simhash_pairs(
+        D.simhash_fingerprints(empty_docs, "doc_id", "text")
+    ).count() == 0
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert S.cosine_topk(empty_emb, "vec_id", "embedding", k=3, exact=False).count() == 0
