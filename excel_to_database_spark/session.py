@@ -24,6 +24,12 @@ _DEFAULT_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
+    # ungrouped MIN/MAX/COUNT answered from parquet footer statistics —
+    # no row scan at all (plan shows PushedAggregation)
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # runtime bloom filters: the selective side of a join seeds a bloom
+    # filter that prunes the probe side's scan (big at fact-fact scale)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",

@@ -54,3 +54,23 @@ def test_partitioned_write_prunes(spark, sf_dir):
     n97 = q.count()
     assert n97 == orders.filter(F.col("order_year") == 1997).count()
     assert 0 < n97 < orders.count()
+
+
+def test_parquet_aggregate_pushdown(spark, sf_dir):
+    """Ungrouped min/max/count is answered from parquet footers when
+    the DSv2 scan is active — the plan carries PushedAggregation.
+    (DSv2 is scoped to this test; the engine keeps the default v1 path
+    elsewhere, where aggregatePushdown is simply inert.)"""
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+    try:
+        df = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(F.min("l_quantity"), F.max("l_quantity"), F.count(F.lit(1)))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [MIN(l_quantity), MAX(l_quantity), COUNT(*)]" in plan, plan[:800]
+        row = df.collect()[0]
+        assert row[2] > 0 and row[0] < row[1]
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev)
