@@ -182,3 +182,27 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("doc").alias(id_col), "term", "weight", "rank")
     )
+
+
+def hash_split(df, key_col: str, fractions: dict[str, float], salt: str = "split"):
+    """Deterministic dataset split (train/val/test) by hashed key —
+    reproducible across runs, engines, and partitionings, unlike
+    ``randomSplit`` (which depends on partition layout). The first two
+    md5 hex digits of ``salt:key`` give a uniform 0..255 bucket;
+    fraction boundaries carve it. Returns df + a ``split`` column."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    expr = None
+    lo = 0.0
+    for name, frac in fractions.items():
+        hi = lo + frac
+        cond = bucket < F.lit(int(round(hi * 256)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr)

@@ -486,3 +486,28 @@ def q88_array_set_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect(F.array_distinct(w), markers)).alias("n_marker_words"),
         F.array_contains(w, "spark").alias("mentions_spark"),
     )
+
+
+@query(
+    "q89_train_test_split",
+    """
+    SELECT CASE
+             WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 205 THEN 'train'
+             WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split
+    """,
+)
+def q89_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split (md5-bucketed, no RNG state) —
+    reproducible sharding for training pipelines."""
+    d = t(spark, sf_dir, "documents")
+    split = T.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -147,3 +147,22 @@ def test_operators_on_empty_input(spark):
     ).count() == 0
     empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert S.cosine_topk(empty_emb, "vec_id", "embedding", k=3, exact=False).count() == 0
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from excel_to_database_spark.operators.text import hash_split
+
+    df = spark.range(2000).select(F.col("id"))
+    s1 = {r["id"]: r["split"] for r in
+          hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    s2 = {r["id"]: r["split"] for r in
+          hash_split(df.repartition(7), "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert s1 == s2  # partition-layout invariant (randomSplit is not)
+    from collections import Counter
+    c = Counter(s1.values())
+    assert 0.7 < c["train"] / 2000 < 0.9
+    assert c["train"] + c["val"] + c["test"] == 2000
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sum to 1"):
+        hash_split(df, "id", {"a": 0.5})
