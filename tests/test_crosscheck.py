@@ -1,0 +1,76 @@
+"""Cross-validation against independent implementations: MLlib's
+MinHashLSH and numpy brute force. The DuckDB oracles already verify
+engine-portability; these verify the *algorithms* against third-party
+code paths."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from excel_to_database_spark.operators.dedup import jaccard_pairs, shingles
+from excel_to_database_spark.operators.similarity import cosine_topk
+
+
+def test_knn_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+
+    got = cosine_topk(
+        emb, "vec_id", "embedding", k=3, query_filter=F.col("id") < 10, exact=False
+    ).collect()
+    for r in got:
+        qi = int(np.where(ids == r["query_id"])[0][0])
+        ni = int(np.where(ids == r["neighbor_id"])[0][0])
+        assert abs(S[qi, ni] - r["cosine"]) < 1e-9
+    # top-1 neighbor agrees with numpy argmax
+    for q in range(min(10, len(ids))):
+        s = S[q].copy()
+        s[q] = -2
+        best = ids[int(np.argmax(s))]
+        spark_best = [r["neighbor_id"] for r in got if r["query_id"] == ids[q] and r["rank"] == 1]
+        assert spark_best == [best]
+
+
+def test_jaccard_matches_mllib_minhash(spark):
+    """Exact Jaccard distances agree with MLlib's approxSimilarityJoin
+    (keyDistance = exact Jaccard on the vectorized shingle sets)."""
+    try:
+        from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    except ImportError:  # MLlib absent → skip silently
+        import pytest
+
+        pytest.skip("MLlib not available")
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog yesterday"),
+            (3, "completely different content about spark query engines"),
+            (4, "the quick brown fox leaps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, "doc_id", "text", 3)
+    ours = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, 0.01).collect()
+    }
+
+    grouped = sh.groupBy("doc").agg(F.collect_list("shingle").alias("sh"))
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(grouped)
+    feats = cv.transform(grouped)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(feats)
+    pairs = (
+        mh.approxSimilarityJoin(feats, feats, 0.99, distCol="jd")
+        .filter(F.col("datasetA.doc") < F.col("datasetB.doc"))
+        .select(
+            F.col("datasetA.doc").alias("a"), F.col("datasetB.doc").alias("b"), "jd"
+        )
+        .collect()
+    )
+    mllib = {(r["a"], r["b"]): 1.0 - r["jd"] for r in pairs}
+    for key, j in mllib.items():
+        assert abs(ours.get(key, 0.0) - j) < 1e-9, (key, j, ours.get(key))
