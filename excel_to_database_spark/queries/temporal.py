@@ -273,3 +273,86 @@ def q67_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q68_asof_forward",
+    """
+    SELECT o.o_orderkey,
+           (SELECT e.event_id FROM events e
+            WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.ts ASC, e.event_id ASC
+            LIMIT 1) AS next_event_id
+    FROM orders o
+    WHERE o.o_custkey < 150
+    """,
+)
+def q68_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each order picks the customer's next event at or
+    after order time (asof_join direction='forward'); the tiebreak
+    must be the SMALLEST event id at equal ts, mirrored by negating the
+    tiebreak column (the operator keeps the greatest)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    e = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .withColumn("neg_event_id", -F.col("event_id"))
+    )
+    joined = asof_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        e,
+        left_on="o_custkey",
+        right_on="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        payload=["event_id"],
+        tiebreak="neg_event_id",
+        direction="forward",
+    )
+    return joined.select("o_orderkey", F.col("event_id").alias("next_event_id"))
+
+
+@query(
+    "q69_session_durations",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ), spans AS (
+        SELECT user_id, session_id,
+               CAST(FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS BIGINT)
+                   AS duration_s,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(duration_s) AS BIGINT) AS total_duration_s,
+           MAX(n_events) AS max_session_events
+    FROM spans GROUP BY user_id
+    """,
+)
+def q69_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session spans: per-user total session duration and the busiest
+    session, built on the sessionize operator."""
+    e = t(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id")
+    spans = s.groupBy("user_id", "session_id").agg(
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("duration_s").cast("bigint").alias("total_duration_s"),
+        F.max("n_events").alias("max_session_events"),
+    )
