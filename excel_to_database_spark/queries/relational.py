@@ -1392,3 +1392,72 @@ def q59_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.startswith(F.col("p_brand"), F.lit("Brand")).alias("is_brand"),
         F.col("p_name").like("%e%").alias("has_e"),
     )
+
+
+@query(
+    "q43_weighted_avg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+               AS qty_weighted_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q43_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean as a ratio of decimal-routed sums."""
+    l = t(spark, sf_dir, "lineitem")
+    num = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(30,6)")).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+    return l.groupBy("l_returnflag").agg((num / den).alias("qty_weighted_price"))
+
+
+@query(
+    "q44_rank_distributions",
+    """
+    SELECT c_custkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS seg_richest,
+           NTH_VALUE(c_custkey, 2) OVER w AS seg_second
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q44_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank, cume_dist,
+    first_value, nth_value (running frame, unique total order)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(wf).alias("seg_richest"),
+        F.nth_value("c_custkey", 2).over(wf).alias("seg_second"),
+    )
+
+
+@query(
+    "q45_bool_aggregates",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_totalprice > 200000) AS n_big,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+           BOOL_OR(o_orderstatus = 'P') AS any_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q45_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: count_if, bool_and, bool_or."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+    )
