@@ -1461,3 +1461,50 @@ def q45_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
     )
+
+
+@query(
+    "q46_regex_filter",
+    """
+    SELECT p_brand, COUNT(*) AS n_matching
+    FROM part
+    WHERE regexp_matches(p_name, '^[a-m].*o.*o')
+    GROUP BY p_brand
+    """,
+)
+def q46_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLIKE predicate filter (regex pushed as a data filter)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").rlike("^[a-m].*o.*o"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_matching"))
+    )
+
+
+@query(
+    "q47_null_ordering",
+    """
+    SELECT c_custkey, prev_bal FROM (
+        SELECT c_custkey,
+               LAG(c_acctbal) OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal, c_custkey) AS prev_bal
+        FROM customer
+    )
+    ORDER BY prev_bal ASC NULLS FIRST, c_custkey
+    LIMIT 50
+    """,
+)
+def q47_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST global sort — Spark's ASC default is
+    nulls-first but DuckDB's is nulls-last, so portable plans must
+    state it."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", F.lag("c_acctbal").over(w).alias("prev_bal"))
+        .orderBy(F.asc_nulls_first("prev_bal"), F.asc("c_custkey"))
+        .limit(50)
+    )
