@@ -50,3 +50,17 @@ def test_excel_writer_cap(spark, tmp_path):
     df = spark.range(20).select(F.col("id").cast("string").alias("x"))
     with pytest.raises(ValueError, match="cap"):
         write_excel(df, str(tmp_path / "cap.xlsx"), max_rows=10)
+
+
+def test_excel_unicode_and_escaping_roundtrip(spark, tmp_path):
+    """Non-ASCII text and XML-special characters survive the
+    writer→reader round trip."""
+    df = spark.createDataFrame(
+        [("café & <croissant>", "übergrößen \"quoted\""), ("日本語テキスト", "emoji 🚀 ok")],
+        "a string, b string",
+    )
+    p = str(tmp_path / "uni.xlsx")
+    write_excel(df, p)
+    back = read_excel(spark, p, sanitize=False)
+    got = sorted(map(tuple, back.collect()))
+    assert got == [("café & <croissant>", 'übergrößen "quoted"'), ("日本語テキスト", "emoji 🚀 ok")]
