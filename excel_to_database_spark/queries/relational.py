@@ -1635,3 +1635,101 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q56_map_functions",
+    """
+    SELECT k, v, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, 'lang' AS k, lang AS v FROM documents
+        UNION ALL
+        SELECT doc_id, 'source' AS k, source AS v FROM documents
+    )
+    GROUP BY k, v
+    """,
+)
+def q56_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns (SURVEY.md §2.6 map surface): parse a
+    'k:v,k:v' string into a map with str_to_map, then explode it to
+    rows — the LATERAL VIEW / UDTF shape. The oracle is the relational
+    unrolling of the same map. Narrow ops only; single shuffle for the
+    final agg."""
+    d = t(spark, sf_dir, "documents")
+    m = F.str_to_map(
+        F.concat_ws(",", F.concat_ws(":", F.lit("lang"), F.col("lang")),
+                    F.concat_ws(":", F.lit("source"), F.col("source"))),
+        F.lit(","), F.lit(":"),
+    )
+    return (
+        d.select("doc_id", F.explode(m).alias("k", "v"))
+        .groupBy("k", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q57_explode_sequence",
+    """
+    SELECT CAST(m AS BIGINT) AS m, COUNT(*) AS n,
+           CAST(SUM(o_totalprice_i) AS BIGINT) AS sum_price_i
+    FROM (
+        SELECT UNNEST(generate_series(1, CAST(o_orderkey % 4 + 1 AS BIGINT))) AS m,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS o_totalprice_i
+        FROM orders
+    )
+    GROUP BY m
+    """,
+)
+def q57_explode_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator expression (explode over sequence) — the row-producing
+    UDTF shape done JVM-side: each order fans out into 1-4 rows with no
+    Python in the loop. Integer-floored price keeps the sum
+    engine-exact without the decimal route."""
+    o = t(spark, sf_dir, "orders")
+    n = (F.col("o_orderkey") % 4 + 1).cast("int")
+    return (
+        o.select(
+            F.explode(F.sequence(F.lit(1), n)).alias("m"),
+            F.floor("o_totalprice").cast("bigint").alias("o_totalprice_i"),
+        )
+        .groupBy(F.col("m").cast("bigint").alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice_i").alias("sum_price_i"),
+        )
+    )
+
+
+@query(
+    "q58_multiset_ops",
+    """
+    SELECT op, nationkey, COUNT(*) AS n FROM (
+        SELECT 'intersect_all' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT 'except_all' AS op, nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier
+        )
+    )
+    GROUP BY op, nationkey
+    """,
+)
+def q58_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL) — bag semantics
+    with duplicate preservation, distinct from q40/q41's set variants."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    inter = c.intersectAll(s).select(F.lit("intersect_all").alias("op"), "nationkey")
+    exc = c.exceptAll(s).select(F.lit("except_all").alias("op"), "nationkey")
+    return inter.unionAll(exc).groupBy("op", "nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
