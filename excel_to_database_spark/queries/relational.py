@@ -1733,3 +1733,101 @@ def q58_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.unionAll(exc).groupBy("op", "nationkey").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "q90_bivariate_stats",
+    """
+    SELECT l_returnflag,
+           n,
+           ((CAST(num AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               / 100.0 AS covar_pop_qty_price,
+           CAST(num AS DOUBLE)
+               / SQRT(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))
+               AS corr_qty_price
+    FROM (
+        SELECT l_returnflag, n,
+               CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+               CAST(n AS HUGEINT) * sxx - sx * sx AS denx,
+               CAST(n AS HUGEINT) * syy - sy * sy AS deny
+        FROM (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy,
+                   SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS syy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+    )
+    """,
+)
+def q90_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates (population covariance + Pearson
+    correlation). Native corr()/covar_pop() are running-moment
+    implementations whose float accumulation is order-dependent — and
+    even decimal-routed sums of price² break down because at ~1e10
+    magnitude a double's ulp reaches the decimal(30,6) quantum, where
+    Spark's shortest-repr double→decimal cast and DuckDB's exact-value
+    cast can round apart. Instead: quantity is integral and price has
+    exactly 2 decimals in this data, so all five co-moments are exact
+    integer sums (price in cents), combined via DECIMAL(38,0) here and
+    HUGEINT in the oracle, with ONE int→double conversion at the end.
+    covar is rescaled cents→currency (÷100); corr is scale-invariant.
+    Same one-shuffle partial+final agg shape as a plain sum."""
+    l = t(spark, sf_dir, "lineitem")
+    xi = F.col("l_quantity").cast("bigint")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    base = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * yi).alias("sxy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum((yi * yi).cast("decimal(38,0)")).alias("syy"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    n = d38("n")
+    num = (n * d38("sxy") - d38("sx") * d38("sy")).cast("double")
+    denx = (n * d38("sxx") - d38("sx") * d38("sx")).cast("double")
+    deny = (n * F.col("syy") - d38("sy") * d38("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    return base.select(
+        "l_returnflag",
+        "n",
+        (num / nd / nd / 100.0).alias("covar_pop_qty_price"),
+        (num / F.sqrt(denx * deny)).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q91_filtered_aggregates",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           {sql_dsum('o_totalprice', 'sum_all')},
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q91_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation — one pass computing
+    unconditional and predicated aggregates side by side (the SQL-
+    standard form of the CASE-WHEN-inside-SUM idiom)."""
+    o = t(spark, sf_dir, "orders")
+    fin = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(fin, 1)).alias("n_finished"),
+        dsum("o_totalprice", "sum_all"),
+        F.sum(F.when(fin, F.col("o_totalprice")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_finished"),
+    )
