@@ -1831,3 +1831,39 @@ def q91_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_finished"),
     )
+
+
+@query(
+    "q92_grouping_flags",
+    """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q92_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID() over a rollup — the flags that let
+    consumers tell a rollup subtotal's NULL apart from a NULL in the
+    data. grouping_id is rebuilt from the two flags so both engines
+    agree on bit order."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    g = lambda col: F.grouping(col).cast("bigint")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            g("r_name").alias("g_region"),
+            g("n_name").alias("g_nation"),
+            (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
