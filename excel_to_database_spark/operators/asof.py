@@ -6,9 +6,11 @@ row with the same key whose timestamp is ``<=`` the left timestamp
 (backward as-of; ``direction='forward'`` flips to the earliest ``>=``).
 
 Implementation — the scale-correct union+window merge, not a range
-join: tag both sides, union on (key, ts), then ``last(payload,
+join: tag both sides, union on (key, ts), then ``last(struct(payload),
 ignorenulls=True)`` over an ordered window per key carries the most
-recent right payload forward onto each left row. Cost: ONE shuffle on
+recent right row's payload struct forward onto each left row (a
+struct, so genuinely-NULL payload values survive and columns never mix
+across right rows). Cost: ONE shuffle on
 the key (same as any join), zero row explosion — a naive
 ``l.ts >= r.ts`` range join is O(|L|·|R|) per key and falls over at
 scale; this is O(|L|+|R|) log-sorted, and AQE handles key skew.
@@ -44,15 +46,25 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
 
     lcols = left.columns
-    tagged_payload = [f"__r_{c}" for c in payload]
 
+    # Carry ONE struct of all payload columns, non-null exactly for
+    # right rows: last/first(ignorenulls=True) then picks the whole
+    # matched right row atomically, so (a) a right row whose payload
+    # value is genuinely NULL still wins (the struct itself is
+    # non-null), and (b) multiple payload columns can never mix values
+    # from different right rows.
+    from pyspark.sql import types as T
+
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
     l_side = left.select(
         F.col(left_on).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast("long").alias("__tie"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(p) for c, p in zip(payload, tagged_payload)],
+        F.lit(None).cast(payload_t).alias("__payload"),
     )
     r_side = right.select(
         F.col(right_on).alias("__key"),
@@ -60,7 +72,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         (F.col(tiebreak).cast("long") if tiebreak else F.lit(0)).alias("__tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(p) for c, p in zip(payload, tagged_payload)],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__payload"),
     )
     u = l_side.unionByName(r_side)
 
@@ -78,8 +90,8 @@ def asof_join(
 
     w = Window.partitionBy("__key").orderBy(*order).rowsBetween(*frame)
     carried = u.select(
-        "*", *[pick(p, ignorenulls=True).over(w).alias(f"__c_{p}") for p in tagged_payload]
+        "*", pick("__payload", ignorenulls=True).over(w).alias("__c")
     )
     return carried.filter(F.col("__is_left") == 1).select(
-        *lcols, *[F.col(f"__c_{p}").alias(c) for c, p in zip(payload, tagged_payload)]
+        *lcols, *[F.col("__c").getField(c).alias(c) for c in payload]
     )

@@ -78,11 +78,15 @@ def serial_to_iso(serial: float, bug_compat_1900: bool = False) -> str:
     Correct mode maps 1..59 → 1900-01-01..1900-02-28 and ≥61 with the
     1899-12-30 epoch (serial 60, the fictitious 1900-02-29, is rendered
     as 1900-03-01). ``bug_compat_1900`` reproduces the reference's
-    uniform-epoch arithmetic (xlsparser.js:173-177), which shifts
-    pre-March-1900 dates by one day. Fractional time-of-day is dropped
-    (times unsupported, xlsparser.js:52)."""
+    arithmetic exactly (xlsparser.js:173-177: ``new Date(1900,0,1);
+    dt.setDate(serial)`` — a uniform 1899-12-31 epoch with no fake
+    Feb 29), which renders serials ≥ 60 one day LATE vs Excel
+    (61 → 1900-03-02, 44197 → 2021-01-02). Fractional time-of-day is
+    dropped (times unsupported, xlsparser.js:52)."""
     days = int(serial)
-    if not bug_compat_1900 and days < 61:
+    if bug_compat_1900:
+        return (_dt.date(1899, 12, 31) + _dt.timedelta(days=days)).isoformat()
+    if days < 61:
         return (_dt.date(1899, 12, 31) + _dt.timedelta(days=days)).isoformat()
     return (_EPOCH_1900 + _dt.timedelta(days=days)).isoformat()
 

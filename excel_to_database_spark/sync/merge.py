@@ -8,12 +8,46 @@ counterpart of the reference's truncate/recreate-only sync.
 Scale notes: both operations shuffle once on the merge key; the
 rewrite is partition-parallel. With a date/tenant-partitioned target
 (LocalDestination.partition_by) only touched partitions need
-rewriting — dynamic partition overwrite is the natural extension."""
+rewriting — dynamic partition overwrite is the natural extension.
+
+The rewrite stages through a temp TABLE (not ``localCheckpoint``):
+executor block-storage materialization of the full merged frame does
+not survive executor loss and double-buffers the table in memory/disk
+of the running job; a temp parquet table is spill-safe,
+partition-parallel, and leaves the final ``INSERT OVERWRITE`` reading
+from stable storage instead of the table it is replacing."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _rewrite_via_temp(
+    spark: SparkSession,
+    target_table: str,
+    merged: DataFrame,
+    dynamic_partitions: bool = False,
+) -> None:
+    """Overwrite ``target_table`` with ``merged`` without ever reading
+    and writing the same files in one job: stage to a temp table, then
+    ``insertInto`` from the temp scan. ``dynamic_partitions`` scopes
+    partitionOverwriteMode=dynamic to this one write: the session conf
+    is snapshot and restored in a ``finally`` (the DataFrameWriter
+    option spelling is ignored by ``insertInto``), so concurrent later
+    writes in the shared session keep their own semantics."""
+    tmp = target_table + "__rewrite_tmp"
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    merged.write.mode("overwrite").saveAsTable(tmp)
+    before = spark.conf.get(conf_key)
+    try:
+        if dynamic_partitions:
+            spark.conf.set(conf_key, "dynamic")
+        spark.table(tmp).write.mode("overwrite").insertInto(target_table)
+    finally:
+        spark.conf.set(conf_key, before)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
 
 
 def merge_upsert(
@@ -33,14 +67,14 @@ def merge_upsert(
     keys = [key] if isinstance(key, str) else list(key)
     target = spark.table(target_table)
     if partition_col:
+        # bounded driver collect: distinct partition VALUES, not rows
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
         target = target.filter(F.col(partition_col).isin(parts))
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     kept = target.join(updates.select(*keys), keys, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
-    # localCheckpoint breaks the self-referencing lineage so the
-    # overwrite doesn't read the table it is replacing
-    merged.localCheckpoint(eager=True).write.mode("overwrite").insertInto(target_table)
+    _rewrite_via_temp(
+        spark, target_table, merged, dynamic_partitions=bool(partition_col)
+    )
 
 
 SCD2_COLS = ("valid_from", "valid_to", "is_current")
@@ -98,7 +132,7 @@ def scd2_apply(
         .select(*biz_cols, "valid_from", "valid_to", "is_current")
     )
     out = closed.select(*target.columns).unionByName(fresh.select(*target.columns))
-    out.localCheckpoint(eager=True).write.mode("overwrite").insertInto(target_table)
+    _rewrite_via_temp(spark, target_table, out)
 
 
 def scd2_init(df: DataFrame, effective_ts: str) -> DataFrame:

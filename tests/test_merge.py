@@ -86,8 +86,13 @@ def test_merge_dynamic_partition_overwrite(spark, tmp_path):
     mtimes_before = [os.path.getmtime(p) for p in untouched]
 
     upd = spark.createDataFrame([(3, "C", 2024), (4, "d", 2024)], "id long, v string, yr int")
+    conf_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     merge_upsert(spark, "m_part", upd, key="id", partition_col="yr")
 
     got = {r["id"]: r["v"] for r in spark.table("m_part").collect()}
     assert got == {1: "a", 2: "b", 3: "C", 4: "d"}
     assert [os.path.getmtime(p) for p in sorted(glob.glob(f"{wh}/m_part/yr=2023/*.parquet"))] == mtimes_before
+    # dynamic overwrite is scoped to the writer, never leaked to the session
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == conf_before
+    # staging table is cleaned up
+    assert not spark.catalog.tableExists("m_part__rewrite_tmp")

@@ -28,9 +28,13 @@ def test_serial_to_iso_around_1900_leap():
     assert serial_to_iso(59) == "1900-02-28"
     assert serial_to_iso(61) == "1900-03-01"
     assert serial_to_iso(44197) == "2021-01-01"
-    # bug-compat mode shifts pre-March-1900 serials by one day
-    assert serial_to_iso(1, bug_compat_1900=True) == "1899-12-31"
-    assert serial_to_iso(44197, bug_compat_1900=True) == "2021-01-01"
+    # bug-compat reproduces the JS uniform 1899-12-31 epoch: serials
+    # >= 60 land one day LATE vs Excel (no fake Feb 29 in JS Date)
+    assert serial_to_iso(1, bug_compat_1900=True) == "1900-01-01"
+    assert serial_to_iso(59, bug_compat_1900=True) == "1900-02-28"
+    assert serial_to_iso(60, bug_compat_1900=True) == "1900-03-01"
+    assert serial_to_iso(61, bug_compat_1900=True) == "1900-03-02"
+    assert serial_to_iso(44197, bug_compat_1900=True) == "2021-01-02"
 
 
 def _workbook() -> bytes:
