@@ -35,7 +35,13 @@ def _header_of(path: str, sheet: str | None, visible_only: bool, bug_compat: boo
     with open(path, "rb") as f:
         rdr = WorkbookReader(f.read(), bug_compat)
     name = sheet or rdr.sheet_names()[0]
-    matrix = rdr.read_sheet(name, visible_only)
+    # bounded probe: parse ONE row, not the whole sheet — driver work
+    # stays O(1) regardless of workbook size. Falls back to a full read
+    # only when the first XML row carries no text at all (header row
+    # empty but later rows populated).
+    matrix = rdr.read_sheet(name, visible_only, max_rows=1) or rdr.read_sheet(
+        name, visible_only
+    )
     if not matrix:
         raise ValueError(f"sheet {name!r} of {path} is empty")
     return name, matrix[0]

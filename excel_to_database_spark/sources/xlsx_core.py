@@ -187,7 +187,17 @@ class WorkbookReader:
     def sheet_names(self) -> list[str]:
         return list(self.sheet_paths)
 
-    def read_sheet(self, name: str, visible_only: bool = False) -> list[list[str]]:
+    def read_sheet(
+        self, name: str, visible_only: bool = False, max_rows: int | None = None
+    ) -> list[list[str]]:
+        """Decode one sheet to a rectangular string matrix.
+
+        ``max_rows`` bounds the number of (visible) XML rows parsed —
+        the streaming ``iterparse`` stops as soon as that many rows are
+        collected, so a header probe costs O(1) rows of work instead of
+        the whole sheet. A bounded read derives the matrix width from
+        the parsed rows only (an unbounded read uses the global widest
+        row)."""
         if name not in self.sheet_paths:
             raise ValueError(
                 f"no sheet named {name!r}; workbook has {self.sheet_names()}"
@@ -195,19 +205,25 @@ class WorkbookReader:
         raw = self._read(self.sheet_paths[name])
         if raw is None:
             return []
-        root = ET.fromstring(raw)
 
         hidden_cols: set[int] = set()
-        if visible_only:
-            for col in root.iter(f"{_MAIN_NS}col"):
-                if col.get("hidden") == "1" or col.get("hidden") == "true":
-                    lo, hi = int(col.get("min")), int(col.get("max"))
-                    hidden_cols.update(range(lo - 1, hi))
-
         rows: list[tuple[int, dict[int, str]]] = []
         max_col = -1
-        for row in root.iter(f"{_MAIN_NS}row"):
+        # streaming parse: <cols> (column visibility) precedes
+        # <sheetData> in the part, so hidden_cols is complete before
+        # the first row is processed; early break keeps a bounded read
+        # from ever touching the rest of the XML
+        for _event, el in ET.iterparse(io.BytesIO(raw)):
+            if el.tag == f"{_MAIN_NS}col":
+                if visible_only and el.get("hidden") in ("1", "true"):
+                    lo, hi = int(el.get("min")), int(el.get("max"))
+                    hidden_cols.update(range(lo - 1, hi))
+                continue
+            if el.tag != f"{_MAIN_NS}row":
+                continue
+            row = el
             if visible_only and row.get("hidden") in ("1", "true"):
+                row.clear()
                 continue
             r_idx = int(row.get("r", len(rows) + 1)) - 1
             cells: dict[int, str] = {}
@@ -232,6 +248,9 @@ class WorkbookReader:
                     cells[col_idx] = text
                     max_col = max(max_col, col_idx)
             rows.append((r_idx, cells))
+            row.clear()
+            if max_rows is not None and len(rows) >= max_rows:
+                break
 
         if max_col < 0:
             return []

@@ -15,11 +15,12 @@ Sink mapping (reference → Spark):
     ``batchsize=1000`` — Spark's JDBC writer does batched prepared
     inserts natively, per-partition in parallel;
   * Redshift S3+COPY (data.py:88-134) and Snowflake stage+COPY INTO
-    (data.py:205-255)                       → CloudCopyDestination: the
-    COPY statement templates are generated (same options: GZIP CSV,
-    COMPUPDATE OFF for Redshift), execution requires the warehouse
-    JDBC driver on the classpath, so the network step is gated and
-    unit-tested at the SQL-generation level.
+    (data.py:205-255)                       → CloudCopyDestination:
+    stage gzip CSV, then run the full reconcile-DDL + COPY lifecycle
+    over JDBC (same options: GZIP CSV, COMPUPDATE OFF for Redshift).
+    With no ``jdbc_url`` (no credentials) the COPY is surfaced instead
+    of executed; the execution path itself is integration-tested
+    end-to-end against embedded Derby via ``copy_template``.
 
 At scale the load path is executor-parallel end-to-end: Spark writes N
 partitions concurrently (JDBC: N connections; cloud: N staged objects →
@@ -157,18 +158,42 @@ class JdbcDestination(Destination):
 @dataclass
 class CloudCopyDestination(Destination):
     """Stage-and-COPY pattern (Redshift data.py:88-134, Snowflake
-    data.py:205-255): executors write gzipped CSV to the stage URI in
-    parallel, then the driver issues one COPY statement over JDBC.
+    data.py:205-255): executors write (gzipped) CSV to the stage URI in
+    parallel, then the driver runs the reconciliation DDL and ONE COPY
+    statement over JDBC — the full reference lifecycle (CREATE SCHEMA
+    data.py:116; truncate-vs-drop data.py:117-131, :211-241; COPY
+    data.py:106-133, :243-254).
 
-    The COPY templates are exposed for testing; live execution needs the
-    warehouse JDBC driver + credentials, absent in this environment."""
+    Without ``jdbc_url`` the staging still happens and the would-be COPY
+    is surfaced in a ``NotImplementedError`` (credential-gated).
+    ``copy_template`` overrides the dialect statement (placeholders
+    ``{fqtn} {schema} {table} {schema_upper} {table_upper} {staged}``)
+    so any CSV-bulk-load-capable JDBC engine can stand in for the
+    warehouse — the integration test drives the whole path against
+    embedded Derby's SYSCS_IMPORT_TABLE."""
 
     kind: str  # "redshift" | "snowflake"
     stage_uri: str
     jdbc_url: str = ""
+    properties: dict = field(default_factory=dict)
     strict: bool = False
+    compression: str | None = "gzip"
+    single_file: bool = False  # coalesce(1): for loaders that take one file
+    copy_template: str | None = None
+    ddl_type: str | None = None  # column type; dialect default otherwise
+    drop_cascade: bool | None = None  # None → dialect default (Redshift: yes)
 
     def copy_statement(self, fqtn: str, staged_path: str) -> str:
+        if self.copy_template:
+            schema, _, table = fqtn.partition(".")
+            return self.copy_template.format(
+                fqtn=fqtn,
+                schema=schema,
+                table=table,
+                schema_upper=schema.upper(),
+                table_upper=table.upper(),
+                staged=staged_path,
+            )
         if self.kind == "redshift":
             # data.py:106-112 options: CSV, GZIP, COMPUPDATE OFF
             return (
@@ -185,19 +210,93 @@ class CloudCopyDestination(Destination):
 
     def stage(self, df: DataFrame, table_name: str) -> str:
         staged = f"{self.stage_uri.rstrip('/')}/{table_name}"
-        df.write.mode("overwrite").option("compression", "gzip").csv(staged)
+        writer = (df.coalesce(1) if self.single_file else df).write.mode("overwrite")
+        if self.compression:
+            writer = writer.option("compression", self.compression)
+        writer.csv(staged)
         return staged
 
+    def _staged_entry(self, staged: str) -> str:
+        """The path handed to the COPY statement: the stage directory
+        (warehouse COPY takes a prefix), or the single part file when
+        ``single_file`` loaders need one concrete file."""
+        if not self.single_file:
+            return staged
+        import glob as _g
+
+        local = staged.removeprefix("file:")
+        parts = sorted(_g.glob(f"{local}/part-*"))
+        return parts[0] if parts else staged
+
+    def _execute(self, spark, sql: str) -> None:
+        """Issue one driver-side statement over a plain JDBC connection
+        (the JVM's DriverManager — same channel the reference's cursor
+        uses, data.py:113-133)."""
+        drv = self.properties.get("driver")
+        if drv:
+            spark._jvm.java.lang.Class.forName(drv)
+        conn = spark._jvm.java.sql.DriverManager.getConnection(self.jdbc_url)
+        try:
+            conn.createStatement().execute(sql)
+        finally:
+            conn.close()
+
+    def _existing_columns(self, spark, fqtn: str) -> list[str] | None:
+        try:
+            probe = (
+                spark.read.format("jdbc")
+                .option("url", self.jdbc_url)
+                .option("dbtable", f"(SELECT * FROM {fqtn} WHERE 1=0) q")
+                .options(**self.properties)
+                .load()
+            )
+            return probe.columns
+        except Exception:
+            return None
+
+    def _column_type(self) -> str:
+        if self.ddl_type:
+            return self.ddl_type
+        # reference: Redshift VARCHAR (data.py:57-62), Snowflake TEXT
+        # (data.py:241)
+        return "TEXT" if self.kind == "snowflake" else "VARCHAR(2000)"
+
     def sync(self, df: DataFrame, table_name: str, path: str | None = None) -> LoadReport:
+        spark = df.sparkSession
         schema = tenant_schema(path)
         fqtn = f"{schema}.{table_name}"
         staged = self.stage(df, table_name)
+        copy_sql = self.copy_statement(fqtn, self._staged_entry(staged))
         if not self.jdbc_url:
             raise NotImplementedError(
                 f"no JDBC endpoint configured; staged data at {staged}; "
-                f"would run: {self.copy_statement(fqtn, staged)}"
+                f"would run: {copy_sql}"
             )
-        raise NotImplementedError("live warehouse COPY requires JDBC driver + credentials")
+        try:
+            self._execute(spark, f"CREATE SCHEMA {schema}")
+        except Exception:
+            pass  # exists already (reference ignores the same way, data.py:116)
+        action = decide_sync_action(
+            self._existing_columns(spark, fqtn), df.columns, strict=self.strict
+        )
+        cols = ", ".join(f"{c} {self._column_type()}" for c in df.columns)
+        if action is SyncAction.TRUNCATE:
+            self._execute(spark, f"TRUNCATE TABLE {fqtn}")
+        elif action is SyncAction.RECREATE:
+            # reference drops CASCADE on Redshift (data.py:127-128);
+            # Derby and others take a bare DROP
+            do_cascade = (
+                self.drop_cascade
+                if self.drop_cascade is not None
+                else self.kind == "redshift"
+            )
+            cascade = " CASCADE" if do_cascade else ""
+            self._execute(spark, f"DROP TABLE {fqtn}{cascade}")
+            self._execute(spark, f"CREATE TABLE {fqtn} ({cols})")
+        else:
+            self._execute(spark, f"CREATE TABLE {fqtn} ({cols})")
+        self._execute(spark, copy_sql)
+        return LoadReport(action.value, schema, table_name, df.count())
 
 
 def sync_table(

@@ -49,3 +49,50 @@ def test_jdbc_lifecycle(spark, dest):
     r3 = dest.sync(df3, "t_jdbc", path="derbytest")
     assert (r3.action, r3.n_records) == ("Recreated", 1)
     assert sorted(c.lower() for c in _read(spark, dest, fqtn).columns) == ["a", "c"]
+
+
+def test_cloud_copy_executes_against_derby(spark, tmp_path):
+    """The CloudCopyDestination lifecycle — stage CSV, CREATE SCHEMA,
+    reconcile DDL, execute the templated COPY over JDBC — end-to-end
+    against embedded Derby (SYSCS_IMPORT_TABLE standing in for the
+    warehouse bulk loader, reference app/data.py:106-133, :243-254)."""
+    from excel_to_database_spark.sync.sinks import CloudCopyDestination
+
+    db = tmp_path / "derby_copy"
+    dest = CloudCopyDestination(
+        kind="redshift",
+        stage_uri=str(tmp_path / "stage"),
+        jdbc_url=f"jdbc:derby:{db};create=true",
+        properties=DRIVER,
+        compression=None,          # Derby's importer reads plain CSV
+        single_file=True,          # ...from one concrete file
+        copy_template=(
+            "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE("
+            "'{schema_upper}', '{table_upper}', '{staged}', null, null, null, 0)"
+        ),
+        ddl_type="VARCHAR(200)",
+        drop_cascade=False,      # Derby has no DROP TABLE CASCADE
+    )
+
+    df1 = matrix_to_df(spark, [["a", "b"], ["1", "x"], ["2", "y"]])
+    r1 = dest.sync(df1, "t_copy", path="cloudtest")
+    assert (r1.action, r1.n_records) == ("Created", 2)
+    fqtn = "x_excel_cloudtest.t_copy"
+    got = (
+        spark.read.format("jdbc")
+        .option("url", dest.jdbc_url)
+        .option("dbtable", fqtn)
+        .options(**DRIVER)
+        .load()
+    )
+    assert sorted(map(tuple, got.collect())) == [("1", "x"), ("2", "y")]
+
+    # same column set → TRUNCATE then COPY reloads
+    df2 = matrix_to_df(spark, [["a", "b"], ["9", "z"]])
+    r2 = dest.sync(df2, "t_copy", path="cloudtest")
+    assert (r2.action, r2.n_records) == ("Truncated", 1)
+
+    # changed column set → DROP + CREATE then COPY
+    df3 = matrix_to_df(spark, [["a", "c"], ["5", "6"]])
+    r3 = dest.sync(df3, "t_copy", path="cloudtest")
+    assert (r3.action, r3.n_records) == ("Recreated", 1)

@@ -80,6 +80,22 @@ def test_hidden_rows_and_cols():
     assert rdr.read_sheet("S", visible_only=True) == [["a", "c"], ["1", "3"]]
 
 
+def test_read_sheet_bounded_probe():
+    """max_rows=1 returns exactly the header row and stops parsing —
+    the driver-side schema probe is O(1) in sheet size."""
+    wb = WorkbookReader(_workbook())
+    full = wb.read_sheet("Data Sheet")
+    probe = wb.read_sheet("Data Sheet", max_rows=1)
+    assert probe == [full[0]]
+    # visible_only probe skips hidden first rows to the first visible one
+    hidden = build_xlsx(
+        {"S": [["secret", "row"], ["id", "v"], ["1", "x"]]},
+        hidden_rows={"S": {0}},
+    )
+    wbh = WorkbookReader(hidden)
+    assert wbh.read_sheet("S", visible_only=True, max_rows=1) == [["id", "v"]]
+
+
 def test_read_excel_spark(spark, tmp_path):
     p = tmp_path / "book.xlsx"
     p.write_bytes(_workbook())
