@@ -19,10 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q01_pricing_summary",
+    "q09_product_profit",
     "q10_shipping_priority",
     "q11_local_supplier_volume",
     "q17_returned_items_topk",
     "q30_running_customer_total",
+    "q49_nation_pair_volume",
     "q51_date_functions",
     "q60_tumbling_window",
     "q61_sessionization",
@@ -32,6 +34,7 @@ HEADLINE = [
     "q75_dedup_ngram_jaccard",
     "q76_dedup_minhash_lsh",
     "q80_knn_bruteforce",
+    "q81_ann_hyperplane_lsh",
 ]
 
 

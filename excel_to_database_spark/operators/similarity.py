@@ -110,33 +110,56 @@ def cosine_topk(
     )
 
 
-def hyperplane_bands(vec_col, planes: int = 8, dim: int = 64, bands: int = 1):
-    """Array of ``bands`` deterministic random-hyperplane LSH bucket
-    ids. Band ``b`` uses planes ``b*planes .. (b+1)*planes-1``; plane
-    ``p`` has component ±1 at dim ``i`` from the parity of md5('p:i');
-    bucket bit ``j`` = sign of <v, plane>. Pure JVM expressions: each
-    plane projection is one ``zip_with``+``aggregate`` fold against a
-    literal sign array (no Python in the data plane)."""
+def _hyperplane_matrix(planes: int, dim: int, bands: int) -> list[list[float]]:
+    """The deterministic ±1 sign matrix: plane ``p`` has component ±1
+    at dim ``i`` from the parity of md5('p:i'). Shipped to executors as
+    DATA (inside the projection UDF's closure), never as a literal
+    expression — embedding bands*planes*dim literals in the projection
+    expression made Janino compile a multi-second method on the first
+    run."""
+    return [
+        [1.0 if int(_md5_hex(f"{p}:{i}")[0], 16) % 2 else -1.0 for i in range(dim)]
+        for p in range(bands * planes)
+    ]
+
+
+def _projections_udf(planes: int, dim: int, bands: int):
+    """Arrow-batched projections: one numpy matmul per batch computes
+    all ``bands*planes`` hyperplane dot products of every vector.
+    This is the one step of the LSH pipeline where a Pandas UDF beats
+    the built-ins: Spark evaluates higher-order-function lambdas
+    per-element interpretively (they are outside whole-stage codegen),
+    which measured ~30× slower than the vectorized matmul for a dense
+    (n × dim) @ (dim × planes) product. Bucketing, the candidate join,
+    and ranking all stay JVM-side."""
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf
+
+    mat_t = _np.array(_hyperplane_matrix(planes, dim, bands)).T  # (dim, planes)
+
+    def _proj(v):
+        if len(v) == 0:
+            return _pd.Series([], dtype=object)
+        return _pd.Series(list(_np.stack(v.to_numpy()) @ mat_t))
+
+    return pandas_udf(_proj, "array<double>")
+
+
+def _bands_from_projections(projs_col, planes: int, bands: int):
+    """Band bucket ids from a MATERIALIZED projections column (pass a
+    plain column, not the projection expression — Spark does no CSE
+    inside HOF lambdas, so inlining would recompute all dot products
+    once per band). Bucket bit ``j`` of band ``b`` = sign of
+    projection ``b*planes + j``."""
     band_exprs = []
     for b in range(bands):
-        bits = []
+        bucket = None
         for j in range(planes):
-            p = b * planes + j
-            signs = F.array(
-                *[
-                    F.lit(1.0 if int(_md5_hex(f"{p}:{i}")[0], 16) % 2 else -1.0)
-                    for i in range(dim)
-                ]
-            )
-            proj = F.aggregate(
-                F.zip_with(vec_col, signs, lambda a, s: a.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        bucket = bits[0]
-        for bit in bits[1:]:
-            bucket = bucket + bit
+            bit = F.when(
+                F.element_at(projs_col, b * planes + j + 1) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
         band_exprs.append(bucket.cast("bigint"))
     return F.array(*band_exprs)
 
@@ -168,12 +191,20 @@ def ann_hyperplane_lsh(
     job-free; omitting it launches one bounded driver probe."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    base = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.posexplode(hyperplane_bands(F.col(vec_col), planes, dim, bands)).alias(
-            "band", "bucket"
-        ),
+    proj = _projections_udf(planes, dim, bands)
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            proj(F.col(vec_col)).alias("projs"),
+        )
+        .select(
+            "id",
+            "v",
+            F.posexplode(_bands_from_projections(F.col("projs"), planes, bands)).alias(
+                "band", "bucket"
+            ),
+        )
     )
     q = base.filter(query_filter) if query_filter is not None else base
     q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"), "band", "bucket")
