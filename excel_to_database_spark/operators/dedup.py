@@ -282,3 +282,38 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def shingle_contamination(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    train: str = "train",
+    test: str = "test",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for each ``test``-split document,
+    how many of its distinct word n-gram shingles occur in ANY
+    ``train``-split document (the standard n-gram-overlap screen run
+    before evaluating on held-out data).
+
+    The train shingle set is deduplicated before the probe, so the plan
+    is one shuffle on the shingle key (hash-join shape, never doc×doc);
+    at corpus scale the train set is the big side and the test probe
+    streams against it. Returns (doc, n_shingles, n_contaminated)."""
+    train_sh = (
+        shingles(docs.filter(F.col(split_col) == train), id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    test_sh = shingles(docs.filter(F.col(split_col) == test), id_col, text_col, n=n)
+    return (
+        test_sh.join(train_sh, "shingle", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
+    )

@@ -354,3 +354,28 @@ def ann_ivf(
             "rank",
         )
     )
+
+
+def ivf_refine(cents: DataFrame, assigned: DataFrame) -> DataFrame:
+    """One Lloyd sweep over an IVF assignment: each cell's centroid
+    becomes the element-wise mean of its members (a cell that lost all
+    members keeps its seed). The ``posexplode`` → (cell, pos) partial
+    aggregation is map-side combinable, so the sweep shuffles only
+    n_cells × dim partial sums — independent of corpus size. With the
+    assignment held fixed, the mean minimizes within-cell squared
+    error (the classic k-means update), asserted numerically in
+    tests/test_llm_ops.py."""
+    means = (
+        assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cell",
+            F.transform("pm", lambda s: s.getField("m")).alias("new_cv"),
+        )
+    )
+    return cents.join(means, "cell", "left").select(
+        "cell", F.coalesce("new_cv", "cv").alias("cv")
+    )

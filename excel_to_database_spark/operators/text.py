@@ -206,3 +206,23 @@ def hash_split(df, key_col: str, fractions: dict[str, float], salt: str = "split
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn("split", expr)
+
+
+def stratified_sample(df, key_col: str, fraction: float, salt: str = "strat"):
+    """Deterministic fraction-sample flag (engine- and
+    partitioning-reproducible, unlike ``df.sample`` whose output
+    depends on partition layout): ``__sampled`` is true when the 16-bit
+    md5 bucket of ``salt:key`` falls below ``fraction * 65536``. The
+    hash is independent of every other column, so the sample is
+    uniform within ANY stratum — group by a stratum column downstream
+    for stratified counts."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    return df.withColumn("__sampled", bucket < int(round(fraction * 65536)))

@@ -514,3 +514,165 @@ def q89_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: contamination, repetition, sampling, binning
+# ---------------------------------------------------------------------------
+
+_SQL_SPLIT = """
+    split AS (SELECT doc_id,
+                     CASE WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 205 THEN 'train'
+                          WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230 THEN 'val'
+                          ELSE 'test'
+                     END AS split,
+                     lang
+              FROM documents)
+"""
+
+
+@query(
+    "q93_contamination_check",
+    f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SPLIT},
+    tr AS (SELECT DISTINCT shingle FROM sh JOIN split ON sh.doc = split.doc_id
+           WHERE split.split = 'train'),
+    te AS (SELECT sh.doc AS doc, split.lang AS lang, sh.shingle AS shingle
+           FROM sh JOIN split ON sh.doc = split.doc_id WHERE split.split = 'test')
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_test_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contamination_rate
+    FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+    GROUP BY lang
+    """,
+)
+def q93_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: share of each test-split
+    document's 3-gram shingles that appear anywhere in the train split
+    (md5-deterministic 80/10/10 split, same as q89), aggregated per
+    lang. One shuffle on the shingle key; the deduplicated train set is
+    the build side."""
+    d = t(spark, sf_dir, "documents")
+    split = T.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_doc = D.shingle_contamination(split, "doc_id", "text")
+    return (
+        per_doc.join(d.select(F.col("doc_id").alias("doc"), "lang"), "doc")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+            F.sum("n_contaminated").cast("bigint").alias("n_contaminated"),
+        )
+        .select(
+            "lang",
+            "n_test_docs",
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_shingles")).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "q94_repetition_filter",
+    """
+    WITH w AS (SELECT doc_id, source,
+                      UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS word
+               FROM documents),
+    wc AS (SELECT doc_id, source, word, COUNT(*) AS c FROM w GROUP BY doc_id, source, word),
+    per_doc AS (SELECT doc_id, source,
+                       CAST(SUM(c) AS BIGINT) AS n_words,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(MAX(c) AS BIGINT) AS top_freq
+                FROM wc GROUP BY doc_id, source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN CAST(top_freq AS DOUBLE) / n_words > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_distinct) AS BIGINT) AS total_distinct
+    FROM per_doc GROUP BY source
+    """,
+)
+def q94_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality filter: flag documents whose
+    single most frequent token exceeds 10% of all tokens (the standard
+    boilerplate/spam screen). Two partial-aggregable groupBys — both
+    map-side combinable, no joins."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", "source", F.explode(T.words(F.col("text"))).alias("word"))
+    wc = w.groupBy("doc_id", "source", "word").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_freq"),
+    )
+    flagged = (F.col("top_freq").cast("double") / F.col("n_words")) > 0.1
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flagged.cast("int")).cast("bigint").alias("n_flagged"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_distinct").cast("bigint").alias("total_distinct"),
+    )
+
+
+@query(
+    "q95_stratified_sample",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < 6554 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) < 6554 THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample, uniform within every lang stratum
+    (16-bit md5 bucket < round(0.1*65536) — reproducible across
+    engines and partitionings, unlike df.sample)."""
+    d = t(spark, sf_dir, "documents")
+    s = T.stratified_sample(d, "doc_id", 0.1)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("__sampled").cast("int")).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(F.col("__sampled"), F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sampled_chars"),
+    )
+
+
+@query(
+    "q96_length_deciles",
+    """
+    WITH ranked AS (SELECT lang, n_chars,
+                           CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INT) AS decile
+                    FROM documents)
+    SELECT lang, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked GROUP BY lang, decile
+    """,
+)
+def q96_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum decile binning of document length (feature binning /
+    curriculum bucketing). NTILE ties broken by doc_id so bucket
+    membership is engine-deterministic."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("lang", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

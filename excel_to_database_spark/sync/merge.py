@@ -143,3 +143,13 @@ def scd2_init(df: DataFrame, effective_ts: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
+
+
+def compact_table(spark: SparkSession, table: str, target_partitions: int) -> None:
+    """Small-files compaction: rewrite ``table`` into
+    ``target_partitions`` output files through the same temp-table
+    staging as the merge path (never reading and overwriting the same
+    files in one job). At warehouse scale this is the maintenance job
+    that keeps per-scan task counts proportional to data volume rather
+    than to ingest history."""
+    _rewrite_via_temp(spark, table, spark.table(table).repartition(target_partitions))

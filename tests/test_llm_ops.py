@@ -4,6 +4,7 @@ import pytest
 from excel_to_database_spark.operators import dedup as D
 from excel_to_database_spark.operators import multimodal as M
 from excel_to_database_spark.operators import similarity as S
+from excel_to_database_spark.operators import text as T
 
 
 @pytest.fixture(scope="module")
@@ -188,3 +189,51 @@ def test_hash_split_deterministic_and_partition_invariant(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="sum to 1"):
         hash_split(df, "id", {"a": 0.5})
+
+
+def test_ivf_refine_lloyd_step(spark, sf_dir):
+    """With assignments held fixed, the mean update cannot increase
+    within-cell squared error (the k-means/Lloyd guarantee)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, assigned = S.ivf_assign(emb, "vec_id", "embedding", n_lists=8)
+    refined = S.ivf_refine(cents, assigned)
+
+    a = [(r["cell"], np.array(r["v"])) for r in assigned.collect()]
+    c0 = {r["cell"]: np.array(r["cv"]) for r in cents.collect()}
+    c1 = {r["cell"]: np.array(r["cv"]) for r in refined.collect()}
+    sse0 = sum(float(((v - c0[cell]) ** 2).sum()) for cell, v in a)
+    sse1 = sum(float(((v - c1[cell]) ** 2).sum()) for cell, v in a)
+    assert sse1 <= sse0 + 1e-9
+    assert set(c1) == set(c0)  # every cell keeps a centroid
+
+
+def test_shingle_contamination_operator(spark, docs):
+    """A test doc sharing its whole text with a train doc is 100%
+    contaminated; a disjoint test doc is 0%."""
+    from pyspark.sql import functions as F2
+
+    tagged = docs.withColumn(
+        "split",
+        F2.when(F2.col("doc_id") == 1, "train").when(
+            F2.col("doc_id") == 4, "test"
+        ).otherwise("val"),
+    )
+    out = {r["doc"]: r for r in
+           D.shingle_contamination(tagged, "doc_id", "text").collect()}
+    # docs 1 and 4 normalize identically (same fixture as exact-dedup)
+    assert out[4]["n_contaminated"] == out[4]["n_shingles"] > 0
+
+
+def test_stratified_sample_determinism(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = T.stratified_sample(d, "doc_id", 0.1).filter("__sampled").count()
+    s2 = T.stratified_sample(d, "doc_id", 0.1).filter("__sampled").count()
+    assert s1 == s2  # partition-independent, rerun-stable
+    n = d.count()
+    assert 0.02 * n < s1 < 0.25 * n  # ~10%, loose band
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.stratified_sample(d, "doc_id", 1.5)

@@ -96,3 +96,21 @@ def test_merge_dynamic_partition_overwrite(spark, tmp_path):
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == conf_before
     # staging table is cleaned up
     assert not spark.catalog.tableExists("m_part__rewrite_tmp")
+
+
+def test_compact_table(spark):
+    """Compaction reduces file count without changing data."""
+    import glob
+
+    from excel_to_database_spark.sync.merge import compact_table
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k").repartition(16)
+    df.write.mode("overwrite").saveAsTable("m_compact")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert len(glob.glob(f"{wh}/m_compact/*.parquet")) >= 16
+
+    compact_table(spark, "m_compact", 2)
+    assert len(glob.glob(f"{wh}/m_compact/*.parquet")) <= 2
+    assert spark.table("m_compact").count() == 1000
+    got = {r["k"] for r in spark.table("m_compact").collect()}
+    assert got == set(range(1000))
