@@ -249,26 +249,9 @@ def ann_hyperplane_lsh(
 # ---------------------------------------------------------------------------
 
 
-def ivf_assign(
-    emb: DataFrame, id_col: str, vec_col: str, n_lists: int = 16
-) -> tuple[DataFrame, DataFrame]:
-    """Partition vectors into ``n_lists`` cells around deterministic
-    centroids (the ``n_lists`` lowest-id vectors — a seed-free coarse
-    quantizer; one Lloyd sweep could refine it, but assignment quality
-    only affects recall, never correctness, because search re-ranks by
-    true cosine). Returns (centroids, assignments); both are plain
-    DataFrames so the index can be persisted as a table.
-
-    The centroid pick is ``orderBy(id).limit(n_lists)`` — Spark plans
-    TakeOrderedAndProject (per-partition top-N, then a merge of N-row
-    partials on the driver), so no stage ever sees the whole corpus in
-    one task; the centroid's own id doubles as the cell id."""
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cents = (
-        base.orderBy(F.asc("id"))
-        .limit(n_lists)
-        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
-    )
+def _ivf_nearest_cell(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every (id, v) row to its max-cosine centroid (ties broken
+    by lowest cell id). Centroids are broadcast; one narrow pass."""
     dot = F.aggregate(
         F.zip_with("v", "cv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
@@ -286,11 +269,41 @@ def ivf_assign(
         "id", "v", "cell", (dot / (F.sqrt(nv) * F.sqrt(nc))).alias("sim")
     )
     pick = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
-    assigned = (
+    return (
         scored.withColumn("rn", F.row_number().over(pick))
         .filter(F.col("rn") == 1)
         .select("id", "v", "cell")
     )
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str, vec_col: str, n_lists: int = 16, sweeps: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Partition vectors into ``n_lists`` cells around deterministic
+    centroids (the ``n_lists`` lowest-id vectors — a seed-free coarse
+    quantizer). ``sweeps`` Lloyd iterations (mean update + re-assign)
+    refine the cells; assignment quality only affects recall, never
+    correctness, because search re-ranks by true cosine. Returns
+    (centroids, assignments); both are plain DataFrames so the index
+    can be persisted as a table.
+
+    The centroid pick is ``orderBy(id).limit(n_lists)`` — Spark plans
+    TakeOrderedAndProject (per-partition top-N, then a merge of N-row
+    partials on the driver), so no stage ever sees the whole corpus in
+    one task; the centroid's own id doubles as the cell id."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = (
+        base.orderBy(F.asc("id"))
+        .limit(n_lists)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
+    )
+    assigned = _ivf_nearest_cell(base, cents)
+    for _ in range(sweeps):
+        # centroids stay tiny (n_lists rows) but their lineage deepens
+        # per sweep; localCheckpoint-free because each sweep is one
+        # bounded aggregation over the previous assignment
+        cents = ivf_refine(cents, assigned)
+        assigned = _ivf_nearest_cell(base, cents)
     return cents, assigned
 
 
@@ -301,13 +314,16 @@ def ann_ivf(
     k: int = 5,
     n_lists: int = 16,
     n_probe: int = 4,
+    sweeps: int = 0,
     query_filter=None,
 ) -> DataFrame:
     """IVF search: each query probes its ``n_probe`` nearest cells and
     ranks only those cells' members by true cosine — candidate volume
-    is |corpus|·n_probe/n_lists instead of |corpus|. Same output shape
-    as the other ANN paths: (query_id, neighbor_id, cosine, rank)."""
-    cents, assigned = ivf_assign(emb, id_col, vec_col, n_lists)
+    is |corpus|·n_probe/n_lists instead of |corpus|. ``sweeps`` Lloyd
+    iterations refine the quantizer (better-balanced cells → better
+    recall per probe). Same output shape as the other ANN paths:
+    (query_id, neighbor_id, cosine, rank)."""
+    cents, assigned = ivf_assign(emb, id_col, vec_col, n_lists, sweeps=sweeps)
     q = assigned.filter(query_filter) if query_filter is not None else assigned
     q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
 

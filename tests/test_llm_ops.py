@@ -237,3 +237,16 @@ def test_stratified_sample_determinism(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         T.stratified_sample(d, "doc_id", 1.5)
+
+
+def test_ann_ivf_refined_still_exact_at_full_probe(spark, sf_dir):
+    """Lloyd-refined quantizer changes cells, never results, when every
+    list is probed."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truth = S.cosine_topk(emb, "vec_id", "embedding", k=3,
+                          query_filter=F.col("id") < 10, exact=False)
+    refined = S.ann_ivf(emb, "vec_id", "embedding", k=3, n_lists=8, n_probe=8,
+                        sweeps=1, query_filter=F.col("id") < 10)
+    t_ = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+    r_ = {(r["query_id"], r["neighbor_id"]) for r in refined.collect()}
+    assert r_ == t_
