@@ -676,3 +676,104 @@ def q96_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "q97_sequence_packing",
+    f"""
+    WITH toks AS (SELECT doc_id,
+                         CAST({{tok}} AS BIGINT) AS n_tokens,
+                         CAST(CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 8 AS INT) AS shard,
+                         md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord_key
+                  FROM documents),
+    packed AS (SELECT shard, n_tokens,
+                      CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 2048) AS INT) AS bin
+               FROM toks)
+    SELECT shard, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / 2048 AS fill_ratio
+    FROM packed GROUP BY shard, bin
+    """.replace("{tok}", "len(string_split_regex(lower(trim(text)), '\\s+'))"),
+)
+def q97_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (the training-data step that
+    concatenates documents into fixed-size context windows): documents
+    are sharded by md5 (8 shards — each shard packs independently, so
+    the op parallelizes with zero coordination), ordered
+    deterministically within the shard, and assigned to 2048-token bins
+    by running-offset division. Integer cumsum → engine-exact."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    ord_key = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(ord_key, 1, 2), 16, 10).cast("int") % 8
+    ).cast("int")
+    toks = d.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens"),
+        shard.alias("shard"),
+        ord_key.alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "shard",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / 2048
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        (F.sum("n_tokens").cast("double") / 2048).alias("fill_ratio"),
+    )
+
+
+@query(
+    "q98_unigram_rarity",
+    """
+    WITH tok AS (SELECT doc_id,
+                        UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS word
+                 FROM documents),
+    freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS corpus_freq FROM tok GROUP BY word)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(corpus_freq) AS BIGINT) AS sum_freq,
+           CAST(SUM(corpus_freq) AS DOUBLE) / COUNT(*) AS mean_token_freq
+    FROM tok JOIN freq USING (word)
+    GROUP BY doc_id
+    """,
+)
+def q98_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-frequency fluency/rarity proxy (the integer-exact stand-in
+    for a unigram-LM logprob filter): mean corpus frequency of each
+    document's tokens. Corpus frequencies are one map-side-combinable
+    groupBy; the join back is on the word key."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("corpus_freq"))
+    return (
+        tok.join(freq, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("corpus_freq").cast("bigint").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            (F.col("sum_freq").cast("double") / F.col("n_tokens")).alias(
+                "mean_token_freq"
+            ),
+        )
+    )

@@ -356,3 +356,50 @@ def q69_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_s").cast("bigint").alias("total_duration_s"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+@query(
+    "q99_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (click → purchase by the
+    same user within one hour): both sides carry watermarks and the
+    join condition carries the time bound, so state for each side is
+    evicted once the watermark passes — the join runs in bounded state
+    at any stream length. availableNow bounded replay; the oracle is
+    the equivalent batch SQL join (stream ≡ batch parity)."""
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "purchase_id")
+    return run_stream_to_memory(spark, joined, "q99_ss_join", output_mode="append")
