@@ -33,7 +33,7 @@ def sheet_names(path: str) -> list[str]:
 
 def _header_of(path: str, sheet: str | None, visible_only: bool, bug_compat: bool) -> tuple[str, list[str]]:
     with open(path, "rb") as f:
-        rdr = WorkbookReader(f.read(), bug_compat)
+        rdr = WorkbookReader(f.read(), bug_compat)  # header cells: time mode irrelevant
     name = sheet or rdr.sheet_names()[0]
     # bounded probe: parse ONE row, not the whole sheet — driver work
     # stays O(1) regardless of workbook size. Falls back to a full read
@@ -54,10 +54,12 @@ def read_excel(
     visible_only: bool = False,
     bug_compat_1900: bool = False,
     sanitize: bool = True,
+    keep_time: bool = False,
 ) -> DataFrame:
     """Read one sheet (by name; default first) from ``path`` — a file,
     glob, or directory of .xlsx files sharing a header — as an
-    all-string DataFrame."""
+    all-string DataFrame. ``keep_time`` renders date-styled cells with
+    their time-of-day (engine extension; the reference drops it)."""
     import os as _os
 
     pattern = _os.path.join(path, "*.xlsx") if _os.path.isdir(path) else path
@@ -73,7 +75,7 @@ def read_excel(
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                rdr = WorkbookReader(bytes(row["content"]), bug_compat_1900)
+                rdr = WorkbookReader(bytes(row["content"]), bug_compat_1900, keep_time)
                 matrix = rdr.read_sheet(sheet_name, visible_only)
                 body = [(r + [""] * ncols)[:ncols] for r in matrix[1:]]
                 yield pd.DataFrame(body, columns=cols, dtype=str) if body else pd.DataFrame(

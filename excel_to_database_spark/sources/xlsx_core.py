@@ -72,7 +72,9 @@ def a1_to_rowcol(ref: str) -> tuple[int, int]:
     return int(m.group(2)) - 1, col - 1
 
 
-def serial_to_iso(serial: float, bug_compat_1900: bool = False) -> str:
+def serial_to_iso(
+    serial: float, bug_compat_1900: bool = False, keep_time: bool = False
+) -> str:
     """Excel 1900-system serial number → ISO date string.
 
     Correct mode maps 1..59 → 1900-01-01..1900-02-28 and ≥61 with the
@@ -81,14 +83,25 @@ def serial_to_iso(serial: float, bug_compat_1900: bool = False) -> str:
     arithmetic exactly (xlsparser.js:173-177: ``new Date(1900,0,1);
     dt.setDate(serial)`` — a uniform 1899-12-31 epoch with no fake
     Feb 29), which renders serials ≥ 60 one day LATE vs Excel
-    (61 → 1900-03-02, 44197 → 2021-01-02). Fractional time-of-day is
-    dropped (times unsupported, xlsparser.js:52)."""
+    (61 → 1900-03-02, 44197 → 2021-01-02).
+
+    Fractional time-of-day is dropped by default (parity: times
+    unsupported in the reference, xlsparser.js:52); ``keep_time=True``
+    is the engine extension that renders the day fraction as
+    ``YYYY-MM-DD HH:MM:SS`` (rounded to the nearest second, clamped
+    inside the day)."""
     days = int(serial)
-    if bug_compat_1900:
-        return (_dt.date(1899, 12, 31) + _dt.timedelta(days=days)).isoformat()
-    if days < 61:
-        return (_dt.date(1899, 12, 31) + _dt.timedelta(days=days)).isoformat()
-    return (_EPOCH_1900 + _dt.timedelta(days=days)).isoformat()
+    if bug_compat_1900 or days < 61:
+        day = _dt.date(1899, 12, 31) + _dt.timedelta(days=days)
+    else:
+        day = _EPOCH_1900 + _dt.timedelta(days=days)
+    if not keep_time:
+        return day.isoformat()
+    secs = min(round((serial - days) * 86400), 86399)
+    return (
+        _dt.datetime.combine(day, _dt.time())
+        + _dt.timedelta(seconds=secs)
+    ).strftime("%Y-%m-%d %H:%M:%S")
 
 
 def _cell_text(c: ET.Element, shared: list[str]) -> str:
@@ -121,9 +134,12 @@ def _num_to_str(raw: str) -> str:
 class WorkbookReader:
     """Decode one .xlsx byte payload into ``{sheet_name: matrix}``."""
 
-    def __init__(self, data: bytes, bug_compat_1900: bool = False):
+    def __init__(
+        self, data: bytes, bug_compat_1900: bool = False, keep_time: bool = False
+    ):
         self._zip = zipfile.ZipFile(io.BytesIO(data))
         self.bug_compat_1900 = bug_compat_1900
+        self.keep_time = keep_time
         self._shared = self._read_shared_strings()
         self._date_styles = self._read_date_styles()
         self.sheet_paths = self._read_sheet_paths()
@@ -239,7 +255,9 @@ class WorkbookReader:
                     style = int(c.get("s", "-1"))
                     if style in self._date_styles:
                         try:
-                            text = serial_to_iso(float(text), self.bug_compat_1900)
+                            text = serial_to_iso(
+                                float(text), self.bug_compat_1900, self.keep_time
+                            )
                         except ValueError:
                             pass
                     else:

@@ -250,3 +250,22 @@ def test_ann_ivf_refined_still_exact_at_full_probe(spark, sf_dir):
     t_ = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
     r_ = {(r["query_id"], r["neighbor_id"]) for r in refined.collect()}
     assert r_ == t_
+
+
+def test_stratified_sample_matches_python_md5(spark):
+    """The Spark-side 16-bit md5 bucket arithmetic agrees with plain
+    Python md5 for every key — the contract that makes the sample
+    reproducible across engines (one Spark job for the whole batch)."""
+    import hashlib
+
+    keys = list(range(500)) + [10**9 + 7, 10**12 + 13]
+    expected = {
+        k: int(hashlib.md5(f"strat:{k}".encode()).hexdigest()[:4], 16) < 6554
+        for k in keys
+    }
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r["doc_id"]: r["__sampled"]
+        for r in T.stratified_sample(df, "doc_id", 0.1).collect()
+    }
+    assert got == expected

@@ -96,3 +96,5 @@ def test_list_to_matrix_preserves_cells(flat, n_cols):
     m = list_to_matrix(flat, n_cols)
     assert [c for row in m for c in row] == flat
     assert all(len(r) == n_cols for r in m[:-1])
+
+

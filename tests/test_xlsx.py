@@ -155,3 +155,28 @@ def test_sparse_rows_and_gap_cells():
     wb = build_xlsx({"S": [["a", "b", "c"], ["", "", ""], ["1", "", "3"]]})
     m = WorkbookReader(wb).read_sheet("S")
     assert m == [["a", "b", "c"], ["", "", ""], ["1", "", "3"]]
+
+
+def test_serial_to_iso_keep_time():
+    """Engine extension: the day fraction renders as HH:MM:SS (the
+    reference drops it — parity mode unchanged)."""
+    assert serial_to_iso(44197.5, keep_time=True) == "2021-01-01 12:00:00"
+    assert serial_to_iso(44197.25, keep_time=True) == "2021-01-01 06:00:00"
+    # rounding to nearest second, clamped inside the day
+    assert serial_to_iso(44197.9999999, keep_time=True) == "2021-01-01 23:59:59"
+    assert serial_to_iso(44197, keep_time=True) == "2021-01-01 00:00:00"
+    # default stays date-only
+    assert serial_to_iso(44197.5) == "2021-01-01"
+
+
+def test_read_excel_keep_time(spark, tmp_path):
+    wb = build_xlsx(
+        {"S": [["when"], [44197.5]]},
+        date_styles={("S", 1, 0): 1},
+    )
+    p = tmp_path / "times.xlsx"
+    p.write_bytes(wb)
+    plain = read_excel(spark, str(p)).collect()[0]["when"]
+    timed = read_excel(spark, str(p), keep_time=True).collect()[0]["when"]
+    assert plain == "2021-01-01"
+    assert timed == "2021-01-01 12:00:00"
