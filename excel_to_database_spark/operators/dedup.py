@@ -317,3 +317,55 @@ def shingle_contamination(
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_contaminated"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Transitive closure of a duplicate-pair graph: (doc, cluster)
+    where cluster = the minimum doc id reachable from ``doc`` (so each
+    duplicate CLUSTER gets one deterministic representative — the step
+    that turns pairwise near-dup output into actual dedup decisions).
+
+    Iterative min-label propagation, the scalable CC formulation: each
+    round every node takes the min of its own label and its neighbors'
+    labels (one shuffle per round on the edge key); rounds needed =
+    graph diameter, ≤ log n after the label shortcuts, bounded by
+    ``max_iter``. Per-round ``localCheckpoint`` cuts the plan lineage —
+    here it materializes only the (node, label) frame (2 columns, one
+    row per node IN the pair graph, not the corpus), so unlike a
+    full-table checkpoint this is bounded by duplicate volume. The
+    convergence probe is a driver-side count of changed labels, never a
+    data collect."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(prop, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        labels = updated.select("doc", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster"))

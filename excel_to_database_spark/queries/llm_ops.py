@@ -777,3 +777,34 @@ def q98_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q100_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_JACCARD},
+    p AS (SELECT da, db FROM jac WHERE jaccard >= 0.6),
+    sym AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    labels AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+               FROM reach GROUP BY src)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM labels GROUP BY cluster
+    """,
+)
+def q100_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS via iterative min-label
+    connected components (the step that turns pairwise similarity
+    output into one-representative-per-cluster dedup decisions).
+    Spark side is the bounded label-propagation loop
+    (operators/dedup.connected_components); the oracle is a recursive
+    CTE computing the same transitive closure — an iterative algorithm
+    still held to an exact oracle."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
+    cc = D.connected_components(pairs)
+    return cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -269,3 +269,14 @@ def test_stratified_sample_matches_python_md5(spark):
         for r in T.stratified_sample(df, "doc_id", 0.1).collect()
     }
     assert got == expected
+
+
+def test_connected_components_chain(spark):
+    """A chain a-b, b-c, c-d collapses to one cluster labeled by the
+    min id, even though a and d never share a pair (transitive
+    closure); disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (9, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {r["doc"]: r["cluster"] for r in D.connected_components(pairs).collect()}
+    assert got == {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 21: 20}
