@@ -1,9 +1,11 @@
 from excel_to_database_spark.operators.asof import asof_join
 from excel_to_database_spark.operators.dedup import (
     char_shingles,
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_dedup,
+    shingle_contamination,
     shingles,
     simhash_fingerprints,
     simhash_pairs,
@@ -20,12 +22,16 @@ from excel_to_database_spark.operators.similarity import (
     ann_hyperplane_lsh,
     ann_ivf,
     cosine_topk,
+    ivf_assign,
+    ivf_refine,
 )
 from excel_to_database_spark.operators.skew import salted_join
 from excel_to_database_spark.operators.text import (
     fingerprint,
+    hash_split,
     lang_id,
     quality_score,
+    stratified_sample,
     tfidf_top_terms,
     token_count_bpe,
     token_count_ws,
@@ -40,11 +46,15 @@ __all__ = [
     "char_shingles",
     "jaccard_pairs",
     "minhash_lsh_dedup",
+    "connected_components",
+    "shingle_contamination",
     "simhash_fingerprints",
     "simhash_pairs",
     "cosine_topk",
     "ann_hyperplane_lsh",
     "ann_ivf",
+    "ivf_assign",
+    "ivf_refine",
     "attach_payload",
     "decode_media",
     "extract_features",
@@ -56,4 +66,6 @@ __all__ = [
     "token_count_ws",
     "token_count_bpe",
     "tfidf_top_terms",
+    "hash_split",
+    "stratified_sample",
 ]

@@ -1,5 +1,5 @@
 from excel_to_database_spark.sync.bucketing import write_bucketed
-from excel_to_database_spark.sync.merge import merge_upsert, scd2_apply, scd2_init
+from excel_to_database_spark.sync.merge import compact_table, merge_upsert, scd2_apply, scd2_init
 from excel_to_database_spark.sync.policy import SyncAction, decide_sync_action
 from excel_to_database_spark.sync.sinks import (
     CloudCopyDestination,
@@ -19,6 +19,7 @@ __all__ = [
     "sync_table",
     "write_bucketed",
     "merge_upsert",
+    "compact_table",
     "scd2_apply",
     "scd2_init",
 ]
