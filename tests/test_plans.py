@@ -1,0 +1,59 @@
+"""Plan contracts: assert the physical-plan properties the engine's
+scale story depends on, so a future edit that silently regresses them
+(a lost pushdown, a de-broadcast dimension, a single-partition funnel)
+fails CI instead of surfacing at 100 TB."""
+
+import pyspark.sql.functions as F
+
+from excel_to_database_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name):
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_q48(spark, sf_dir):
+    """TPC-H Q6 shape: every predicate reaches the parquet scan and the
+    scan reads only the referenced columns."""
+    plan = _plan(spark, sf_dir, "q48_filtered_revenue")
+    assert "PushedFilters: [" in plan
+    # pruned schema: no unreferenced wide columns (comment, shipinstruct...)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read and "l_shipinstruct" not in read
+
+
+def test_dimension_broadcast_q11(spark, sf_dir):
+    """5-way join: dimension sides broadcast, never shuffled."""
+    plan = _plan(spark, sf_dir, "q11_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_global_topk_is_take_ordered_q21(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_single_partition_funnel_in_ann(spark, sf_dir):
+    """The IVF and banded-LSH paths must never serialize the corpus
+    through one partition (the round-1 centroid bug class)."""
+    for q in ("q86_ann_ivf", "q81_ann_hyperplane_lsh"):
+        plan = _plan(spark, sf_dir, q)
+        assert "Exchange SinglePartition" not in plan, q
+
+
+def test_asof_join_single_key_shuffle(spark, sf_dir):
+    """The as-of join is one shuffle on the key — a second
+    hashpartitioning exchange would mean the union+window merge broke."""
+    from excel_to_database_spark.operators.asof import asof_join
+    from excel_to_database_spark.queries.base import t
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    j = asof_join(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+                  payload=["o_orderkey"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
