@@ -6,7 +6,17 @@ Headlines cover every operator family: scan+agg, multi-join, window,
 set op, temporal (sessionize/asof/range), text, dedup (exact-verify +
 LSH), similarity, streaming replay. Each query is fully materialized
 (count via collect-free foreach-noop -> we use count() which executes
-the whole plan; top-k queries collect their handful of rows)."""
+the whole plan; top-k queries collect their handful of rows).
+
+Steady-state methodology: before the timed loop every headline query
+runs once at sf0.001 (different data, so nothing about the measured
+run's results can be cached — only JVM JIT + whole-stage-codegen
+classes are shared). At bench scale a cold first run is dominated by
+Janino compiling the generated code for the heavy md5/explode
+expressions (measured 2-3x inflation at sf0.1, e.g. 16.7s -> 4.7s for
+the MinHash pipeline); on a real cluster that one-time cost amortizes
+over 100 TB, so the steady-state number is the one that predicts scale
+throughput."""
 
 from __future__ import annotations
 
@@ -94,6 +104,16 @@ def main() -> None:
 
     # JVM + parquet-footer warmup so q1 doesn't pay session startup
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # codegen warm-up at the smallest SF (see module docstring); skipped
+    # if that dataset isn't present
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        from excel_to_database_spark.queries import QUERIES as _Q
+
+        for name in HEADLINE:
+            _Q[name](spark, warm_dir).count()
+        print("# warm-up pass at sf0.001 complete", file=sys.stderr)
 
     timings: dict[str, float] = {}
     etl_benchmarks(spark, sf_dir, timings)
