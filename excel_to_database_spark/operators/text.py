@@ -97,6 +97,40 @@ def fingerprint(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# PII masking (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): literal classes, bounded repetition — no
+# backreferences, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_DIGITS_RE = r"[0-9]+"
+
+
+def pii_mask(text: Column) -> Column:
+    """Mask emails, NN-NNN-NNN-NNNN phone numbers, then any remaining
+    digit run (IDs, account numbers) — the standard pre-training scrub.
+    Order matters: the digit pass runs last so it can't break the
+    email/phone matches. Pure JVM ``regexp_replace`` — zero Python in
+    the data plane."""
+    s = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
+    s = F.regexp_replace(s, PII_PHONE_RE, "[PHONE]")
+    return F.regexp_replace(s, PII_DIGITS_RE, "#")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Detector hit counts per category (for scrub-rate reporting)."""
+    after_email = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "[PHONE]")
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        "n_phones": F.regexp_count(after_email, F.lit(PII_PHONE_RE)),
+        "n_digit_runs": F.regexp_count(after_phone, F.lit(PII_DIGITS_RE)),
+    }
+
+
+# ---------------------------------------------------------------------------
 # SQL twins (DuckDB dialect, used by the oracles)
 # ---------------------------------------------------------------------------
 
@@ -143,6 +177,24 @@ def sql_lang_id(t: str) -> str:
 
 def sql_fingerprint(t: str) -> str:
     return f"md5(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'))"
+
+
+def sql_pii_mask(t: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{t}, '{PII_EMAIL_RE}', '[EMAIL]', 'g'), "
+        f"'{PII_PHONE_RE}', '[PHONE]', 'g'), '{PII_DIGITS_RE}', '#', 'g')"
+    )
+
+
+def sql_pii_counts(t: str) -> dict[str, str]:
+    after_email = f"regexp_replace({t}, '{PII_EMAIL_RE}', '[EMAIL]', 'g')"
+    after_phone = f"regexp_replace({after_email}, '{PII_PHONE_RE}', '[PHONE]', 'g')"
+    return {
+        "n_emails": f"len(regexp_extract_all({t}, '{PII_EMAIL_RE}'))",
+        "n_phones": f"len(regexp_extract_all({after_email}, '{PII_PHONE_RE}'))",
+        "n_digit_runs": f"len(regexp_extract_all({after_phone}, '{PII_DIGITS_RE}'))",
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -226,3 +278,38 @@ def stratified_sample(df, key_col: str, fraction: float, salt: str = "strat"):
         10,
     ).cast("int")
     return df.withColumn("__sampled", bucket < int(round(fraction * 65536)))
+
+
+def hash_bucket(key_col: str, salt: str):
+    """16-bit deterministic bucket of ``salt:key`` (first 4 md5 hex
+    digits) — the primitive behind hash_split / stratified_sample /
+    mixture sampling. Engine-portable: DuckDB spells the same value as
+    ``CAST(('0x' || substring(md5(...), 1, 4)) AS INTEGER)``."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+
+
+def mixture_rates(df, stratum_col: str, weight_col):
+    """Per-stratum sampling rates that equalize each stratum's total
+    weight to the smallest stratum's (the classic down-sample-to-
+    balance data mixture): rate_s = min(1, min_total / total_s).
+
+    One map-side-combinable aggregation over the corpus; the stratum
+    totals and the global min are tiny frames, so the rate table is
+    broadcast-joinable back onto the data at any scale. Rates are
+    derived as bigint/bigint → double, bit-identical across engines."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    totals = df.groupBy(stratum_col).agg(F.sum(w).cast("bigint").alias("total_w"))
+    m = totals.agg(F.min("total_w").alias("min_w"))
+    return totals.crossJoin(F.broadcast(m)).select(
+        stratum_col,
+        "total_w",
+        F.least(
+            F.lit(1.0), F.col("min_w").cast("double") / F.col("total_w").cast("double")
+        ).alias("rate"),
+    )

@@ -808,3 +808,184 @@ def q100_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
     cc = D.connected_components(pairs)
     return cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing / data mixtures / canonical dedup picks
+# ---------------------------------------------------------------------------
+
+# Deterministic PII-bearing text synthesized from the customer table
+# (the slim TPC-H schema has no free-text PII column): a synthetic
+# email derived from c_name, a synthetic phone derived from c_custkey
+# digits, and a numeric reference id. Built from ints/strings only —
+# never doubles — so the raw string is bit-identical across engines.
+_SQL_PII_EMAIL = "lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.com'"
+_SQL_PII_PHONE = (
+    "lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' || "
+    "lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0')"
+)
+_SQL_PII_RAW = (
+    f"c_name || ' <' || {_SQL_PII_EMAIL} || '> call ' || {_SQL_PII_PHONE} || "
+    "' ref ' || CAST(c_custkey * 1009 AS VARCHAR) || ' seg ' || c_mktsegment"
+)
+
+
+def _pii_raw_col():
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", "")),
+        F.lit("@example.com"),
+    )
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        F.lpad((k % 100).cast("string"), 2, "0"),
+        F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+        F.lpad(((k * 13) % 1000).cast("string"), 3, "0"),
+        F.lpad(((k * 31) % 10000).cast("string"), 4, "0"),
+    )
+    return F.concat(
+        F.col("c_name"),
+        F.lit(" <"), email, F.lit("> call "), phone,
+        F.lit(" ref "), (k * 1009).cast("string"),
+        F.lit(" seg "), F.col("c_mktsegment"),
+    )
+
+
+@query(
+    "q102_pii_masking",
+    f"""
+    WITH raw AS (SELECT c_custkey, {_SQL_PII_RAW} AS txt FROM customer)
+    SELECT c_custkey,
+           {T.sql_pii_mask('txt')} AS masked,
+           CAST({T.sql_pii_counts('txt')['n_emails']} AS INT) AS n_emails,
+           CAST({T.sql_pii_counts('txt')['n_phones']} AS INT) AS n_phones,
+           CAST({T.sql_pii_counts('txt')['n_digit_runs']} AS INT) AS n_digit_runs
+    FROM raw
+    """,
+)
+def q102_pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails → [EMAIL], phones → [PHONE], residual digit
+    runs → #) with per-category detector counts — the pre-training
+    redaction pass. All JVM-side regexp_replace/regexp_count; patterns
+    restricted to the Java-regex ∩ RE2 common subset so the oracle
+    reproduces every masked byte."""
+    c = t(spark, sf_dir, "customer")
+    raw = c.select("c_custkey", _pii_raw_col().alias("txt"))
+    counts = T.pii_counts(F.col("txt"))
+    return raw.select(
+        "c_custkey",
+        T.pii_mask(F.col("txt")).alias("masked"),
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_phones"].cast("int").alias("n_phones"),
+        counts["n_digit_runs"].cast("int").alias("n_digit_runs"),
+    )
+
+
+@query(
+    "q103_domain_mixture",
+    f"""
+    WITH tok AS (SELECT source, doc_id,
+                        {T.SQL_TOKEN_COUNT_WS.format(t='text')} AS toks
+                 FROM documents),
+    totals AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS total_tokens
+               FROM tok GROUP BY source),
+    m AS (SELECT MIN(total_tokens) AS min_total FROM totals),
+    rates AS (SELECT source, total_tokens,
+                     LEAST(1.0, CAST(min_total AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS rate
+              FROM totals, m),
+    flagged AS (SELECT t.source, t.toks, r.rate, r.total_tokens,
+                       CAST(('0x' || substring(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                         < FLOOR(r.rate * 65536) AS samp
+                FROM tok t JOIN rates r USING (source))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ANY_VALUE(total_tokens) AS BIGINT) AS total_tokens,
+           ANY_VALUE(rate) AS rate,
+           CAST(SUM(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN samp THEN toks ELSE 0 END) AS BIGINT) AS sampled_tokens
+    FROM flagged GROUP BY source
+    """,
+)
+def q103_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture balancing: down-sample every source domain
+    to the smallest domain's token budget (rate_s = min_total/total_s),
+    with the deterministic 16-bit md5 bucket deciding membership — the
+    sample is reproducible across engines, runs, and partitionings.
+    Plan shape: one map-side-combinable token aggregation, a broadcast
+    of the tiny rate table back onto the corpus, one final
+    aggregation. No shuffle touches the raw text twice."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", "doc_id", T.token_count_ws(F.col("text")).alias("toks")
+    )
+    rates = T.mixture_rates(tok, "source", "toks").withColumnRenamed(
+        "total_w", "total_tokens"
+    )
+    samp = T.hash_bucket("doc_id", "mix") < F.floor(F.col("rate") * 65536)
+    flagged = tok.join(F.broadcast(rates), "source").withColumn("samp", samp)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.any_value("total_tokens").alias("total_tokens"),
+        F.any_value("rate").alias("rate"),
+        F.sum(F.col("samp").cast("int")).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(F.col("samp"), F.col("toks")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+    )
+
+
+@query(
+    "q104_dedup_canonical",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_JACCARD},
+    p AS (SELECT da, db FROM jac WHERE jaccard >= 0.6),
+    sym AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    labels AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+               FROM reach GROUP BY src),
+    scored AS (SELECT l.cluster, l.doc, {T.sql_quality_score('d.text')} AS q
+               FROM labels l JOIN documents d ON d.doc_id = l.doc),
+    ranked AS (SELECT cluster, doc, q,
+                      ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY q DESC, doc ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY cluster) AS n_docs
+               FROM scored)
+    SELECT cluster, doc AS canonical_doc, q AS canonical_quality,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q104_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of a real dedup pipeline: near-dup pairs →
+    connected components → ONE canonical survivor per cluster (highest
+    quality score, ties to the lowest doc id). Canonical pick is a
+    per-cluster window over the tiny cluster-membership frame, not the
+    corpus; quality joins in by doc id. An iterative algorithm held to
+    an exact recursive-CTE oracle."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
+    cc = D.connected_components(pairs)
+    scored = cc.join(
+        d.select(F.col("doc_id").alias("doc"), "text"), "doc"
+    ).select("cluster", "doc", T.quality_score(F.col("text")).alias("q"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("doc"))
+    ranked = scored.select(
+        "cluster",
+        "doc",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("n_docs"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster",
+        F.col("doc").alias("canonical_doc"),
+        F.col("q").alias("canonical_quality"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )

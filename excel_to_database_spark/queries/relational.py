@@ -1893,3 +1893,38 @@ def q92_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q101_approx_quantiles",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           QUANTILE_CONT(l_quantity, 0.5) AS exact_p50,
+           QUANTILE_CONT(l_quantity, 0.95) AS exact_p95,
+           CAST(1 AS INT) AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q101_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the bounded-memory
+    quantile for 100 TB distributions, where exact percentile's global
+    sort-by-key is the scale bottleneck. Like q28's HLL contract: the
+    query emits the exact interpolated percentiles (cross-engine-safe
+    on integral-valued l_quantity, as q06 establishes) plus
+    ``approx_ok`` — 1 iff the sketch at accuracy 10000 lands within 1%
+    of exact — and the oracle states the deterministic expectation."""
+    l = t(spark, sf_dir, "lineitem")
+    g = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("l_quantity", 0.5).alias("exact_p50"),
+        F.percentile("l_quantity", 0.95).alias("exact_p95"),
+        F.percentile_approx("l_quantity", [0.5, 0.95], 10000).alias("_ap"),
+    )
+    ok = (
+        (F.abs(F.element_at("_ap", 1) - F.col("exact_p50")) <= 0.01 * F.col("exact_p50"))
+        & (F.abs(F.element_at("_ap", 2) - F.col("exact_p95")) <= 0.01 * F.col("exact_p95"))
+    )
+    return g.select(
+        "l_returnflag", "n", "exact_p50", "exact_p95", ok.cast("int").alias("approx_ok")
+    )

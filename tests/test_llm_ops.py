@@ -280,3 +280,42 @@ def test_connected_components_chain(spark):
     )
     got = {r["doc"]: r["cluster"] for r in D.connected_components(pairs).collect()}
     assert got == {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 21: 20}
+
+
+def test_pii_mask_categories(spark):
+    """Emails and formatted phones get category tokens; residual digit
+    runs collapse to '#'; text with no PII passes through unchanged."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.co or call 12-345-678-9012 ref 777"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.org and 99 tail"),
+        ],
+        "id long, txt string",
+    )
+    out = {
+        r["id"]: (r["masked"], r["n_emails"], r["n_phones"], r["n_digit_runs"])
+        for r in df.select(
+            "id",
+            T.pii_mask(F.col("txt")).alias("masked"),
+            *[v.alias(k) for k, v in T.pii_counts(F.col("txt")).items()],
+        ).collect()
+    }
+    assert out[1] == ("mail [EMAIL] or call [PHONE] ref #", 1, 1, 1)
+    assert out[2] == ("no pii here at all", 0, 0, 0)
+    assert out[3] == ("two mails [EMAIL] [EMAIL] and # tail", 2, 0, 1)
+
+
+def test_mixture_rates_balances_to_smallest(spark):
+    """rate_s = min(1, min_total/total_s): smallest stratum keeps
+    rate 1.0; every other stratum's expected sampled weight equals the
+    smallest stratum's total."""
+    rows = [("a", 10)] * 10 + [("b", 10)] * 40 + [("c", 10)] * 25
+    df = spark.createDataFrame(rows, "src string, w int")
+    rates = {
+        r["src"]: (r["total_w"], r["rate"])
+        for r in T.mixture_rates(df, "src", "w").collect()
+    }
+    assert rates["a"] == (100, 1.0)
+    assert rates["b"] == (400, 0.25)
+    assert rates["c"] == (250, 0.4)
