@@ -1,0 +1,118 @@
+"""Multi-dimensional data layout: Z-order (Morton-curve) clustering.
+
+Parquet scans skip whole files/row-groups whose column min/max ranges
+don't overlap the predicate. A plain sort clusters ONE column — a
+filter on any other column overlaps every file. Interleaving the bits
+of several columns (the Z-order curve) keeps every interleaved
+column's value range narrow within each file, so 2-D box predicates
+skip most files. This is the standard lakehouse OPTIMIZE/ZORDER
+maintenance operation, expressed as pure DataFrame ops.
+
+Scale design: the only driver-side work is one min/max aggregate per
+layout call (2 values per column — map-side combinable, bytes of
+result). The z-value is a JVM bit-arithmetic expression; the write is
+``repartitionByRange`` on z (sampled range boundaries, balanced
+files) + ``sortWithinPartitions`` so row-group stats inside each file
+stay tight too. Nothing ever collects data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def _normalize(col: Column, lo, hi, bits: int) -> Column:
+    """Scale a numeric column to an integer rank in [0, 2^bits): the
+    per-column quantization that makes bit-interleaving meaningful.
+    A constant column (hi == lo) maps to 0."""
+    span = float(hi) - float(lo)
+    if span <= 0:
+        return F.lit(0).cast("bigint")
+    scale = (2**bits - 1) / span
+    return F.floor((col.cast("double") - float(lo)) * F.lit(scale)).cast("bigint")
+
+
+def zorder_value(norm_cols: list[Column], bits: int) -> Column:
+    """Morton interleave of pre-normalized integer columns: output bit
+    ``i * n_cols + c`` = bit ``i`` of column ``c``. Total bits must fit
+    a signed 64-bit value, so ``bits * len(cols) <= 62``."""
+    n = len(norm_cols)
+    if bits * n > 62:
+        raise ValueError(f"bits*cols = {bits * n} exceeds 62-bit budget")
+    z = F.lit(0).cast("bigint")
+    for c_idx, col in enumerate(norm_cols):
+        for i in range(bits):
+            bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + c_idx)
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite ``df`` at ``path`` clustered along the Z-order curve of
+    ``cols``. One bounded min/max aggregate plans the quantization;
+    ``repartitionByRange`` on the z-value balances output files and
+    ``sortWithinPartitions`` tightens row-group stats within each."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    stats = df.agg(*aggs).first()
+    norm = [
+        _normalize(F.col(c), stats[f"__min_{c}"], stats[f"__max_{c}"], bits)
+        for c in cols
+    ]
+    (
+        df.withColumn("__z", zorder_value(norm, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def files_overlapping_box(path: str, box: dict[str, tuple]) -> tuple[int, int]:
+    """(n_overlapping, n_total) parquet files under ``path`` whose
+    per-file column min/max statistics overlap the given box predicate
+    ``{col: (lo, hi)}`` — exactly the file-skipping decision a
+    stats-aware scan makes. Footer-only reads (pyarrow), no data IO;
+    used by tests and layout-quality reporting."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    n_overlap = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        schema_names = md.schema.to_arrow_schema().names
+        col_range: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = schema_names[ci] if ci < len(schema_names) else col.path_in_schema
+                st = col.statistics
+                if st is None or name not in box:
+                    continue
+                cur = col_range.setdefault(name, [st.min, st.max])
+                cur[0] = min(cur[0], st.min)
+                cur[1] = max(cur[1], st.max)
+        overlaps = all(
+            name in col_range
+            and not (col_range[name][1] < lo or col_range[name][0] > hi)
+            for name, (lo, hi) in box.items()
+        )
+        if overlaps:
+            n_overlap += 1
+    return n_overlap, len(files)
