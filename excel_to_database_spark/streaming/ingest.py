@@ -88,6 +88,53 @@ def stream_sync(
     )
 
 
+def stream_upsert(
+    df: DataFrame,
+    target_table: str,
+    key: str | list[str],
+    seq_col: str,
+    checkpoint: str = "/tmp/etds_upsert_ckpt",
+    partition_col: str | None = None,
+):
+    """Streaming MERGE: apply each micro-batch to ``target_table`` with
+    the same anti-join + union upsert as the batch path (sync/merge).
+    This is the incremental sheet→warehouse sync — late re-uploads of
+    the same key update in place instead of duplicating.
+
+    A batch can carry several versions of one key; ``seq_col`` (an
+    event timestamp / version number carried in the data) decides which
+    wins, so the result is deterministic under any partitioning or
+    batch replay — never "arrival order", which a distributed source
+    does not have. State stays bounded: nothing is held across batches
+    except the target table itself (the lakehouse CDC-apply pattern;
+    the checkpoint gives at-least-once batch replay, and the
+    keyed merge makes that exactly-once on the table)."""
+    from pyspark.sql.window import Window
+
+    from excel_to_database_spark.sync.merge import merge_upsert
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        merge_upsert(spark, target_table, latest, keys, partition_col=partition_col)
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

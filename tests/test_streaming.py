@@ -78,3 +78,51 @@ def test_stateful_running_stats(spark, sf_dir):
     g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
     b = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
     assert g == b
+
+
+def test_stream_upsert_merges_each_batch(spark, tmp_path):
+    """Streaming CDC-apply: micro-batches of keyed updates merge into
+    the target table — matched keys update (highest seq wins inside a
+    batch), unmatched keys insert, untouched keys survive."""
+    import time
+
+    from excel_to_database_spark.streaming.ingest import stream_upsert
+
+    spark.sql("DROP TABLE IF EXISTS t_stream_upsert")
+    spark.createDataFrame(
+        [(1, "one", 0), (2, "two", 0), (3, "three", 0)], "k long, v string, seq long"
+    ).write.saveAsTable("t_stream_upsert")
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    # batch A: update k=1
+    spark.createDataFrame([(1, "ONE", 10)], "k long, v string, seq long") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    # batch B: update k=2, two versions of k=4 (seq decides), insert k=5
+    spark.createDataFrame(
+        [(2, "TWO", 20), (4, "four-old", 1), (4, "four-new", 2), (5, "five", 5)],
+        "k long, v string, seq long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("k long, v string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = stream_upsert(
+        stream, "t_stream_upsert", "k", "seq",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {r["k"]: (r["v"], r["seq"]) for r in spark.table("t_stream_upsert").collect()}
+    assert got == {
+        1: ("ONE", 10),
+        2: ("TWO", 20),
+        3: ("three", 0),
+        4: ("four-new", 2),
+        5: ("five", 5),
+    }
+    spark.sql("DROP TABLE IF EXISTS t_stream_upsert")
