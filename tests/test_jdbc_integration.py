@@ -96,3 +96,42 @@ def test_cloud_copy_executes_against_derby(spark, tmp_path):
     df3 = matrix_to_df(spark, [["a", "c"], ["5", "6"]])
     r3 = dest.sync(df3, "t_copy", path="cloudtest")
     assert (r3.action, r3.n_records) == ("Recreated", 1)
+
+
+def test_jdbc_source_partitioned_read_with_pushdown(spark, tmp_path):
+    """The warehouse→Spark direction: a numeric-range partitioned JDBC
+    read plans one stripe per partition (parallel ingest, not one
+    connection), discovers bounds with a single MIN/MAX probe, and
+    pushes filters down to the warehouse query."""
+    from excel_to_database_spark.sources.jdbc_source import read_jdbc_table
+
+    url = f"jdbc:derby:{tmp_path / 'derby_src'};create=true"
+    seed = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 101)], "k int, v string"
+    )
+    (
+        seed.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t_src")
+        .options(**DRIVER)
+        .save()
+    )
+
+    df = read_jdbc_table(
+        spark, url, "t_src", DRIVER, partition_col="k", num_partitions=4
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+
+    filtered = df.filter("k > 90")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan" in plan
+    assert sorted(r["k"] for r in filtered.collect()) == list(range(91, 101))
+
+    # explicit bounds skip the probe query entirely
+    df2 = read_jdbc_table(
+        spark, url, "t_src", DRIVER,
+        partition_col="k", lower_bound=1, upper_bound=100, num_partitions=8,
+    )
+    assert df2.rdd.getNumPartitions() == 8
+    assert df2.count() == 100
