@@ -989,3 +989,37 @@ def q104_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("canonical_quality"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
     )
+
+
+@query(
+    "q109_triangle_count",
+    f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD},
+    p AS (SELECT da, db FROM jac WHERE jaccard >= 0.6)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM p e1
+    JOIN p e2 ON e2.da = e1.db
+    JOIN p e3 ON e3.da = e1.da AND e3.db = e2.db
+    """,
+)
+def q109_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup pair graph — the standard
+    graph-quality probe for a dedup candidate set (triangles = tightly
+    connected duplicate families). Edges are kept in canonical a<b
+    orientation, so each triangle is counted exactly once by the
+    two-hop join; both joins are equi-joins on doc ids, shuffling only
+    the pair list (bounded by duplicate volume, not the corpus)."""
+    d = t(spark, sf_dir, "documents")
+    # the pair list feeds all three triangle legs: persist it (bounded
+    # by duplicate volume) instead of re-running the shingle pipeline
+    # per leg — without this the plan scans `documents` 12 times
+    p = (
+        D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    e1 = p.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = p.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = p.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

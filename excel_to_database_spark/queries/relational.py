@@ -1928,3 +1928,93 @@ def q101_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_returnflag", "n", "exact_p50", "exact_p95", ok.cast("int").alias("approx_ok")
     )
+
+
+def _sql_zorder(nx: str, ny: str, bits: int) -> str:
+    """DuckDB twin of layout.zorder_value for two pre-normalized
+    columns: bit i of x lands at 2i, bit i of y at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({nx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ny} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "q106_zorder_histogram",
+    f"""
+    WITH norm AS (
+        SELECT CAST(FLOOR(CAST(l_partkey AS DOUBLE) * (255.0 / 1999.0)) AS BIGINT) AS nx,
+               CAST(FLOOR(CAST(l_suppkey AS DOUBLE) * (255.0 / 99.0)) AS BIGINT) AS ny
+        FROM lineitem
+    ),
+    z AS (SELECT {_sql_zorder('nx', 'ny', 8)} AS zval FROM norm)
+    SELECT CAST(zval >> 8 AS BIGINT) AS z_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM z GROUP BY z_cell
+    """,
+)
+def q106_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order layout math as a first-class query: Morton-interleave
+    (l_partkey, l_suppkey) at 8 bits per dimension with the table's
+    fixed [0,1999]x[0,99] bounds, then histogram the 256 coarse curve
+    cells — the same cell occupancy that drives zorder_write's file
+    balance. Bit arithmetic is identical JVM/DuckDB, so the histogram
+    is exact, registering the layout operator in the driver gate."""
+    from excel_to_database_spark.sync.layout import _normalize, zorder_value
+
+    l = t(spark, sf_dir, "lineitem")
+    nx = _normalize(F.col("l_partkey"), 0, 1999, 8)
+    ny = _normalize(F.col("l_suppkey"), 0, 99, 8)
+    z = zorder_value([nx, ny], bits=8)
+    return (
+        l.select(F.shiftright(z, 8).cast("bigint").alias("z_cell"))
+        .groupBy("z_cell")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "q107_frame_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_price,
+           NTH_VALUE(o_totalprice, 2)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing3_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q107_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window FRAMES: first/last/nth value over an unbounded
+    ROWS frame and a trailing-3 moving sum (decimal-routed, so the
+    frame sum is order-exact cross-engine). Each customer's order
+    history is one partition — the frame never spans partitions, so
+    the plan is one shuffle on o_custkey."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_trail = w.rowsBetween(-2, Window.currentRow)
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(w_trail)
+        .cast("double")
+        .alias("trailing3_sum"),
+    )

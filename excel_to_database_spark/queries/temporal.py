@@ -403,3 +403,109 @@ def q99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("click_id", "purchase_id")
     return run_stream_to_memory(spark, joined, "q99_ss_join", output_mode="append")
+
+
+@query(
+    "q105_gapfill_rollup",
+    f"""
+    WITH actual AS (
+        SELECT event_type,
+               CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('value', 's')}
+        FROM events GROUP BY event_type, bucket
+    ),
+    span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+             FROM actual GROUP BY event_type),
+    grid AS (SELECT event_type, UNNEST(generate_series(lo, hi, 3600)) AS bucket
+             FROM span)
+    SELECT g.event_type, g.bucket,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(a.s, 0) AS DOUBLE) AS sum_value
+    FROM grid g LEFT JOIN actual a
+      ON a.event_type = g.event_type AND a.bucket = g.bucket
+    """,
+)
+def q105_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup with gap filling: hourly
+    buckets per event type, with empty hours materialized as zero rows
+    (the downsampling shape time-series stores call time_bucket_gapfill).
+    The dense bucket grid comes from sequence+explode over each type's
+    [min, max] span — generated, never collected; its size is bounded
+    by the time span, not the event volume, so the left join back to
+    the rolled-up actuals is a small-table join at any corpus scale."""
+    e = t(spark, sf_dir, "events")
+    b = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    actual = e.groupBy("event_type", b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "s")
+    )
+    span = actual.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias("bucket"),
+    )
+    return grid.join(actual, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.col("s"), F.lit(0.0)).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q108_asof_nearest",
+    """
+    SELECT o.o_orderkey,
+           (SELECT e.event_id FROM events e
+            WHERE e.user_id = o.o_custkey
+            ORDER BY ABS(FLOOR(EPOCH(e.ts)) - FLOOR(EPOCH(o.o_orderdate))) ASC,
+                     e.ts ASC, e.event_id ASC
+            LIMIT 1) AS nearest_event_id
+    FROM orders o
+    WHERE o.o_custkey < 150
+    """,
+)
+def q108_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (minimum absolute time distance, ties to the
+    earlier event then the smaller id) — composed from one backward and
+    one forward as-of pass, then a per-row comparison. Still one
+    union+window shuffle per direction, no range explosion; the oracle
+    states the semantics as a correlated ORDER BY ABS(...) LIMIT 1."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    e = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .withColumn("neg_event_id", -F.col("event_id"))
+        .withColumn("ev_ts", F.col("ts"))
+    )
+    left = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    back = asof_join(
+        left, e,
+        left_on="o_custkey", right_on="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        payload=["event_id", "ev_ts"], tiebreak="neg_event_id",
+        direction="backward",
+    ).select(
+        "o_orderkey", "o_orderdate",
+        F.col("event_id").alias("b_id"), F.col("ev_ts").alias("b_ts"),
+    )
+    fwd = asof_join(
+        left, e,
+        left_on="o_custkey", right_on="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        payload=["event_id", "ev_ts"], tiebreak="neg_event_id",
+        direction="forward",
+    ).select(F.col("o_orderkey").alias("f_key"), F.col("event_id").alias("f_id"), F.col("ev_ts").alias("f_ts"))
+    both = back.join(fwd, back.o_orderkey == fwd.f_key, "left")
+    od = F.unix_timestamp("o_orderdate")
+    diff_b = od - F.unix_timestamp("b_ts")
+    diff_f = F.unix_timestamp("f_ts") - od
+    pick_b = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (diff_b <= diff_f)
+    )
+    return both.select(
+        "o_orderkey",
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias("nearest_event_id"),
+    )
