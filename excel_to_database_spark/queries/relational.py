@@ -2018,3 +2018,113 @@ def q107_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing3_sum"),
     )
+
+
+@query(
+    "q110_count_min_sketch",
+    """
+    WITH seeds AS (SELECT UNNEST([0, 1, 2, 3]) AS seed),
+    exploded AS (
+        SELECT seed,
+               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 4)) AS INTEGER) % 256 AS bucket
+        FROM lineitem, seeds
+    ),
+    sketch AS (SELECT seed, bucket, COUNT(*) AS cnt FROM exploded GROUP BY seed, bucket),
+    probes AS (SELECT DISTINCT l_partkey AS item FROM lineitem WHERE l_partkey < 50),
+    probe_buckets AS (
+        SELECT item, seed,
+               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 4)) AS INTEGER) % 256 AS bucket
+        FROM probes, seeds
+    ),
+    est AS (SELECT item, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_est
+            FROM probe_buckets LEFT JOIN sketch USING (seed, bucket)
+            GROUP BY item),
+    exact AS (SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM lineitem WHERE l_partkey < 50 GROUP BY item)
+    SELECT item, exact_cnt, cms_est,
+           CAST(cms_est >= exact_cnt AS INT) AS never_undercounts
+    FROM exact JOIN est USING (item)
+    """,
+)
+def q110_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 256) over l_partkey frequency,
+    probed for the keys < 50 against their exact counts. The md5 hash
+    family makes every counter engine-portable, so the ORACLE rebuilds
+    the identical sketch and the match is exact — including the
+    per-row ``never_undercounts`` invariant (collisions only inflate).
+    The sketch is O(depth*width) rows regardless of corpus size: the
+    constant-memory frequency answer at 100 TB."""
+    from excel_to_database_spark.operators.sketch import cms_build, cms_estimate
+
+    l = t(spark, sf_dir, "lineitem")
+    sketch = cms_build(l, "l_partkey", depth=4, width=256)
+    probes = l.filter(F.col("l_partkey") < 50)
+    est = cms_estimate(sketch, probes, "l_partkey", depth=4, width=256)
+    exact = (
+        probes.groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return exact.join(est, "item").select(
+        "item",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).cast("int").alias("never_undercounts"),
+    )
+
+
+@query(
+    "q111_bloom_membership",
+    """
+    WITH seeds AS (SELECT UNNEST([0, 1, 2]) AS seed),
+    bits AS (
+        SELECT DISTINCT seed,
+               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 4)) AS INTEGER) % 4096 AS bit
+        FROM orders, seeds
+    ),
+    probe_bits AS (
+        SELECT c_custkey AS item, seed,
+               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 4)) AS INTEGER) % 4096 AS bit
+        FROM customer, seeds
+    ),
+    hits AS (SELECT item, COUNT(*) = SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS bloom_hit
+             FROM probe_bits LEFT JOIN bits USING (seed, bit)
+             GROUP BY item),
+    members AS (SELECT DISTINCT o_custkey AS item FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN members.item IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN bloom_hit AND members.item IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN NOT bloom_hit AND members.item IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives
+    FROM hits LEFT JOIN members USING (item)
+    """,
+)
+def q111_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership (3 hashes × 4096 bits) of the ordering-customer
+    set, probed with every customer: zero false negatives by
+    construction (asserted in-row by the oracle-matched counts),
+    bounded false positives. The lit-bit set is ≤ n_hashes×n_bits rows
+    — broadcastable at any corpus scale — and both build and probe are
+    single map-side-combinable aggregations."""
+    from excel_to_database_spark.operators.sketch import bloom_build, bloom_probe
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    bloom = bloom_build(o, "o_custkey", n_hashes=3, n_bits=4096)
+    hits = bloom_probe(bloom, c, "c_custkey", n_hashes=3, n_bits=4096)
+    members = o.select(F.col("o_custkey").alias("item")).distinct().withColumn(
+        "is_member", F.lit(True)
+    )
+    joined = hits.join(members, "item", "left").withColumn(
+        "is_member", F.coalesce("is_member", F.lit(False))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias("n_bloom_hits"),
+        F.sum(F.col("is_member").cast("int")).cast("bigint").alias("n_members"),
+        F.sum((F.col("bloom_hit") & ~F.col("is_member")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum((~F.col("bloom_hit") & F.col("is_member")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_negatives"),
+    )

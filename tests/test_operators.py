@@ -116,3 +116,44 @@ def test_sessionize_tie_timestamps(spark):
     )
     out = sessionize(df, "user", "ts", 60, "eid").collect()
     assert sorted((r["eid"], r["session_id"]) for r in out) == [(1, 1), (2, 1)]
+
+
+def test_cms_never_undercounts_and_error_bounded(spark, sf_dir):
+    """Count-min invariants on real data: estimate >= exact for every
+    probed key (collisions only inflate), and the depth-4 x width-256
+    sketch's overestimate stays within eps*N (eps ~ e/width)."""
+    import pyspark.sql.functions as F
+
+    from excel_to_database_spark.operators.sketch import cms_build, cms_estimate
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_total = l.count()
+    sketch = cms_build(l, "l_partkey", depth=4, width=256)
+    est = cms_estimate(sketch, l, "l_partkey", depth=4, width=256)
+    exact = l.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    rows = exact.join(est, "item").collect()
+    assert len(rows) > 0
+    eps_n = (2.718 / 256) * n_total
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["cms_est"] - r["exact_cnt"] <= eps_n
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Every true member passes the bloom probe; false-positive rate of
+    the 3x4096 filter stays under 20% on the non-member probes."""
+    import pyspark.sql.functions as F
+
+    from excel_to_database_spark.operators.sketch import bloom_build, bloom_probe
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bloom = bloom_build(o, "o_custkey", n_hashes=3, n_bits=4096)
+    hits = {r["item"]: r["bloom_hit"] for r in bloom_probe(bloom, c, "c_custkey").collect()}
+    members = {r[0] for r in o.select("o_custkey").distinct().collect()}
+    non_members = set(hits) - members
+    assert all(hits[m] for m in members if m in hits)
+    fp = sum(1 for x in non_members if hits[x])
+    assert len(non_members) == 0 or fp / len(non_members) < 0.2
