@@ -222,11 +222,15 @@ def tfidf_top_terms(
     )
     tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
-    ratio = (F.lit(n_docs + 1).cast("double")) / (F.col("df") + 1).cast("double")
+    # corpus size as a one-row broadcast frame, not a driver count() —
+    # plan construction stays job-free
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    ratio = (F.col("__n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")
     idf = (F.log(ratio) + 1) if log_idf else ratio
-    scored = tf.join(dfreq, "term").select(
-        "doc", "term", (F.col("tf") * idf).alias("weight")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc", "term", (F.col("tf") * idf).alias("weight"))
     )
     w = Window.partitionBy("doc").orderBy(F.desc("weight"), F.asc("term"))
     return (

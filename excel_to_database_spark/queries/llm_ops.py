@@ -1023,3 +1023,53 @@ def q109_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e3 = p.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "q112_recursive_closure",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_JACCARD},
+    p AS (SELECT da, db FROM jac WHERE jaccard >= 0.6),
+    sym AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p),
+    reach(src, dst, depth) AS (
+        SELECT src, dst, 0 FROM sym
+        UNION ALL
+        SELECT r.src, s.dst, r.depth + 1
+        FROM reach r JOIN sym s ON r.dst = s.src
+        WHERE r.depth < 8
+    ),
+    labels AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+               FROM (SELECT DISTINCT src, dst FROM reach) GROUP BY src)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM labels GROUP BY cluster
+    """,
+)
+def q112_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure via Spark's native RECURSIVE CTE
+    (SQL-level recursion, a different execution path from q100's
+    DataFrame label-propagation loop — both held to the same answer).
+    The recursion is depth-guarded (UNION ALL + depth < 8, dedup after)
+    so it terminates on the cyclic symmetric edge set in both engines;
+    8 hops covers any near-dup cluster diameter the verify threshold
+    admits at these document sizes."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
+    pairs.select("doc_a", "doc_b").createOrReplaceTempView("dup_pairs")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+                UNION SELECT doc_b, doc_a FROM dup_pairs),
+        reach(src, dst, depth) AS (
+            SELECT src, dst, 0 FROM sym
+            UNION ALL
+            SELECT r.src, s.dst, r.depth + 1
+            FROM reach r JOIN sym s ON r.dst = s.src
+            WHERE r.depth < 8
+        ),
+        labels AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+                   FROM (SELECT DISTINCT src, dst FROM reach) GROUP BY src)
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM labels GROUP BY cluster
+        """
+    )

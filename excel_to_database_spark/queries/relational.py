@@ -1355,11 +1355,16 @@ def q38_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     year present in the data — distinct-count equality against the
     universe, the shuffle-friendly form of the double-NOT-EXISTS."""
     o = t(spark, sf_dir, "orders")
-    n_years = o.select(F.year("o_orderdate")).distinct().count()
+    universe = o.agg(
+        F.countDistinct(F.year("o_orderdate")).alias("__n_years")
+    )
     return (
         o.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.countDistinct(F.year("o_orderdate")).alias("ny"))
-        .filter(F.col("ny") == n_years)
+        # one-row universe frame joined in (broadcast nested loop) —
+        # keeps plan construction job-free instead of a driver count()
+        .crossJoin(F.broadcast(universe))
+        .filter(F.col("ny") == F.col("__n_years"))
         .select("custkey")
     )
 
@@ -2127,4 +2132,33 @@ def q111_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("bloom_hit") & F.col("is_member")).cast("int"))
         .cast("bigint")
         .alias("n_false_negatives"),
+    )
+
+
+@query(
+    "q113_lateral_topk",
+    """
+    SELECT n_name, c_custkey, c_acctbal
+    FROM nation,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC
+             LIMIT 3) top_c
+    """,
+)
+def q113_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-3 customers per nation by
+    balance) — the per-row-subquery SQL surface. Catalyst decorrelates
+    the LATERAL ... LIMIT into a partitioned window under the hood, so
+    the plan is the same one shuffle as an explicit rank filter."""
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n_name, c_custkey, c_acctbal
+        FROM nation,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC
+                 LIMIT 3) top_c
+        """
     )
