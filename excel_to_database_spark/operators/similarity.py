@@ -37,29 +37,44 @@ def cosine_topk(
     """Top-k cosine neighbors for each query vector (rows matching
     ``query_filter``; default: all rows) against the full table.
     Returns (query_id, neighbor_id, cosine, rank)."""
+    # norms are per-VECTOR: computed once per side here (the same fold
+    # expressions, so the values are bit-identical), never per pair —
+    # per-pair work is exactly one dot fold.
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def dfold(arr):
+        # decimal(30,12) addition is exact and order-independent, so the
+        # sequential aggregate equals the SQL oracle's SUM(decimal)
+        # bit-for-bit. The lambda re-casts after each add because
+        # decimal + widens precision and the accumulator type must stay
+        # fixed; the cast is lossless (18 integer digits headroom).
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, x: (acc + x).cast("decimal(30,12)"),
+        ).cast("double")
+
+    def ffold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    if exact:
+        n2 = dfold(
+            F.transform(
+                "v", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
+            )
+        )
+    else:
+        n2 = ffold(F.transform("v", lambda a: a.cast("double") * a.cast("double")))
+
     q = base.filter(query_filter) if query_filter is not None else base
-    q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
-    d = base.select(F.col("id").alias("nid"), F.col("v").alias("nv"))
+    q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"), n2.alias("qn2"))
+    d = base.select(F.col("id").alias("nid"), F.col("v").alias("nv"), n2.alias("nn2"))
     # corpus side drives parallelism; a small parquet arrives as one
-    # partition, which would serialize the dot-product explode below
+    # partition, which would serialize the dot-product fold below
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     pairs = F.broadcast(q).crossJoin(d).filter(F.col("qid") != F.col("nid"))
 
     if exact:
-        # single-pass decimal fold: decimal(30,12) addition is exact and
-        # order-independent, so the sequential aggregate equals the SQL
-        # oracle's SUM(decimal) bit-for-bit — no explode, no shuffle.
-        # The lambda re-casts after each add because decimal + widens
-        # precision (31,12) and the accumulator type must stay fixed;
-        # the cast is lossless (same scale, 18 integer digits headroom).
-        def dfold(arr):
-            return F.aggregate(
-                arr,
-                F.lit(0).cast("decimal(30,12)"),
-                lambda acc, x: (acc + x).cast("decimal(30,12)"),
-            ).cast("double")
-
         dot = dfold(
             F.zip_with(
                 "qv",
@@ -67,35 +82,14 @@ def cosine_topk(
                 lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(30,12)"),
             )
         )
-        nq = dfold(
-            F.transform("qv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)"))
-        )
-        nd = dfold(
-            F.transform("nv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)"))
-        )
-        scored = pairs.select(
-            "qid", "nid", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cosine")
-        )
     else:
         # single-pass JVM reduction — the production path
-        dot = F.aggregate(
-            F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        dot = ffold(
+            F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double"))
         )
-        nq = F.aggregate(
-            F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        nd = F.aggregate(
-            F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = pairs.select(
-            "qid", "nid", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cosine")
-        )
+    scored = pairs.select(
+        "qid", "nid", (dot / (F.sqrt("qn2") * F.sqrt("nn2"))).alias("cosine")
+    )
 
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -107,6 +101,79 @@ def cosine_topk(
             "cosine",
             "rank",
         )
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    sieve_margin: float = 1e-6,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (embedding near-dup), exact — but
+    sieved: every pair is first scored with the cheap double-arithmetic
+    cosine, and only pairs within ``sieve_margin`` of the threshold
+    band get the decimal-exact rescoring that the final predicate (and
+    the SQL oracle) is evaluated on. The double fold's accumulated
+    error for unit-scale float vectors is ~1e-13 relative, 7 orders
+    below the default margin, so the sieve provably drops no
+    qualifying pair — same answer, ~10× less decimal work. Pairs are
+    generated once in canonical (a < b) orientation. Returns
+    (vec_a, vec_b, cosine)."""
+    # norms are per-VECTOR, so both the fast double norm and the
+    # decimal-exact norm are computed once per side here — never per
+    # pair. The per-pair work is then exactly one double dot fold
+    # (sieve) plus one decimal dot fold for survivors.
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def ffold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def dfold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, x: (acc + x).cast("decimal(30,12)"),
+        ).cast("double")
+
+    def with_norms(df, prefix):
+        fast_n2 = ffold(F.transform("v", lambda x: x.cast("double") * x.cast("double")))
+        exact_n2 = dfold(
+            F.transform(
+                "v", lambda x: (x.cast("double") * x.cast("double")).cast("decimal(30,12)")
+            )
+        )
+        return df.select(
+            F.col("id").alias(f"{prefix}id"),
+            F.col("v").alias(f"{prefix}v"),
+            fast_n2.alias(f"{prefix}n2f"),
+            exact_n2.alias(f"{prefix}n2"),
+        )
+
+    a = with_norms(base, "q")
+    b = with_norms(base, "n")
+    b = b.repartition(b.sparkSession.sparkContext.defaultParallelism)
+    pairs = F.broadcast(a).crossJoin(b).filter(F.col("qid") < F.col("nid"))
+
+    fast_dot = ffold(F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")))
+    cand = pairs.withColumn(
+        "cos_fast", fast_dot / (F.sqrt("qn2f") * F.sqrt("nn2f"))
+    ).filter(F.col("cos_fast") >= threshold - sieve_margin)
+
+    dot = dfold(
+        F.zip_with(
+            "qv", "nv",
+            lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(30,12)"),
+        )
+    )
+    return (
+        cand.select(
+            F.col("qid").alias("vec_a"),
+            F.col("nid").alias("vec_b"),
+            (dot / (F.sqrt("qn2") * F.sqrt("nn2"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -1,0 +1,95 @@
+"""``spark.read.format("xlsx")`` — the Excel reader as a registered
+Spark Python DataSource (pyspark.sql.datasource, Spark 4.x), so a
+workbook directory reads like any first-class format:
+
+    spark.dataSource.register(XlsxDataSource)
+    df = (spark.read.format("xlsx")
+          .option("sheet", "Sheet1")       # default: first sheet
+          .option("visible_only", "true")  # VBA visible-only parity
+          .load("/data/workbooks"))
+
+Same semantics as ``excel_source.read_excel`` (header row promoted to
+sanitized column names, all columns string — reference app/data.py:57-62,
+:121): this wrapper adds only the format registration. Scale shape is
+identical too: one InputPartition per workbook (xlsx is an unsplittable
+zip; a directory parallelizes across executors), and the driver touches
+only one file's first row to fix the schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("1", "true", "yes")
+
+
+def _list_workbooks(path: str) -> list[str]:
+    import glob as _glob
+    import os as _os
+
+    pattern = _os.path.join(path, "*.xlsx") if _os.path.isdir(path) else path
+    return sorted(_glob.glob(pattern)) or [path]
+
+
+class XlsxDataSource(DataSource):
+    """Format name ``xlsx``; options: ``sheet``, ``visible_only``,
+    ``bug_compat_1900``, ``keep_time``, ``sanitize`` (all mirroring
+    ``read_excel`` keyword arguments)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xlsx"
+
+    def schema(self) -> StructType:
+        from excel_to_database_spark.naming import sanitize_columns
+        from excel_to_database_spark.sources.excel_source import _header_of
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("xlsx datasource requires a path")
+        first = _list_workbooks(path)[0]
+        _, header = _header_of(
+            first,
+            self.options.get("sheet"),
+            _truthy(self.options.get("visible_only", "false")),
+            _truthy(self.options.get("bug_compat_1900", "false")),
+        )
+        cols = (
+            sanitize_columns(header)
+            if _truthy(self.options.get("sanitize", "true"))
+            else [str(h) for h in header]
+        )
+        return StructType([StructField(c, StringType()) for c in cols])
+
+    def reader(self, schema: StructType) -> "XlsxReader":
+        return XlsxReader(schema, self.options)
+
+
+class XlsxReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = options
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per workbook — the natural task granule for an
+        # unsplittable zip container
+        return [InputPartition(p) for p in _list_workbooks(self.options["path"])]
+
+    def read(self, partition: InputPartition):
+        from excel_to_database_spark.sources.xlsx_core import WorkbookReader
+
+        with open(partition.value, "rb") as f:
+            rdr = WorkbookReader(
+                f.read(),
+                _truthy(self.options.get("bug_compat_1900", "false")),
+                _truthy(self.options.get("keep_time", "false")),
+            )
+        sheet = self.options.get("sheet") or rdr.sheet_names()[0]
+        matrix = rdr.read_sheet(
+            sheet, _truthy(self.options.get("visible_only", "false"))
+        )
+        ncols = len(self.schema.fields)
+        for row in matrix[1:]:
+            yield tuple((row + [""] * ncols)[:ncols])

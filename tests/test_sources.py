@@ -82,3 +82,28 @@ def test_read_csv_path_infer_schema(spark, tmp_path):
     # default stays all-string (reference parity)
     df2 = read_csv_path(spark, str(p))
     assert all(t == "string" for _, t in df2.dtypes)
+
+
+def test_xlsx_datasource_format(spark, tmp_path):
+    """spark.read.format('xlsx'): the reader registered as a first-class
+    Spark data source — schema from one driver-side header probe, one
+    input partition per workbook, values identical to read_excel."""
+    from excel_to_database_spark.sources.excel_source import read_excel
+    from excel_to_database_spark.sources.xlsx_datasource import XlsxDataSource
+    from tests.helpers_xlsx import build_xlsx
+
+    d = tmp_path / "books"
+    d.mkdir()
+    for i in range(3):
+        blob = build_xlsx(
+            {"Sheet1": [["Name", "Qty"], [f"row{i}a", str(i)], [f"row{i}b", str(i * 10)]]}
+        )
+        (d / f"wb{i}.xlsx").write_bytes(blob)
+
+    spark.dataSource.register(XlsxDataSource)
+    df = spark.read.format("xlsx").load(str(d))
+    assert df.columns == read_excel(spark, str(d)).columns
+    assert df.rdd.getNumPartitions() == 3
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, read_excel(spark, str(d)).collect()))
+    assert got == want and len(got) == 6
