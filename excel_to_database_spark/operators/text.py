@@ -298,6 +298,53 @@ def hash_bucket(key_col: str, salt: str):
     ).cast("int")
 
 
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+):
+    """Split each document into token-bounded chunks with overlap (the
+    context-window packing step before embedding/training): chunk ``k``
+    covers words [k*stride, k*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap. Pure JVM array ops — tokenize
+    once, generate chunk starts with ``sequence``, slice the token
+    array per chunk; one narrow pass, no shuffle, no Python. Returns
+    (id, chunk_id, chunk_text, n_chunk_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    staged = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("w")
+    ).select("id", "w", F.size("w").alias("n"))
+    # chunk count = ceil(max(n - overlap, 1) / stride) — the last chunk
+    # may be short but is never empty; a doc shorter than one chunk
+    # yields exactly one chunk
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("n") - F.lit(overlap)).cast("double") / F.lit(stride))
+    ).cast("int")
+    w = F.col("w")
+    return (
+        staged.select(
+            "id",
+            "w",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.slice(w, F.col("chunk_id") * stride + 1, chunk_tokens).alias("toks"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.concat_ws(" ", F.col("toks")).alias("chunk_text"),
+            F.size("toks").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def mixture_rates(df, stratum_col: str, weight_col):
     """Per-stratum sampling rates that equalize each stratum's total
     weight to the smallest stratum's (the classic down-sample-to-

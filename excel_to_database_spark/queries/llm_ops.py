@@ -1066,3 +1066,78 @@ def q112_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM labels GROUP BY cluster
         """
     )
+
+
+@query(
+    "q114_document_chunking",
+    f"""
+    WITH ws AS (SELECT doc_id, {T.SQL_WORDS.format(t='text')} AS w FROM documents),
+    st AS (SELECT doc_id, w, len(w) AS n FROM ws),
+    ch AS (SELECT doc_id, w,
+                  UNNEST(range(0, GREATEST(1, CAST(CEIL(CAST(n - 10 AS DOUBLE) / 20.0) AS INT)))) AS chunk_id
+           FROM st),
+    sliced AS (SELECT doc_id, chunk_id,
+                      w[chunk_id * 20 + 1 : chunk_id * 20 + 30] AS toks
+               FROM ch)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           md5(array_to_string(toks, ' ')) AS chunk_md5,
+           CAST(len(toks) AS INT) AS n_chunk_tokens
+    FROM sliced
+    """,
+)
+def q114_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 30-token chunks with 10-token overlap
+    (stride 20) per document — the packing step before embedding or
+    training. Tokenize once, generate chunk starts with ``sequence``,
+    slice the token array per chunk: one narrow JVM pass, no shuffle,
+    no Python. Chunk bytes are md5'd so the oracle verifies every
+    chunk's exact content, not just counts."""
+    d = t(spark, sf_dir, "documents")
+    chunks = T.chunk_documents(d, "doc_id", "text", chunk_tokens=30, overlap=10)
+    return chunks.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_chunk_tokens",
+    )
+
+
+@query(
+    "q115_oov_rate",
+    f"""
+    WITH tok AS (SELECT doc_id, UNNEST({T.SQL_WORDS.format(t='text')}) AS word
+                 FROM documents),
+    freq AS (SELECT word, COUNT(*) AS cf FROM tok GROUP BY word),
+    vocab AS (SELECT word FROM freq ORDER BY cf DESC, word ASC LIMIT 30),
+    flagged AS (SELECT t.doc_id, t.word,
+                       CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+                FROM tok t LEFT JOIN vocab v USING (word))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q115_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage screen: per-document out-of-vocabulary rate
+    against the corpus top-30 token vocabulary (the tokenizer-fit
+    proxy). The vocab is a global top-k (TakeOrderedAndProject — never
+    a full sort) broadcast back onto the token stream; corpus
+    frequencies are one map-side-combinable aggregation."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
+    vocab = (
+        freq.orderBy(F.desc("cf"), F.asc("word"))
+        .limit(30)
+        .select("word")
+        .withColumn("__in_vocab", F.lit(1))
+    )
+    flagged = tok.join(F.broadcast(vocab), "word", "left")
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        (F.sum(oov).cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )

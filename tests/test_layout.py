@@ -64,3 +64,27 @@ def test_zorder_write_skips_files_on_2d_box(spark, sf_dir, tmp_path):
     orig = l.agg(F.sum("l_quantity"), F.count(F.lit(1))).collect()
     z = spark.read.parquet(zpath).agg(F.sum("l_quantity"), F.count(F.lit(1))).collect()
     assert orig == z
+
+
+def test_zorder_interleave_roundtrip(spark):
+    """Property: de-interleaving the Morton code recovers the original
+    normalized coordinates for every pair in a 32x32 grid."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("bigint").alias("y")
+    )
+    z = zorder_value([F.col("x"), F.col("y")], bits=5)
+    # de-interleave in the same expression language
+    def deinter(zc, offset, bits):
+        out = F.lit(0).cast("bigint")
+        for i in range(bits):
+            out = out + F.shiftleft(
+                F.shiftright(zc, 2 * i + offset).bitwiseAND(F.lit(1)), i
+            )
+        return out
+
+    got = df.select(
+        "x", "y", deinter(z, 0, 5).alias("rx"), deinter(z, 1, 5).alias("ry")
+    )
+    assert got.filter((F.col("x") != F.col("rx")) | (F.col("y") != F.col("ry"))).count() == 0

@@ -319,3 +319,23 @@ def test_mixture_rates_balances_to_smallest(spark):
     assert rates["a"] == (100, 1.0)
     assert rates["b"] == (400, 0.25)
     assert rates["c"] == (250, 0.4)
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    """Chunk boundaries: stride = chunk-overlap; a doc shorter than one
+    chunk yields exactly one chunk; chunks overlap by the stated token
+    count; the final short chunk is never empty."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = T.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = {(r["id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 10 tokens, stride 3 -> ceil(9/3)=3 chunks: [0:4],[3:7],[6:10]
+    assert [rows[(1, k)]["chunk_text"] for k in range(3)] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert rows[(2, 0)]["chunk_text"] == "a b" and (2, 1) not in rows
+    assert rows[(3, 0)]["n_chunk_tokens"] == 1
+    # overlap: last token of chunk k == first token of chunk k+1
+    assert rows[(1, 0)]["chunk_text"].split()[-1] == rows[(1, 1)]["chunk_text"].split()[0]
