@@ -1,0 +1,249 @@
+"""Behavioral / product-analytics queries over the ``events`` table
+(ordered funnels, retention cohorts, gaps-and-islands, time-weighted
+averages, OHLC bars) plus the CMS-backed heavy-hitters query.
+
+The reference computes no event analytics (its only aggregations are
+load-report row counts, ``app/data.py:122,148`` — SURVEY.md §2.3); this
+family is extension surface, all expressed as built-in DataFrame ops
+with DuckDB-exact oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from excel_to_database_spark.operators.funnel import (
+    epoch_day,
+    funnel_counts,
+    islands,
+    retention_matrix,
+)
+from excel_to_database_spark.queries.base import dsum, query, sql_dsum, t
+
+_SQL_DAY = "CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT)"
+
+
+@query(
+    "q116_funnel_stages",
+    """
+    WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT '0_signup' AS stage, COUNT(*) AS n_keys FROM s0
+    UNION ALL SELECT '1_view', COUNT(*) FROM s1
+    UNION ALL SELECT '2_click', COUNT(*) FROM s2
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+    """,
+)
+def q116_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 4-stage funnel (signup → view → click →
+    purchase): stage *i+1* admits only events after the user's stage-*i*
+    entry. Every join/agg in the chain hashes on ``user_id`` — one
+    partitioning reused end-to-end, survivor side only shrinks."""
+    e = t(spark, sf_dir, "events")
+    return funnel_counts(
+        e, "user_id", "ts", "event_type", ["signup", "view", "click", "purchase"]
+    )
+
+
+@query(
+    "q117_retention_cohorts",
+    f"""
+    WITH fd AS (SELECT user_id,
+                       CAST(FLOOR(MIN({_SQL_DAY}) / 7) AS BIGINT) AS cohort_period
+                FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id,
+                   CAST(FLOOR({_SQL_DAY} / 7) AS BIGINT) AS period
+            FROM events)
+    SELECT fd.cohort_period,
+           act.period - fd.cohort_period AS period_offset,
+           COUNT(*) AS n_keys
+    FROM act JOIN fd USING (user_id)
+    GROUP BY fd.cohort_period, period_offset
+    """,
+)
+def q117_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-activity week,
+    counted in each later week they are active. Epoch-day // 7 periods
+    keep the bucketing timezone-free and engine-portable."""
+    e = t(spark, sf_dir, "events")
+    return retention_matrix(e, "user_id", "ts", period_days=7)
+
+
+@query(
+    "q118_gaps_islands",
+    f"""
+    WITH days AS (SELECT DISTINCT user_id, {_SQL_DAY} AS d FROM events),
+    rn AS (SELECT user_id, d,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS r
+           FROM days),
+    isl AS (SELECT user_id, d - r AS grp, COUNT(*) AS run_days
+            FROM rn GROUP BY user_id, d - r)
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           MAX(run_days) AS longest_run,
+           CAST(SUM(run_days) AS BIGINT) AS active_days
+    FROM isl GROUP BY user_id
+    """,
+)
+def q118_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day runs per user via the day − row_number()
+    islands trick: one per-key window + one agg, no self-join."""
+    e = t(spark, sf_dir, "events")
+    isl = islands(e, "user_id", "ts")
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_days").alias("longest_run"),
+        F.sum("run_days").cast("bigint").alias("active_days"),
+    )
+
+
+@query(
+    "q119_heavy_hitters",
+    """
+    WITH seeds AS (SELECT UNNEST([0, 1, 2, 3]) AS seed),
+    exploded AS (
+        SELECT seed,
+               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 4)) AS INTEGER) % 4096 AS bucket
+        FROM lineitem, seeds
+    ),
+    sketch AS (SELECT seed, bucket, COUNT(*) AS cnt FROM exploded GROUP BY seed, bucket),
+    stats AS (SELECT COUNT(*) * 1.5 / COUNT(DISTINCT l_partkey) AS thr FROM lineitem),
+    keys AS (SELECT DISTINCT l_partkey AS item FROM lineitem),
+    probe_buckets AS (
+        SELECT item, seed,
+               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 4)) AS INTEGER) % 4096 AS bucket
+        FROM keys, seeds
+    ),
+    est AS (SELECT item, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_est
+            FROM probe_buckets LEFT JOIN sketch USING (seed, bucket)
+            GROUP BY item),
+    cand AS (SELECT item, cms_est FROM est, stats WHERE cms_est >= thr),
+    exact AS (SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM lineitem WHERE l_partkey IN (SELECT item FROM cand)
+              GROUP BY l_partkey)
+    SELECT cand.item, exact.exact_cnt, cand.cms_est,
+           CAST(exact.exact_cnt >= stats.thr AS INT) AS is_true_heavy
+    FROM cand JOIN exact USING (item), stats
+    """,
+)
+def q119_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (frequency ≥ 1.5× the mean key frequency) via the
+    count-min sketch: the sketch never undercounts, so filtering the
+    key set on the CMS *estimate* yields a provable superset of the
+    true heavies; exact counting then runs only over that candidate
+    set (``is_true_heavy`` marks the survivors). At 100 TB the sketch
+    is O(depth×width) and broadcasts; the expensive exact count is
+    confined to the candidates instead of every distinct key. The md5
+    hash family is engine-portable, so even the candidate set is
+    oracle-exact."""
+    from excel_to_database_spark.operators.sketch import cms_build, cms_estimate
+
+    l = t(spark, sf_dir, "lineitem")
+    sketch = cms_build(l, "l_partkey", depth=4, width=4096)
+    est = cms_estimate(sketch, l, "l_partkey", depth=4, width=4096)
+    stats = l.agg(
+        (F.count(F.lit(1)) * 1.5 / F.countDistinct("l_partkey")).alias("thr")
+    )
+    cand = est.crossJoin(F.broadcast(stats)).filter(F.col("cms_est") >= F.col("thr"))
+    exact = (
+        l.join(F.broadcast(cand.select("item")), l.l_partkey == F.col("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return cand.join(exact, "item").select(
+        "item",
+        "exact_cnt",
+        "cms_est",
+        (F.col("exact_cnt") >= F.col("thr")).cast("int").alias("is_true_heavy"),
+    )
+
+
+@query(
+    "q120_time_weighted_avg",
+    """
+    WITH seq AS (
+        SELECT user_id, value,
+               epoch_us(ts) AS us,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events)
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)) * ((nxt - us) // 1000)) AS DOUBLE)
+             / CAST(SUM((nxt - us) // 1000) AS DOUBLE) AS twa,
+           CAST(SUM(nxt - us) AS BIGINT) AS observed_us
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q120_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean of ``value`` per user: each reading is held
+    until the next one, weighted by the hold duration in microseconds.
+    One per-key window (lead) + one agg. The arithmetic is EXACT end
+    to end, which is what makes the cross-engine hash match: the value
+    is cast to decimal(12,2) (exact for 2-decimal readings — no
+    rounding, hence no rounding-mode divergence), durations truncate to
+    integer milliseconds, and their product/sum is exact decimal whose
+    unscaled integer stays under 2^53 — above that DuckDB's
+    decimal→double cast double-rounds (int128→double, then /10^scale)
+    and the last ulp diverges from Spark's correctly-rounded
+    BigDecimal cast. Casting the raw double product at scale 6 is also
+    unsafe: products like 0.75 × 18024.43691 land exactly on a
+    …xxx5e-6 tie, where Spark rounds half-up and DuckDB half-even."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.select(
+        "user_id", "value", us.alias("us"), F.lead(us).over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("us")
+    dt_ms = F.expr("(nxt - us) div 1000")
+    return seq.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)") * dt_ms).cast("double")
+            / F.sum(dt_ms).cast("double")
+        ).alias("twa"),
+        F.sum(dt).cast("bigint").alias("observed_us"),
+    )
+
+
+@query(
+    "q121_ohlc_bars",
+    f"""
+    WITH ordered AS (
+        SELECT event_type, {_SQL_DAY} AS bar_day, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, {_SQL_DAY}
+                                  ORDER BY ts, event_id) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY event_type, {_SQL_DAY}
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM events)
+    SELECT event_type, bar_day,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           {sql_dsum('value', 'volume')},
+           COUNT(*) AS n_events
+    FROM ordered
+    GROUP BY event_type, bar_day
+    """,
+)
+def q121_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type. Spark side uses ``min_by`` /
+    ``max_by`` on a (ts, event_id) struct — ordered-set aggregates that
+    fold map-side in a single hash aggregation, no window pass (the
+    oracle spells the same semantics with row_number windows)."""
+    e = t(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("event_type", epoch_day("ts").alias("bar_day")).agg(
+        F.min_by("value", ordkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordkey).alias("close"),
+        dsum("value", "volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
