@@ -124,6 +124,88 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def containment_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Asymmetric containment C(sub ⊆ super) = |sub ∩ super| / |sub|
+    over shingle sets: (doc_sub, doc_super, containment) for ORDERED
+    pairs ≥ threshold. The asymmetric score is what catches
+    subset-duplicates that Jaccard misses — a short doc fully embedded
+    in a long one has high containment but low Jaccard (the union is
+    dominated by the long doc), so a Jaccard-threshold dedup never
+    pairs them.
+
+    Same inverted-index join discipline as ``jaccard_pairs`` (explicit
+    shingle repartition pinned against AQE coalescing, candidate set
+    bounded by co-shingled pairs, never all-pairs)."""
+    n_part = sh.sparkSession.sparkContext.defaultParallelism
+    sh = sh.repartition(n_part, "shingle")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc").alias("doc_sub"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_super"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .groupBy("doc_sub", "doc_super")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ssub = sizes.select(F.col("doc").alias("doc_sub"), F.col("n").alias("n_sub"))
+    return (
+        common.join(ssub, "doc_sub")
+        .select(
+            "doc_sub",
+            "doc_super",
+            (F.col("c").cast("double") / F.col("n_sub")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def subsequence_containments(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact word-aligned substring dedup: (doc_sub, doc_super) where
+    doc_sub's normalized word sequence occurs contiguously inside
+    doc_super's. Equal texts pair once, ordered by id.
+
+    Candidate generation is pigeonhole-complete without an all-pairs
+    scan: if sub's words occur contiguously in super, every word
+    ``n``-gram of sub is a shingle of super — so joining each doc's
+    single MIN shingle (one representative row per doc) against the
+    full inverted shingle index finds every true containment among
+    docs with ≥ ``n`` words. The candidate side is |docs| rows, not
+    |docs|² — the join fans out only inside docs sharing that one
+    shingle. Verification is a space-guarded substring test on the
+    normalized text, so mid-word matches don't false-positive."""
+    norm = df.select(
+        F.col(id_col).alias("doc"), normalized_text(F.col(text_col)).alias("t")
+    )
+    sh = shingles(df, id_col, text_col, n)
+    rep = sh.groupBy("doc").agg(F.min("shingle").alias("shingle"))
+    cand = (
+        rep.withColumnRenamed("doc", "doc_sub")
+        .join(sh.withColumnRenamed("doc", "doc_super"), "shingle")
+        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .select("doc_sub", "doc_super")
+        .distinct()
+    )
+    a = norm.select(F.col("doc").alias("doc_sub"), F.col("t").alias("t_sub"))
+    b = norm.select(F.col("doc").alias("doc_super"), F.col("t").alias("t_super"))
+    guarded_sub = F.concat(F.lit(" "), F.col("t_sub"), F.lit(" "))
+    guarded_super = F.concat(F.lit(" "), F.col("t_super"), F.lit(" "))
+    return (
+        cand.join(a, "doc_sub")
+        .join(b, "doc_super")
+        .filter(F.instr(guarded_super, guarded_sub) > 0)
+        .filter(
+            (F.length("t_sub") < F.length("t_super"))
+            | (
+                (F.length("t_sub") == F.length("t_super"))
+                & (F.col("doc_sub") < F.col("doc_super"))
+            )
+        )
+        .select("doc_sub", "doc_super")
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     """Per-doc MinHash signature: h_i = MIN(md5('i:' || shingle))."""
     aggs = [

@@ -23,6 +23,37 @@ from excel_to_database_spark.queries.base import dsum, query, sql_dsum, t
 _SQL_DAY = "CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT)"
 
 
+def _sql_pagerank(iters: int) -> str:
+    """Unrolled fixed-point PageRank CTE chain (see q122 docstring for
+    why fixed-point: bigint div/mod is bit-identical across engines,
+    float iteration is not)."""
+    parts = [
+        """
+    raw AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                            's' || CAST(l_suppkey AS VARCHAR) AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT a AS src, b AS dst FROM raw
+              UNION ALL SELECT b AS src, a AS dst FROM raw),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    p0 AS (SELECT src AS node, CAST(1000000000000 // n AS BIGINT) AS rank
+           FROM deg, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    c{i} AS (SELECT e.dst AS node, SUM(p.rank // d.deg) AS s
+           FROM p{i - 1} p JOIN deg d ON d.src = p.node
+           JOIN edges e ON e.src = p.node
+           GROUP BY e.dst),
+    p{i} AS (SELECT node,
+                CAST((15 * (1000000000000 // n)) // 100 + (85 * s) // 100
+                     AS BIGINT) AS rank
+           FROM c{i}, nn)"""
+        )
+    return ",".join(parts)
+
+
 @query(
     "q116_funnel_stages",
     """
@@ -247,3 +278,67 @@ def q121_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", "volume"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q122_pagerank",
+    f"""
+    WITH {_sql_pagerank(5)}
+    SELECT node, rank FROM p5 ORDER BY rank DESC, node LIMIT 20
+    """,
+)
+def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (5 iterations, damping 0.85) over the
+    undirected customer–supplier co-trade graph, top-20 nodes.
+
+    Ranks are bigint micro-units (total mass 10^12) and every step is
+    integer ``div`` — contribution = rank div degree, damping =
+    (85·Σ) div 100 — so the iteration is bit-identical in any engine:
+    float PageRank cannot be oracle-checked exactly (per-iteration
+    rounding diverges), fixed-point can, and the truncation error is
+    ≤ degree per node per step, ~1e-9 of total mass.
+
+    Scale shape: edges/degrees are built once and persisted
+    (MEMORY_AND_DISK — at 100 TB this is the adjacency list you'd
+    checkpoint); each of the 5 unrolled steps is contribution-join →
+    dst-keyed sum, all hashed on the node key, the same plan GraphX's
+    Pregel generates per superstep. The driver never sees a row."""
+    from pyspark.storagelevel import StorageLevel
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    raw = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        F.expr("1000000000000 div n").cast("bigint").alias("rank"),
+    )
+    for _ in range(5):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src)
+            .select("node", F.expr("rank div deg").alias("share"))
+            .join(edges, F.col("node") == edges.src)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(nn)).select(
+            F.col("node2").alias("node"),
+            (
+                F.expr("(15 * (1000000000000 div n)) div 100")
+                + F.expr("(85 * s) div 100")
+            ).cast("bigint").alias("rank"),
+        )
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)

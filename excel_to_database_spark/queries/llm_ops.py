@@ -240,6 +240,56 @@ def q77_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(D.simhash_fingerprints(d, "doc_id", "text"), max_distance=2)
 
 
+@query(
+    "q78_shingle_containment",
+    f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (SELECT a.doc AS doc_sub, b.doc AS doc_super, COUNT(*) AS c
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+               GROUP BY doc_sub, doc_super)
+    SELECT doc_sub, doc_super, CAST(c AS DOUBLE) / s.n AS containment
+    FROM common JOIN sizes s ON s.doc = doc_sub
+    WHERE CAST(c AS DOUBLE) / s.n >= 0.8
+    """,
+)
+def q78_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment ≥ 0.8 — the subset-duplicate
+    detector Jaccard misses (a short doc embedded in a long one has
+    containment ≈ 1 but Jaccard ≈ |sub|/|super|)."""
+    d = t(spark, sf_dir, "documents")
+    return D.containment_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.8)
+
+
+@query(
+    "q79_substring_dedup",
+    f"""
+    WITH {_SQL_SHINGLES},
+    norm AS (SELECT doc_id AS doc,
+                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+             FROM documents),
+    rep AS (SELECT doc, MIN(shingle) AS shingle FROM sh GROUP BY doc),
+    cand AS (SELECT DISTINCT rep.doc AS doc_sub, sh.doc AS doc_super
+             FROM rep JOIN sh ON rep.shingle = sh.shingle AND rep.doc <> sh.doc)
+    SELECT doc_sub, doc_super
+    FROM cand
+    JOIN norm a ON a.doc = cand.doc_sub
+    JOIN norm b ON b.doc = cand.doc_super
+    WHERE strpos(' ' || b.t || ' ', ' ' || a.t || ' ') > 0
+      AND (length(a.t) < length(b.t)
+           OR (length(a.t) = length(b.t) AND doc_sub < doc_super))
+    """,
+)
+def q79_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-aligned substring containment pairs. Candidates come
+    from joining each doc's single MIN shingle against the inverted
+    index — pigeonhole-complete (a contiguous sub-sequence's every
+    n-gram is a shingle of the containing doc) without an all-pairs
+    scan; see operators/dedup.subsequence_containments."""
+    d = t(spark, sf_dir, "documents")
+    return D.subsequence_containments(d, "doc_id", "text", 3)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
