@@ -177,6 +177,90 @@ def cosine_pairs(
     )
 
 
+def semantic_dedup_blocked(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 8,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style blocked embedding near-dup: vectors are coarsely
+    quantized into ``n_lists`` IVF cells (centroids = the ``n_lists``
+    lowest-id vectors, the same seed-free pick as ``ivf_assign``), then
+    near-dup pairs are found only WITHIN each cell. Returns
+    (cell, vec_a, vec_b, cosine) for within-cell pairs ≥ threshold.
+
+    This is the scale path for embedding dedup: the all-pairs
+    ``cosine_pairs`` is O(|D|²) while blocking is O(Σ|cell|²) —
+    |D|²/n_lists for balanced cells — at the documented cost of
+    missing pairs whose members quantize into different cells (the
+    recall/cost dial is ``n_lists``). Assignment and pair scoring both
+    use the decimal-exact cosine, so the whole pipeline — including
+    which cell every vector lands in — is reproduced bit-for-bit by
+    the SQL oracle. Centroids broadcast (n_lists rows); the pair join
+    hashes on the cell key only."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def dfold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, x: (acc + x).cast("decimal(30,12)"),
+        ).cast("double")
+
+    n2 = dfold(
+        F.transform(
+            "v", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
+        )
+    )
+    base = base.withColumn("n2", n2)
+    cents = (
+        base.orderBy(F.asc("id"))
+        .limit(n_lists)
+        .select(
+            F.col("id").alias("cell"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
+        )
+    )
+    dot_c = dfold(
+        F.zip_with(
+            "v", "cv",
+            lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(30,12)"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "n2", "cell",
+        (dot_c / (F.sqrt("n2") * F.sqrt("cn2"))).alias("sim"),
+    )
+    pick = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "n2", "cell")
+    )
+    a = assign.select(
+        "cell", F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    b = assign.select(
+        "cell", F.col("id").alias("nid"), F.col("v").alias("nv"), F.col("n2").alias("nn2")
+    )
+    pairs = a.join(b, "cell").filter(F.col("qid") < F.col("nid"))
+    dot = dfold(
+        F.zip_with(
+            "qv", "nv",
+            lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(30,12)"),
+        )
+    )
+    return (
+        pairs.select(
+            "cell",
+            F.col("qid").alias("vec_a"),
+            F.col("nid").alias("vec_b"),
+            (dot / (F.sqrt("qn2") * F.sqrt("nn2"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplane_matrix(planes: int, dim: int, bands: int) -> list[list[float]]:
     """The deterministic ±1 sign matrix: plane ``p`` has component ±1
     at dim ``i`` from the parity of md5('p:i'). Shipped to executors as

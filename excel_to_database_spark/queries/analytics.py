@@ -342,3 +342,42 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("rank"),
         )
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
+@query(
+    "q124_mode_per_group",
+    """
+    WITH counts AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+                    FROM orders GROUP BY o_orderpriority, o_orderstatus),
+    ranked AS (SELECT o_orderpriority, o_orderstatus, cnt,
+                      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY cnt DESC, o_orderstatus) AS rn
+               FROM counts),
+    tot AS (SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n_orders
+            FROM counts GROUP BY o_orderpriority)
+    SELECT r.o_orderpriority, r.o_orderstatus AS status_mode,
+           r.cnt AS mode_cnt, tot.n_orders
+    FROM ranked r JOIN tot USING (o_orderpriority)
+    WHERE rn = 1
+    """,
+)
+def q124_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent o_orderstatus per
+    priority; ties broken by lowest status). Spark side is a single
+    count-agg followed by ``min_by`` on a (−count, value) struct — an
+    ordered-set aggregate that folds map-side, no window pass; the
+    oracle spells the same semantics with a row_number window. A
+    built-in ``mode()`` would be nondeterministic on ties in both
+    engines, which is why the tiebreak is explicit."""
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ordkey = F.struct(
+        (-F.col("cnt")).alias("nc"), F.col("o_orderstatus").alias("s")
+    )
+    return counts.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderstatus", ordkey).alias("status_mode"),
+        F.min_by("cnt", ordkey).alias("mode_cnt"),
+        F.sum("cnt").cast("bigint").alias("n_orders"),
+    )

@@ -1191,3 +1191,55 @@ def q115_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("bigint").alias("n_oov"),
         (F.sum(oov).cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+@query(
+    "q125_semantic_dedup_blocked",
+    """
+    WITH dims AS (SELECT DISTINCT UNNEST(generate_series(1, len(embedding))) AS i
+                  FROM embeddings),
+    vn AS (SELECT vec_id,
+                  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                                AS DECIMAL(30,12))) AS DOUBLE) AS n2
+           FROM embeddings CROSS JOIN dims GROUP BY vec_id),
+    cents AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+              ORDER BY vec_id LIMIT 8),
+    sims AS (SELECT e.vec_id, c.cell,
+                    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
+                                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             FROM embeddings e CROSS JOIN cents c CROSS JOIN dims
+             GROUP BY e.vec_id, c.cell),
+    assign AS (SELECT vec_id, cell FROM (
+                 SELECT s.vec_id, s.cell,
+                        ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                            ORDER BY s.dot / (SQRT(v.n2) * SQRT(cn.n2)) DESC, s.cell) AS rn
+                 FROM sims s JOIN vn v ON v.vec_id = s.vec_id
+                 JOIN vn cn ON cn.vec_id = s.cell)
+               WHERE rn = 1),
+    pr AS (SELECT a.cell, a.vec_id AS qid, b.vec_id AS nid
+           FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    dots AS (SELECT pr.cell, pr.qid, pr.nid,
+                    CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
+                                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             FROM pr JOIN embeddings ea ON ea.vec_id = pr.qid
+             JOIN embeddings eb ON eb.vec_id = pr.nid
+             CROSS JOIN dims
+             GROUP BY pr.cell, pr.qid, pr.nid)
+    SELECT d.cell, d.qid AS vec_a, d.nid AS vec_b,
+           d.dot / (SQRT(va.n2) * SQRT(vb.n2)) AS cosine
+    FROM dots d JOIN vn va ON va.vec_id = d.qid JOIN vn vb ON vb.vec_id = d.nid
+    WHERE d.dot / (SQRT(va.n2) * SQRT(vb.n2)) >= 0.35
+    """,
+)
+def q125_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style blocked embedding near-dup: IVF-quantize into 8
+    cells (centroids = lowest-id vectors, the ivf_assign pick), pair
+    only WITHIN cells, keep cosine ≥ 0.35. O(Σ|cell|²) instead of
+    O(|D|²) — the embedding-dedup shape that survives 100 TB, with
+    ``n_lists`` as the recall/cost dial (cross-cell pairs are the
+    documented recall loss vs the exact q82). Assignment and scoring
+    are decimal-exact, so even each vector's cell is oracle-matched."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_blocked(
+        e, "vec_id", "embedding", n_lists=8, threshold=0.35
+    )

@@ -509,3 +509,40 @@ def q108_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias("nearest_event_id"),
     )
+
+
+@query(
+    "q123_stream_static_enrich",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_purchases,
+           {sql_dsum('value', 'sum_value')}
+    FROM events JOIN customer ON user_id + 1 = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment
+    """,
+)
+def q123_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the purchase stream joins the static
+    customer dimension (broadcast per micro-batch — no stream-side
+    state, no watermark needed for a static side) and aggregates per
+    market segment. availableNow bounded replay; oracle = equivalent
+    batch join (stream ≡ batch parity). At scale the static dim is
+    re-broadcast per trigger, so dimension updates between batches are
+    picked up — the classic streaming-enrichment shape."""
+    from excel_to_database_spark.streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.filter(F.col("event_type") == "purchase").join(
+        F.broadcast(cust), F.col("user_id") + 1 == F.col("c_custkey")
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_purchases"), dsum("value", "sum_value")
+    )
+    return run_stream_to_memory(
+        spark, agg, "q123_enrich", output_mode="complete"
+    ).select("c_mktsegment", "n_purchases", "sum_value")
