@@ -381,3 +381,81 @@ def q124_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("cnt", ordkey).alias("mode_cnt"),
         F.sum("cnt").cast("bigint").alias("n_orders"),
     )
+
+
+def _sql_profile_col(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS "column",
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_str,
+           CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM orders"""
+
+
+@query(
+    "q126_profile_orders",
+    " UNION ALL ".join(
+        _sql_profile_col(c)
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                  "o_orderpriority"]
+    ),
+)
+def q126_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table (null count,
+    exact distinct count, min/max) — ONE aggregation job for every
+    column at once (independent agg expressions share a single
+    partial+final pass), unpivoted via ``stack``; the oracle spells it
+    as per-column UNION ALL. At 100 TB the ``approx=True`` variant of
+    the operator swaps exact countDistinct for HLL++ to keep the pass
+    single-shuffle (see operators/profile.py)."""
+    from excel_to_database_spark.operators.profile import profile
+
+    o = t(spark, sf_dir, "orders")
+    return profile(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+
+
+@query(
+    "q127_zscore_outliers",
+    """
+    WITH st AS (SELECT event_type,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(value AS DECIMAL(12,2))
+                                * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+                FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)) AS z
+    FROM events e JOIN st USING (event_type)
+    WHERE ABS((e.value - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1))) > 3.0
+    """,
+)
+def q127_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers (|z| > 3 within each event type).
+    Mean and stddev come from exact decimal power sums (2-decimal
+    readings make the decimal casts lossless), so the per-row double
+    arithmetic is bit-identical across engines; the 5-row stats frame
+    broadcasts back onto the events scan — one agg + one map-side
+    join, no window over the fact table."""
+    e = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(12,2)")
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    j = e.join(F.broadcast(st), "event_type")
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    z = (F.col("value") - mean) / std
+    return (
+        j.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", "z")
+    )
