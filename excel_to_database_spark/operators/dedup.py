@@ -222,19 +222,52 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
     All bands are exploded out of ONE signature row (posexplode of the
     band-signature array) rather than unioning per-band branches — a
     union would re-execute the signature aggregation once per band."""
-    band_sigs = F.array(
-        *[
-            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("doc", F.posexplode(band_sigs).alias("band", "sig"))
+    banded = _banded(sig, bands, rows)
     x = banded.select(F.col("doc").alias("doc_a"), "band", "sig")
     y = banded.select(F.col("doc").alias("doc_b"), "band", "sig")
     return (
         x.join(y, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc, band, sig) — one posexplode of the band-signature array
+    (the same single-pass banding as ``lsh_candidates``)."""
+    band_sigs = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc", F.posexplode(band_sigs).alias("band", "sig"))
+
+
+def lsh_matches_between(
+    sig_new: DataFrame, sig_corpus: DataFrame, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Incremental-ingest LSH: for each NEW doc, the distinct CORPUS
+    docs sharing any minhash band bucket — the candidate generator for
+    deduplicating a fresh batch *against* an already-ingested corpus
+    without ever re-pairing the corpus with itself.
+
+    This is the shape that matters operationally at 100 TB: the corpus
+    side's banded signatures are a persisted index (n_bands rows per
+    doc, written once at ingest), and each new batch joins only its own
+    bands against that index — cost proportional to |batch| + collision
+    volume, never |corpus|². Returns (doc_new, doc_corpus) distinct
+    pairs."""
+    x = _banded(sig_new, bands, rows).select(
+        F.col("doc").alias("doc_new"), "band", "sig"
+    )
+    y = _banded(sig_corpus, bands, rows).select(
+        F.col("doc").alias("doc_corpus"), "band", "sig"
+    )
+    return (
+        x.join(y, ["band", "sig"])
+        .select("doc_new", "doc_corpus")
         .distinct()
     )
 

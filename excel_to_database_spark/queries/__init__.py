@@ -11,5 +11,6 @@ from excel_to_database_spark.queries import relational  # noqa: E402,F401
 from excel_to_database_spark.queries import temporal  # noqa: E402,F401
 from excel_to_database_spark.queries import llm_ops  # noqa: E402,F401
 from excel_to_database_spark.queries import analytics  # noqa: E402,F401
+from excel_to_database_spark.queries import extended  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES"]

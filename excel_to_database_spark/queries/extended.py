@@ -1,0 +1,576 @@
+"""Round-2 extensions: the remaining classic TPC-H query shapes the
+inventory lacked (Q4 EXISTS-semi, Q12 conditional matrix, Q17
+correlated-average threshold, Q21 multi-EXISTS self-join), plus
+training-pipeline operators (deterministic weighted sampling,
+incremental batch-vs-corpus dedup, token-budget mixture allocation,
+winsorized robust stats, grouped least-squares via exact co-moments)
+and the typed-state streaming fold (transformWithStateInPandas).
+
+The reference computes none of these (its sole aggregate is a load-row
+count, app/data.py:122 — SURVEY.md §2.3); all are extension surface
+held to the same determinism contract as the rest of the inventory
+(queries/base.py docstring): integer/decimal arithmetic wherever a
+result feeds a comparison or a hash, identical double expression trees
+where floats are unavoidable, unique tiebreakers under every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from excel_to_database_spark.queries.base import dsum, query, sql_dsum, t
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes over the available columns (no l_shipmode/commitdate in the
+# synthetic schema: lateness is re-expressed as ship-lag vs o_orderdate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q128_order_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q128_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi conjunct
+    referencing both sides (ship-lag > 60 days stands in for
+    commit-vs-receipt lateness). Catalyst plans one left-semi hash join
+    on the order key with the date predicate as a join residual — the
+    orders-side date window is pushed into the parquet scan, so the
+    probe side is the quarter's orders, not the table."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "q129_priority_linestatus_matrix",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q129_priority_linestatus_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + two-way conditional counting
+    (CASE inside SUM). The year filter is pushed to the lineitem scan;
+    the join shuffles once on the order key with partial aggregation
+    before the exchange (map-side combine keeps the shuffle at
+    |groups|, not |rows|)."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+    )
+
+
+@query(
+    "q130_small_quantity_revenue",
+    f"""
+    WITH thr AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                      / COUNT(*)) AS avg_fifth
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN thr ON thr.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < avg_fifth
+    """,
+)
+def q130_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: each row compares against a correlated per-part
+    average (rows under 20% of their part's mean quantity). The
+    correlated scalar subquery is decorrelated by hand into one
+    per-part aggregate joined back — the same rewrite Catalyst applies
+    to the subquery form, made explicit so the plan is one shuffle on
+    the part key plus a broadcast of the brand-filtered parts. The
+    threshold routes through decimal-sum/count so both engines derive
+    the bit-identical double."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    brand_lines = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    thr = (
+        l.groupBy("l_partkey")
+        .agg(
+            (
+                F.lit(0.2)
+                * (
+                    F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("avg_fifth")
+        )
+    )
+    return (
+        brand_lines.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("avg_fifth"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+@query(
+    "q131_waiting_suppliers",
+    """
+    WITH late AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+    multi AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1),
+    only_late AS (
+        SELECT l_orderkey FROM late GROUP BY l_orderkey HAVING COUNT(*) = 1)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late
+    JOIN multi USING (l_orderkey)
+    JOIN only_late USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q131_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier orders (EXISTS another supplier's line / NOT EXISTS
+    another late one, phrased as two aggregated semi-filters — the
+    decorrelated form of Q21's nested EXISTS pair). Every stage hashes
+    on l_orderkey until the final tiny rollup on s_name; the supplier
+    dimension is broadcast; top-20 has the name as tiebreaker."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    only_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(multi, "l_orderkey")
+        .join(only_late, "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q132_weighted_sample",
+    """
+    WITH pri AS (
+        SELECT doc_id, n_chars AS weight,
+               CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM documents)
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           CAST((weight * 4294967296) // (h + 1) AS BIGINT) AS priority
+    FROM pri
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q132_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling): each doc draws u ~ Uniform from md5 bits and competes on
+    priority = weight/u, realized as the integer (weight · 2³²) div
+    (h+1) so both engines produce the same exact ranking — no floats,
+    no RNG state. Top-k by (priority, doc_id) is TakeOrderedAndProject:
+    per-partition top-100 partials, never a global sort. Sampling k of
+    100 TB this way is one scan + one k-row merge on the driver, and
+    the same hash makes the draw reproducible across reruns/backfills
+    — the property a training-data lottery actually needs."""
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            h.alias("h"),
+        )
+        .select(
+            "doc_id",
+            "weight",
+            F.expr("(weight * 4294967296) div (h + 1)").cast("bigint").alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+@query(
+    "q134_token_budget_mixture",
+    """
+    WITH tok AS (
+        SELECT source, SUM((n_chars + 3) // 4) AS avail
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(avail) AS total, COUNT(*) AS n_src FROM tok)
+    SELECT source,
+           CAST(avail AS BIGINT) AS avail_tokens,
+           CAST(LEAST(avail, (total // 2) // n_src) AS BIGINT) AS alloc_tokens
+    FROM tok, tot
+    """,
+)
+def q134_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation: a 50%-of-corpus training budget
+    split fair-share across sources, capped at each source's available
+    tokens (the single-round waterfill; under-filled budget from capped
+    sources is surfaced by avail < alloc_fair, visible in the output).
+    All integer arithmetic; the per-source rollup is one map-side
+    combinable aggregation and the totals row is a broadcast — the plan
+    is a single scan at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.expr("(n_chars + 3) div 4")).alias("avail")
+    )
+    tot = tok.agg(
+        F.sum("avail").alias("total"), F.count(F.lit(1)).alias("n_src")
+    )
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("avail").cast("bigint").alias("avail_tokens"),
+            F.least(
+                F.col("avail"), F.expr("(total div 2) div n_src")
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+    )
+
+
+@query(
+    "q135_winsorized_stats",
+    """
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents),
+    cuts AS (
+        SELECT lang,
+               MAX(CASE WHEN rn = CAST(CEIL(0.1 * n) AS BIGINT)
+                        THEN n_chars END) AS p10,
+               MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                        THEN n_chars END) AS p90
+        FROM ranked GROUP BY lang)
+    SELECT d.lang,
+           CAST(p10 AS BIGINT) AS p10,
+           CAST(p90 AS BIGINT) AS p90,
+           CAST(SUM(LEAST(GREATEST(n_chars, p10), p90)) AS BIGINT)
+               AS winsorized_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN cuts USING (lang)
+    GROUP BY d.lang, p10, p90
+    """,
+)
+def q135_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) length statistics per language: clamp
+    n_chars into the [p10, p90] band before summing, with the cuts
+    defined as exact rank-based (type-1) quantiles — integer order
+    statistics, no interpolation, so the result is engine-exact.
+    One window pass computes ranks, the cut lookup is a tiny per-group
+    aggregate joined back broadcast-style; outlier docs can no longer
+    drag per-language means during mixture planning."""
+    d = t(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    w_n = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.1) * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).alias("p10"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).alias("p90"),
+    )
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", "p10", "p90")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("n_chars"), F.col("p10")), F.col("p90"))
+            )
+            .cast("bigint")
+            .alias("winsorized_sum"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "lang",
+            F.col("p10").cast("bigint").alias("p10"),
+            F.col("p90").cast("bigint").alias("p90"),
+            "winsorized_sum",
+            "n_docs",
+        )
+    )
+
+
+@query(
+    "q136_regression_by_group",
+    """
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                        * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                        * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                        * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS r2
+    FROM sums
+    """,
+)
+def q136_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares (extendedprice ~ quantity per returnflag)
+    from exact co-moments: the five sums route through decimal (exact,
+    order-independent), then slope/intercept/R² are derived with the
+    bit-identical double expression tree on both engines. One map-side
+    combinable aggregation — the classic single-pass distributed
+    regression, shuffling 6 numbers per group regardless of scale."""
+    l = t(spark, sf_dir, "lineitem")
+    # co-moment products are formed in DECIMAL (cast each factor, then
+    # multiply exactly) — a double product of 1e10 magnitude has ulp
+    # comparable to the 1e-6 decimal grain, so rounding the PRODUCT is
+    # engine-dependent while rounding the ~1e5 FACTORS is not
+    dec = lambda c: c.cast("decimal(30,6)")
+    d19 = lambda c: c.cast("decimal(19,6)")
+    q_, p_ = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(q_)).cast("double").alias("sx"),
+        F.sum(dec(p_)).cast("double").alias("sy"),
+        F.sum(d19(q_) * d19(q_)).cast("double").alias("sxx"),
+        F.sum(d19(q_) * d19(p_)).cast("double").alias("sxy"),
+        F.sum(d19(p_) * d19(p_)).cast("double").alias("syy"),
+    )
+    # derived statistics are rounded on BOTH engines, scale matched to
+    # each column's magnitude (grain >> ulp noise, << reporting need):
+    # the co-moment sums are exact, but compilers may contract the
+    # multiply-subtract chains into FMAs, so the raw doubles can differ
+    # in the last ulp across engines
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return sums.select(
+        "l_returnflag",
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            12,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (batch vs corpus) and typed-state streaming
+# ---------------------------------------------------------------------------
+
+
+def _sql_inc_minhash() -> str:
+    """Corpus/batch split + banded signatures, mirroring
+    operators/dedup.py's md5-min family (same construction as the q76
+    oracle, plus the membership split)."""
+    mins = ", ".join(f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+    bands = " UNION ALL ".join(
+        "SELECT doc, {b} AS band, {sig} AS sig FROM sig".format(
+            b=b, sig=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4))
+        )
+        for b in range(4)
+    )
+    return f"""
+    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    bands AS ({bands}),
+    split AS (SELECT doc_id AS doc,
+                     CASE WHEN CAST(('0x' || substring(
+                              md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                              AS INTEGER) < 128
+                          THEN 1 ELSE 0 END AS in_corpus
+              FROM documents),
+    nb AS (SELECT b.doc, b.band, b.sig FROM bands b
+           JOIN split ON split.doc = b.doc WHERE in_corpus = 0),
+    cb AS (SELECT b.doc, b.band, b.sig FROM bands b
+           JOIN split ON split.doc = b.doc WHERE in_corpus = 1)
+    """
+
+
+@query(
+    "q133_incremental_dedup",
+    f"""
+    WITH ws AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+    sh AS (SELECT doc_id AS doc,
+                  UNNEST(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        FOR i IN range(1, len(w) - 1)])) AS shingle
+           FROM ws),
+    {_sql_inc_minhash()}
+    SELECT nb.doc AS doc_new,
+           CAST(COUNT(DISTINCT cb.doc) AS BIGINT) AS n_corpus_dups
+    FROM nb JOIN cb ON nb.band = cb.band AND nb.sig = cb.sig
+    GROUP BY nb.doc
+    """,
+)
+def q133_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a fresh batch (md5-bucketed half of
+    the corpus, standing in for today's crawl) is LSH-matched AGAINST
+    the already-ingested half — never against itself, never corpus ×
+    corpus. Returns each new doc's count of distinct corpus collisions.
+    At 100 TB the corpus side's banded signatures are a persisted index
+    written once at ingest; per-batch cost is |batch| + collision
+    volume (operators/dedup.lsh_matches_between)."""
+    from excel_to_database_spark.operators import dedup as D
+
+    d = t(spark, sf_dir, "documents")
+    in_corpus = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 128
+    )
+    membership = d.select(F.col("doc_id").alias("doc"), in_corpus.alias("in_corpus"))
+    sig = D.minhash_signatures(D.shingles(d, "doc_id", "text", 3), 16).join(
+        membership, "doc"
+    )
+    sig_new = sig.filter(~F.col("in_corpus")).drop("in_corpus")
+    sig_corpus = sig.filter(F.col("in_corpus")).drop("in_corpus")
+    return (
+        D.lsh_matches_between(sig_new, sig_corpus, bands=4, rows=4)
+        .groupBy(F.col("doc_new"))
+        .agg(F.countDistinct("doc_corpus").alias("n_corpus_dups"))
+    )
+
+
+@query(
+    "q137_stream_typed_state",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(value) AS max_value,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q137_stream_typed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-state streaming fold (transformWithStateInPandas when the
+    runtime carries its protobuf dependency, the byte-identical
+    applyInPandasWithState twin otherwise — streaming/tws.py) replaying
+    the events table availableNow; the oracle is the equivalent batch
+    aggregate — streaming/batch parity on a custom stateful operator,
+    not a built-in agg. Each key's state row updates with
+    order-independent folds only, so results are identical under any
+    micro-batch slicing; the final per-user row is selected by max
+    event count (monotone per key across emissions)."""
+    from excel_to_database_spark.streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from excel_to_database_spark.streaming.tws import user_stats_auto
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_stream_to_memory(
+        spark, user_stats_auto(stream), "q137_tws", output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "max_value", F.col("last_ts_us"))
+    )

@@ -1,0 +1,157 @@
+"""Arbitrary stateful streaming via ``transformWithStateInPandas``
+(Spark 4.x successor of ``applyInPandasWithState`` — SURVEY.md §2.9
+'custom stateful operator' row, second implementation vehicle).
+
+Where ``applyInPandasWithState`` gives one opaque state tuple per key,
+the ``StatefulProcessor`` API exposes typed, independently-updatable
+state primitives (value/list/map state) plus timers, which is what a
+production per-key online algorithm actually wants: the fold below
+keeps a single ValueState row per user and updates it with
+order-independent folds only (count, max, latest-timestamp), so the
+emitted totals are identical under any micro-batch partitioning or
+replay — the property that makes the operator oracle-checkable against
+a batch aggregate.
+
+State size is O(keys), independent of stream length; the RocksDB state
+store (cluster deployment) spills it off-heap, so the operator survives
+key cardinalities far beyond executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+USER_STATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+_STATE_SPEC = "n BIGINT, mx DOUBLE, mts BIGINT"
+
+
+class UserStatsProcessor(StatefulProcessor):
+    """Per-user running (count, max(value), max(ts)) — every fold is
+    commutative+associative, so batch order cannot leak into results."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("stats", _STATE_SPEC)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, mx, mts = (
+            self._state.get() if self._state.exists() else (0, float("-inf"), 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+            mts = max(mts, int(pdf["ts_us"].max()))
+        self._state.update((n, mx, mts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [mx],
+                "last_ts_us": [mts],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` needs the protobuf wire format
+    for its state-server protocol; absent the dependency the operator
+    cannot start (the container this engine is developed in ships
+    without it — a cluster deployment installs ``protobuf`` and the
+    typed-state path activates with no code change)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _prepared(events: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return events.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def user_stats_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user stats through the typed-state API. Input
+    needs (user_id, value, ts); ts is projected to epoch-µs so the
+    state row stays primitive-typed. Requires ``tws_available()``;
+    the caller must enable the RocksDB state store provider."""
+    return _prepared(events).groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStatsProcessor(),
+        outputStructType=USER_STATE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _fallback_update(key, batches, state):
+    n, mx, mts = state.get if state.exists else (0, float("-inf"), 0)
+    for pdf in batches:
+        n += len(pdf)
+        mx = max(mx, float(pdf["value"].max()))
+        mts = max(mts, int(pdf["ts_us"].max()))
+    state.update((n, mx, mts))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "max_value": [mx], "last_ts_us": [mts]}
+    )
+
+
+def user_stats_applyinpandas(events: DataFrame) -> DataFrame:
+    """The same fold through ``applyInPandasWithState`` (the Spark 3.x
+    stateful API, no extra dependency) — byte-identical output contract
+    to ``user_stats_tws``, used as the portable fallback."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return _prepared(events).groupBy("user_id").applyInPandasWithState(
+        _fallback_update,
+        outputStructType=USER_STATE_SCHEMA,
+        stateStructType=_STATE_SPEC,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_stats_auto(events: DataFrame) -> DataFrame:
+    """Typed-state operator when the runtime supports it, the
+    applyInPandasWithState twin otherwise. Both paths emit identical
+    rows (order-independent folds), so callers and oracles are
+    implementation-agnostic."""
+    if tws_available():
+        spark = events.sparkSession
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        return user_stats_tws(events)
+    return user_stats_applyinpandas(events)
