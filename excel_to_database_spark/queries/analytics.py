@@ -227,7 +227,9 @@ def q120_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     …xxx5e-6 tie, where Spark rounds half-up and DuckDB half-even."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    # unix_micros requires TIMESTAMP (rejects NTZ); the cast is
+    # deterministic because every query pins session.timeZone=UTC
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     seq = e.select(
         "user_id", "value", us.alias("us"), F.lead(us).over(w).alias("nxt")
     ).filter(F.col("nxt").isNotNull())

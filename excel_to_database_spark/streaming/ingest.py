@@ -21,23 +21,40 @@ from pyspark.sql import functions as F
 
 from excel_to_database_spark.sync.sinks import Destination, LocalDestination
 
-EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Stream the events table from a parquet directory. The ns
-    timestamps arrive as longs (same legacy conf as the batch loader)
-    and are truncated to µs-precision timestamps."""
+    """Stream the events table from a parquet directory, normalizing
+    ``ts`` to a µs-precision TIMESTAMP under the pinned-UTC session —
+    the streaming twin of the batch loader ``queries/base.t``.
+
+    The file source needs a declared schema, so the footer of the
+    existing data is probed once on the driver (metadata only, no data
+    scan) and the same dtype guard as the batch path is applied:
+
+      * ``timestamp``/``timestamp_ntz`` (current testdata encodes
+        TIMESTAMP(MICROS), isAdjustedToUTC=false) → cast to TIMESTAMP;
+        under the UTC session the naive wall-clock is interpreted as
+        UTC, exactly how the batch oracles read it.
+      * legacy ``bigint`` (TIMESTAMP(NANOS) surfaced via
+        ``nanosAsLong``) → ns→µs truncation, as before.
+    """
     import os
 
+    # naive wall-clock == UTC instants, same contract as queries/base.py
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    schema = spark.read.parquet(path).schema  # driver-side footer probe
+    reader = spark.readStream.schema(schema)
     if not os.path.isdir(path):
         # file source wants a directory: stream the parent, filtered
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(

@@ -97,7 +97,9 @@ def _prepared(events: DataFrame) -> DataFrame:
     return events.select(
         "user_id",
         "value",
-        F.unix_micros("ts").alias("ts_us"),
+        # cast first: unix_micros rejects TIMESTAMP_NTZ input, and the
+        # pinned-UTC session makes the NTZ→TIMESTAMP cast deterministic
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
 
 

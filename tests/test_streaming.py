@@ -9,22 +9,47 @@ from excel_to_database_spark.streaming.ingest import (
 )
 
 
+def test_stream_ingest_matches_batch_loader(spark, sf_dir):
+    """read_events_stream ≡ the canonical batch loader queries/base.t,
+    row for row on the same file — the ingest-level parity gate. Both
+    paths must agree on the *instants* (epoch µs), whatever physical
+    encoding the parquet uses (µs TIMESTAMP_NTZ today, legacy
+    ns-as-long before); this is the test that catches a data-contract
+    drift in either reader."""
+    from excel_to_database_spark.queries.base import t
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    got = run_stream_to_memory(spark, stream, "t_stream_raw", "append")
+    norm = lambda df: sorted(
+        map(
+            tuple,
+            df.select(
+                "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            ).collect(),
+        )
+    )
+    assert norm(got) == norm(t(spark, sf_dir, "events"))
+
+
 def test_stream_matches_batch(spark, sf_dir):
-    """availableNow replay of the events file == batch aggregation."""
+    """availableNow replay of the events file == batch aggregation
+    (through the canonical batch loader, not a re-stated read)."""
+    from excel_to_database_spark.queries.base import t
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     got = run_stream_to_memory(
         spark, windowed_counts(stream), "t_stream_counts", "complete"
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .groupBy(
-            (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("bigint").alias("bucket_start"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    batch = t(spark, sf_dir, "events").groupBy(
+        (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("bigint").alias("bucket_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
 
 
