@@ -45,6 +45,11 @@ HEADLINE = [
     "q76_dedup_minhash_lsh",
     "q80_knn_bruteforce",
     "q81_ann_hyperplane_lsh",
+    # iterative / graph family — benched so regressions there are
+    # visible round-over-round, not just in correctness
+    "q112_recursive_closure",
+    "q122_pagerank",
+    "q125_semantic_dedup_blocked",
 ]
 
 

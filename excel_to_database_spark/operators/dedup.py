@@ -16,10 +16,11 @@ Scale design:
     = fingerprints within Hamming distance d (banding by fingerprint
     prefix generalizes to large corpora).
 
-Hash family: md5 (identical across engines) — minhash takes the
-lexicographic MIN of ``md5(seed:shingle)`` hex strings per seed, which
-is a valid uniform permutation family and lets the DuckDB oracles
-reproduce signatures bit-for-bit. No MLlib dependency, no RNG state.
+Hash family: md5 (identical across engines) — minhash hashes each
+shingle ONCE and takes per-member lexicographic MINs of hex-rotations
+of that digest (see ``minhash_signatures``), which is a valid min-wise
+family and lets the DuckDB oracles reproduce signatures bit-for-bit.
+No MLlib dependency, no RNG state.
 """
 
 from __future__ import annotations
@@ -207,12 +208,33 @@ def subsequence_containments(
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """Per-doc MinHash signature: h_i = MIN(md5('i:' || shingle))."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
+    """Per-doc MinHash signature from ONE digest per shingle row:
+    member i = MIN over shingles of md5(shingle) rotated left by 2·i
+    hex chars (rotation 0 = the digest itself).
+
+    One md5 pass instead of ``num_hashes`` independent
+    ``md5(seed:shingle)`` passes — measured as the q76 cost center at
+    16 hashes. The rotations stay a valid min-wise family: every
+    rotation of a uniform 128-bit digest is uniform, and member i's
+    minimum is decided by the digest chars from position 2·i+1 on —
+    disjoint leading positions per member, so the 16 mins are driven by
+    (near-)independent bits, the one-permutation-hashing construction.
+    String rotation (substr ‖ substr) is engine-portable, so DuckDB
+    oracles still reproduce signatures bit-for-bit."""
+    if num_hashes > 16:
+        raise ValueError("rotation family supports at most 16 members (32 hex chars / 2)")
+    staged = sh.select("doc", F.md5(F.col("shingle")).alias("h"))
+
+    def rot(i: int):
+        if i == 0:
+            return F.col("h")
+        return F.concat(
+            F.substring("h", 2 * i + 1, 32 - 2 * i), F.substring("h", 1, 2 * i)
+        )
+
+    return staged.groupBy("doc").agg(
+        *[F.min(rot(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
 
 
 def lsh_candidates(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:

@@ -465,7 +465,8 @@ def _sql_inc_minhash() -> str:
     """Corpus/batch split + banded signatures, mirroring
     operators/dedup.py's md5-min family (same construction as the q76
     oracle, plus the membership split)."""
-    mins = ", ".join(f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(16))
+    from excel_to_database_spark.queries.llm_ops import _sql_rot_mins
+
     bands = " UNION ALL ".join(
         "SELECT doc, {b} AS band, {sig} AS sig FROM sig".format(
             b=b, sig=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4))
@@ -473,7 +474,8 @@ def _sql_inc_minhash() -> str:
         for b in range(4)
     )
     return f"""
-    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    shm AS (SELECT doc, md5(shingle) AS h FROM sh),
+    sig AS (SELECT doc, {_sql_rot_mins(16)} FROM shm GROUP BY doc),
     bands AS ({bands}),
     split AS (SELECT doc_id AS doc,
                      CASE WHEN CAST(('0x' || substring(

@@ -169,10 +169,18 @@ def q75_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
 
 
-def _sql_minhash() -> str:
-    mins = ", ".join(
-        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+def _sql_rot_mins(n: int = 16) -> str:
+    """MIN of md5(shingle) rotated left by 2·i hex chars, mirroring
+    operators/dedup.minhash_signatures' one-digest rotation family."""
+    return ", ".join(
+        "MIN(h) AS h0"
+        if i == 0
+        else f"MIN(substring(h, {2 * i + 1}, {32 - 2 * i}) || substring(h, 1, {2 * i})) AS h{i}"
+        for i in range(n)
     )
+
+
+def _sql_minhash() -> str:
     bands = " UNION ALL ".join(
         "SELECT doc, {b} AS band, {sig} AS sig FROM sig".format(
             b=b,
@@ -181,7 +189,8 @@ def _sql_minhash() -> str:
         for b in range(4)
     )
     return f"""
-    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    shm AS (SELECT doc, md5(shingle) AS h FROM sh),
+    sig AS (SELECT doc, {_sql_rot_mins(16)} FROM shm GROUP BY doc),
     bands AS ({bands}),
     cand AS (SELECT DISTINCT a.doc AS da, b.doc AS db
              FROM bands a
