@@ -319,10 +319,15 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist(
+    )
+    w_deg = Window.partitionBy("src")
+    # adjacency with the out-degree folded in (one window pass, no
+    # second shuffle) — each superstep then needs a single src join
+    # instead of ranks⋈deg followed by ⋈edges
+    edges_deg = edges.withColumn("deg", F.count(F.lit(1)).over(w_deg)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    deg = edges_deg.select("src", "deg").distinct()
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"),
@@ -330,10 +335,9 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(5):
         contrib = (
-            ranks.join(deg, ranks.node == deg.src)
-            .select("node", F.expr("rank div deg").alias("share"))
-            .join(edges, F.col("node") == edges.src)
-            .groupBy(F.col("dst").alias("node2"))
+            ranks.join(edges_deg, ranks.node == edges_deg.src)
+            .select(F.col("dst").alias("node2"), F.expr("rank div deg").alias("share"))
+            .groupBy("node2")
             .agg(F.sum("share").alias("s"))
         )
         ranks = contrib.crossJoin(F.broadcast(nn)).select(

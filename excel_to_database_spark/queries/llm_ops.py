@@ -1105,8 +1105,17 @@ def q112_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 hops covers any near-dup cluster diameter the verify threshold
     admits at these document sizes."""
     d = t(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
-    pairs.select("doc_a", "doc_b").createOrReplaceTempView("dup_pairs")
+    pairs = (
+        D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    # materialize BEFORE the recursion: a temp view is a lazy plan, and
+    # the recursive join would re-execute the whole shingle self-join
+    # once per depth step (measured ~8× the pair-list cost) — the
+    # eager count pins the 2-column pair list in the cache instead
+    pairs.count()
+    pairs.createOrReplaceTempView("dup_pairs")
     return spark.sql(
         """
         WITH RECURSIVE
