@@ -31,20 +31,21 @@ def sheet_names(path: str) -> list[str]:
         return WorkbookReader(f.read()).sheet_names()
 
 
-def _header_of(path: str, sheet: str | None, visible_only: bool, bug_compat: bool) -> tuple[str, list[str]]:
+def _header_of(
+    path: str, sheet: str | None, visible_only: bool, bug_compat: bool
+) -> tuple[str, list[str], list[int]]:
     with open(path, "rb") as f:
         rdr = WorkbookReader(f.read(), bug_compat)  # header cells: time mode irrelevant
     name = sheet or rdr.sheet_names()[0]
     # bounded probe: parse ONE row, not the whole sheet — driver work
-    # stays O(1) regardless of workbook size. Falls back to a full read
-    # only when the first XML row carries no text at all (header row
-    # empty but later rows populated).
-    matrix = rdr.read_sheet(name, visible_only, max_rows=1) or rdr.read_sheet(
-        name, visible_only
-    )
-    if not matrix:
+    # stays O(1) regardless of workbook size (sheet_columns falls back
+    # to a full read only when the first XML row carries no text at
+    # all). Also returns each header position's RAW sheet column index,
+    # the currency of read_sheet's column pruning.
+    header, raw_cols = rdr.sheet_columns(name, visible_only)
+    if not header:
         raise ValueError(f"sheet {name!r} of {path} is empty")
-    return name, matrix[0]
+    return name, header, raw_cols
 
 
 def read_excel(
@@ -55,20 +56,43 @@ def read_excel(
     bug_compat_1900: bool = False,
     sanitize: bool = True,
     keep_time: bool = False,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Read one sheet (by name; default first) from ``path`` — a file,
     glob, or directory of .xlsx files sharing a header — as an
     all-string DataFrame. ``keep_time`` renders date-styled cells with
-    their time-of-day (engine extension; the reference drops it)."""
+    their time-of-day (engine extension; the reference drops it).
+
+    ``columns`` is column pruning pushed INTO the decoder: only the
+    named (post-sanitize) columns have their cells value-decoded —
+    pruned columns skip shared-string dereference and date/number
+    rendering inside ``read_sheet`` — and the result carries exactly
+    those columns, in the requested order. A downstream ``.select``
+    cannot reach inside ``mapInPandas`` (and the Python DataSource API
+    has no column-pruning hook yet, SURVEY §4.2), so projection over
+    wide workbooks should be declared here."""
     import os as _os
 
     pattern = _os.path.join(path, "*.xlsx") if _os.path.isdir(path) else path
     candidates = sorted(_glob.glob(pattern)) or [path]
     first = next((p for p in candidates if p.endswith(".xlsx")), candidates[0])
-    sheet_name, header = _header_of(first, sheet, visible_only, bug_compat_1900)
+    sheet_name, header, raw_cols = _header_of(first, sheet, visible_only, bug_compat_1900)
     cols = sanitize_columns(header) if sanitize else [str(h) for h in header]
-    out_schema = StructType([StructField(c, StringType()) for c in cols])
-    ncols = len(cols)
+    n_full = len(cols)
+    if columns is not None:
+        missing = [c for c in columns if c not in cols]
+        if missing:
+            raise ValueError(f"columns {missing} not in sheet columns {cols}")
+        positions = [cols.index(c) for c in columns]
+        # wanted raw indices; header cells stay decoded for free (the
+        # probe already ran), body cells outside this set are skipped
+        want_raw: set[int] | None = {raw_cols[p] for p in positions}
+        out_cols = list(columns)
+    else:
+        positions = list(range(n_full))
+        want_raw = None
+        out_cols = cols
+    out_schema = StructType([StructField(c, StringType()) for c in out_cols])
 
     def decode(batches) -> Iterator:
         import pandas as pd
@@ -76,10 +100,14 @@ def read_excel(
         for pdf in batches:
             for _, row in pdf.iterrows():
                 rdr = WorkbookReader(bytes(row["content"]), bug_compat_1900, keep_time)
-                matrix = rdr.read_sheet(sheet_name, visible_only)
-                body = [(r + [""] * ncols)[:ncols] for r in matrix[1:]]
-                yield pd.DataFrame(body, columns=cols, dtype=str) if body else pd.DataFrame(
-                    {c: pd.Series(dtype=str) for c in cols}
+                matrix = rdr.read_sheet(sheet_name, visible_only, want_cols=want_raw)
+                body = [
+                    [padded[p] for p in positions]
+                    for r in matrix[1:]
+                    for padded in ((r + [""] * n_full)[:n_full],)
+                ]
+                yield pd.DataFrame(body, columns=out_cols, dtype=str) if body else pd.DataFrame(
+                    {c: pd.Series(dtype=str) for c in out_cols}
                 )
 
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.xlsx").load(path)

@@ -204,7 +204,11 @@ class WorkbookReader:
         return list(self.sheet_paths)
 
     def read_sheet(
-        self, name: str, visible_only: bool = False, max_rows: int | None = None
+        self,
+        name: str,
+        visible_only: bool = False,
+        max_rows: int | None = None,
+        want_cols: set[int] | None = None,
     ) -> list[list[str]]:
         """Decode one sheet to a rectangular string matrix.
 
@@ -213,14 +217,46 @@ class WorkbookReader:
         collected, so a header probe costs O(1) rows of work instead of
         the whole sheet. A bounded read derives the matrix width from
         the parsed rows only (an unbounded read uses the global widest
-        row)."""
+        row).
+
+        ``want_cols`` (raw 0-based sheet column indices) is column
+        pruning: cells outside the set skip value decoding entirely —
+        no shared-string dereference, no date/number rendering — and
+        surface as ``""``. Matrix positions of wanted columns are
+        unchanged (the rectangle keeps every non-hidden column up to
+        the widest *wanted* cell)."""
+        return self._decode_sheet(name, visible_only, max_rows, want_cols)[0]
+
+    def sheet_columns(
+        self, name: str, visible_only: bool = False
+    ) -> tuple[list[str], list[int]]:
+        """Header probe with provenance: (first-row texts, raw sheet
+        column index of each matrix position). Bounded to one XML row
+        (falls back to a full parse only when the first row is empty);
+        the raw indices are what ``read_sheet(want_cols=...)`` expects,
+        so callers can map projected column NAMES to pruned cells even
+        with hidden columns collapsed out of the matrix."""
+        matrix, cols = self._decode_sheet(name, visible_only, max_rows=1)
+        if not matrix:
+            matrix, cols = self._decode_sheet(name, visible_only)
+        if not matrix:
+            return [], []
+        return matrix[0], cols
+
+    def _decode_sheet(
+        self,
+        name: str,
+        visible_only: bool = False,
+        max_rows: int | None = None,
+        want_cols: set[int] | None = None,
+    ) -> tuple[list[list[str]], list[int]]:
         if name not in self.sheet_paths:
             raise ValueError(
                 f"no sheet named {name!r}; workbook has {self.sheet_names()}"
             )
         raw = self._read(self.sheet_paths[name])
         if raw is None:
-            return []
+            return [], []
 
         hidden_cols: set[int] = set()
         rows: list[tuple[int, dict[int, str]]] = []
@@ -250,6 +286,8 @@ class WorkbookReader:
                 next_col = col_idx + 1
                 if col_idx in hidden_cols:
                     continue
+                if want_cols is not None and col_idx not in want_cols:
+                    continue  # pruned: skip the value decode entirely
                 text = _cell_text(c, self._shared)
                 if text and c.get("t", "n") == "n":
                     style = int(c.get("s", "-1"))
@@ -271,7 +309,7 @@ class WorkbookReader:
                 break
 
         if max_col < 0:
-            return []
+            return [], []
         # densify into a rectangle (xlsparser.js:126-142), dropping
         # hidden columns without leaving gaps
         kept_cols = [c for c in range(max_col + 1) if c not in hidden_cols]
@@ -286,4 +324,4 @@ class WorkbookReader:
         # trailing-empty-row trim, bottom-up early cut-off (xlsparser.js:189-210)
         while matrix and not any(cell for cell in matrix[-1]):
             matrix.pop()
-        return matrix
+        return matrix, kept_cols

@@ -50,7 +50,7 @@ class XlsxDataSource(DataSource):
         if not path:
             raise ValueError("xlsx datasource requires a path")
         first = _list_workbooks(path)[0]
-        _, header = _header_of(
+        _, header, _ = _header_of(
             first,
             self.options.get("sheet"),
             _truthy(self.options.get("visible_only", "false")),
@@ -61,6 +61,13 @@ class XlsxDataSource(DataSource):
             if _truthy(self.options.get("sanitize", "true"))
             else [str(h) for h in header]
         )
+        requested = self.options.get("columns")
+        if requested:
+            want = [c.strip() for c in requested.split(",") if c.strip()]
+            missing = [c for c in want if c not in cols]
+            if missing:
+                raise ValueError(f"columns {missing} not in sheet columns {cols}")
+            cols = want
         return StructType([StructField(c, StringType()) for c in cols])
 
     def reader(self, schema: StructType) -> "XlsxReader":
@@ -78,6 +85,7 @@ class XlsxReader(DataSourceReader):
         return [InputPartition(p) for p in _list_workbooks(self.options["path"])]
 
     def read(self, partition: InputPartition):
+        from excel_to_database_spark.naming import sanitize_columns
         from excel_to_database_spark.sources.xlsx_core import WorkbookReader
 
         with open(partition.value, "rb") as f:
@@ -87,9 +95,28 @@ class XlsxReader(DataSourceReader):
                 _truthy(self.options.get("keep_time", "false")),
             )
         sheet = self.options.get("sheet") or rdr.sheet_names()[0]
-        matrix = rdr.read_sheet(
-            sheet, _truthy(self.options.get("visible_only", "false"))
-        )
+        visible_only = _truthy(self.options.get("visible_only", "false"))
+        if self.options.get("columns"):
+            # column pruning: map this partition's header to raw sheet
+            # indices and decode only the schema's columns
+            header, raw_cols = rdr.sheet_columns(sheet, visible_only)
+            all_cols = (
+                sanitize_columns(header)
+                if _truthy(self.options.get("sanitize", "true"))
+                else [str(h) for h in header]
+            )
+            positions = [
+                all_cols.index(f.name) for f in self.schema.fields
+                if f.name in all_cols
+            ]
+            want_raw = {raw_cols[p] for p in positions}
+            n_full = len(all_cols)
+            matrix = rdr.read_sheet(sheet, visible_only, want_cols=want_raw)
+            for row in matrix[1:]:
+                padded = (row + [""] * n_full)[:n_full]
+                yield tuple(padded[p] for p in positions)
+            return
+        matrix = rdr.read_sheet(sheet, visible_only)
         ncols = len(self.schema.fields)
         for row in matrix[1:]:
             yield tuple((row + [""] * ncols)[:ncols])

@@ -180,3 +180,74 @@ def test_read_excel_keep_time(spark, tmp_path):
     timed = read_excel(spark, str(p), keep_time=True).collect()[0]["when"]
     assert plain == "2021-01-01"
     assert timed == "2021-01-01 12:00:00"
+
+
+def test_read_sheet_column_pruning(monkeypatch):
+    """want_cols decodes only the wanted cells: positions are stable,
+    pruned cells surface as '', and their values are never decoded."""
+    from excel_to_database_spark.sources import xlsx_core
+
+    rdr = WorkbookReader(_workbook())
+    full = rdr.read_sheet("Data Sheet")
+    decoded = []
+
+    real = xlsx_core._cell_text
+
+    def spy(c, shared):
+        out = real(c, shared)
+        decoded.append(out)
+        return out
+
+    monkeypatch.setattr(xlsx_core, "_cell_text", spy)
+    pruned = rdr.read_sheet("Data Sheet", want_cols={0, 2})
+    # pruned matrix keeps positions of wanted columns
+    for r_full, r_pruned in zip(full, pruned):
+        assert r_pruned[0] == r_full[0] and r_pruned[2] == r_full[2]
+        assert all(v == "" for i, v in enumerate(r_pruned) if i not in (0, 2))
+    # only wanted-column cells went through the value decoder
+    assert decoded == ["Name", "Amount", "alice", "12.5", "bob", "7"]
+
+
+def test_sheet_columns_maps_raw_indices():
+    """sheet_columns returns raw sheet indices usable as want_cols even
+    when hidden columns collapse matrix positions."""
+    wb = build_xlsx(
+        {"S": [["a", "b", "c"], ["1", "2", "3"]]},
+        hidden_cols={"S": {1}},
+    )
+    rdr = WorkbookReader(wb)
+    header, raw = rdr.sheet_columns("S", visible_only=True)
+    assert header == ["a", "c"]
+    assert raw == [0, 2]
+    m = rdr.read_sheet("S", visible_only=True, want_cols={raw[1]})
+    assert m[1] == ["", "3"]
+
+
+def test_read_excel_column_pruning(spark, tmp_path):
+    """read_excel(columns=...) returns exactly the requested columns in
+    order, values matching the full read."""
+    from excel_to_database_spark.sources.excel_source import read_excel
+
+    p = tmp_path / "book.xlsx"
+    p.write_bytes(_workbook())
+    got = read_excel(spark, str(p), columns=["Amount", "Name"])
+    assert got.columns == ["Amount", "Name"]
+    rows = {r["Name"]: r["Amount"] for r in got.collect()}
+    assert rows == {"alice": "12.5", "bob": "7"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in sheet columns"):
+        read_excel(spark, str(p), columns=["nope"])
+
+
+def test_xlsx_datasource_column_pruning(spark, tmp_path):
+    """The registered format prunes through the 'columns' option."""
+    from excel_to_database_spark.sources.xlsx_datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    d = tmp_path / "books"
+    d.mkdir()
+    (d / "one.xlsx").write_bytes(_workbook())
+    df = spark.read.format("xlsx").option("columns", "Name,Amount").load(str(d))
+    assert df.columns == ["Name", "Amount"]
+    assert {tuple(r) for r in df.collect()} == {("alice", "12.5"), ("bob", "7")}
