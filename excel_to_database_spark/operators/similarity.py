@@ -110,25 +110,30 @@ def cosine_pairs(
     vec_col: str,
     threshold: float,
     sieve_margin: float = 1e-6,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (embedding near-dup), exact — but
-    sieved: every pair is first scored with the cheap double-arithmetic
-    cosine, and only pairs within ``sieve_margin`` of the threshold
-    band get the decimal-exact rescoring that the final predicate (and
-    the SQL oracle) is evaluated on. The double fold's accumulated
-    error for unit-scale float vectors is ~1e-13 relative, 7 orders
-    below the default margin, so the sieve provably drops no
-    qualifying pair — same answer, ~10× less decimal work. Pairs are
-    generated once in canonical (a < b) orientation. Returns
-    (vec_a, vec_b, cosine)."""
-    # norms are per-VECTOR, so both the fast double norm and the
-    # decimal-exact norm are computed once per side here — never per
-    # pair. The per-pair work is then exactly one double dot fold
-    # (sieve) plus one decimal dot fold for survivors.
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sieved: candidate pairs come from blocked Gram matmuls, and only
+    survivors get the decimal-exact rescoring that the final predicate
+    (and the SQL oracle) is evaluated on. The float64 matmul's
+    accumulated error for unit-scale vectors is ~1e-13 relative, 7
+    orders below the default margin, so the sieve provably drops no
+    qualifying pair — same answer, none of the quadratic decimal work.
 
-    def ffold(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    Scale shape (block-nested-loop): ids hash into ``n_blocks``
+    buckets; every unordered block pair (i ≤ j) becomes one
+    ``applyInPandas`` group whose task multiplies its two sub-matrices
+    (numpy, one Arrow batch each side) — O(|D|²/K²) flops per task
+    across K(K+1)/2 tasks, per-task memory bounded by block size, and
+    the shuffled volume is |D|·(K+1) vector rows, never pair rows.
+    The 2M-pair crossJoin this replaces materialized every pair as a
+    128-double row just to run an interpreted per-element fold over
+    it. Pairs are generated once in canonical (a < b) orientation.
+    Returns (vec_a, vec_b, cosine)."""
+    import numpy as _np
+    import pandas as _pd
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     def dfold(arr):
         return F.aggregate(
@@ -137,30 +142,76 @@ def cosine_pairs(
             lambda acc, x: (acc + x).cast("decimal(30,12)"),
         ).cast("double")
 
-    def with_norms(df, prefix):
-        fast_n2 = ffold(F.transform("v", lambda x: x.cast("double") * x.cast("double")))
-        exact_n2 = dfold(
-            F.transform(
-                "v", lambda x: (x.cast("double") * x.cast("double")).cast("decimal(30,12)")
+    exact_n2 = dfold(
+        F.transform(
+            "v", lambda x: (x.cast("double") * x.cast("double")).cast("decimal(30,12)")
+        )
+    )
+    base = base.withColumn("n2", exact_n2).persist()
+
+    # replicate each vector to every block pair it participates in:
+    # as the LEFT side of (b, j≥b) and the RIGHT side of (i≤b, b)
+    blk = F.pmod(F.hash("id"), F.lit(n_blocks))
+    sides = base.select(
+        "id", "v",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(blk, F.lit(n_blocks - 1)),
+                    lambda j: F.struct(blk.alias("bi"), j.alias("bj"), F.lit(0).alias("side")),
+                ),
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), blk),
+                        lambda i: F.struct(i.alias("bi"), blk.alias("bj"), F.lit(1).alias("side")),
+                    ),
+                    # diagonal groups need each vector once only — it
+                    # serves both sides there
+                    lambda s: s["bi"] != s["bj"],
+                ),
             )
-        )
-        return df.select(
-            F.col("id").alias(f"{prefix}id"),
-            F.col("v").alias(f"{prefix}v"),
-            fast_n2.alias(f"{prefix}n2f"),
-            exact_n2.alias(f"{prefix}n2"),
-        )
+        ).alias("g"),
+    ).select("id", "v", F.col("g.bi").alias("bi"), F.col("g.bj").alias("bj"), F.col("g.side").alias("side"))
 
-    a = with_norms(base, "q")
-    b = with_norms(base, "n")
-    b = b.repartition(b.sparkSession.sparkContext.defaultParallelism)
-    pairs = F.broadcast(a).crossJoin(b).filter(F.col("qid") < F.col("nid"))
+    sieve_at = threshold - sieve_margin
 
-    fast_dot = ffold(F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")))
-    cand = pairs.withColumn(
-        "cos_fast", fast_dot / (F.sqrt("qn2f") * F.sqrt("nn2f"))
-    ).filter(F.col("cos_fast") >= threshold - sieve_margin)
+    def _block_gram(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        diag = pdf["bi"].iloc[0] == pdf["bj"].iloc[0]
+        left = pdf if diag else pdf[pdf["side"] == 0]
+        right = pdf if diag else pdf[pdf["side"] == 1]
+        if left.empty or right.empty:
+            return _pd.DataFrame({"qid": [], "nid": []}).astype(pdf["id"].dtype)
+        lid = left["id"].to_numpy()
+        rid = right["id"].to_numpy()
+        L = _np.stack(left["v"].to_numpy()).astype(_np.float64)
+        R = _np.stack(right["v"].to_numpy()).astype(_np.float64)
+        ln = _np.sqrt((L * L).sum(axis=1))
+        rn = _np.sqrt((R * R).sum(axis=1))
+        cos = (L @ R.T) / _np.outer(ln, rn)
+        qi, ni = _np.nonzero(cos >= sieve_at)
+        if diag:
+            # same block on both sides: drop self-pairs and halve
+            keep = lid[qi] < rid[ni]
+            q, n = lid[qi][keep], rid[ni][keep]
+        else:
+            # disjoint blocks: every entry is a distinct unordered
+            # pair; canonicalize the orientation (id order and block
+            # order are independent)
+            a_, b_ = lid[qi], rid[ni]
+            q, n = _np.minimum(a_, b_), _np.maximum(a_, b_)
+        return _pd.DataFrame({"qid": q, "nid": n})
 
+    id_t = dict(emb.dtypes)[id_col]
+    cand = sides.groupBy("bi", "bj").applyInPandas(
+        _block_gram, schema=f"qid {id_t}, nid {id_t}"
+    )
+
+    qside = base.select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    nside = base.select(
+        F.col("id").alias("nid"), F.col("v").alias("nv"), F.col("n2").alias("nn2")
+    )
     dot = dfold(
         F.zip_with(
             "qv", "nv",
@@ -168,7 +219,9 @@ def cosine_pairs(
         )
     )
     return (
-        cand.select(
+        cand.join(qside, "qid")
+        .join(nside, "nid")
+        .select(
             F.col("qid").alias("vec_a"),
             F.col("nid").alias("vec_b"),
             (dot / (F.sqrt("qn2") * F.sqrt("nn2"))).alias("cosine"),
