@@ -307,15 +307,18 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel generates per superstep. The driver never sees a row."""
     from pyspark.storagelevel import StorageLevel
 
-    l = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # distinct on the raw integer pair BEFORE the string node ids are
+    # built: the dedup shuffle moves 2 longs per row, not 2 strings
     raw = (
         l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
         )
-        .distinct()
     )
     edges = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
