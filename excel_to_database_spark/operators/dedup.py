@@ -96,9 +96,13 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     shingles) while its input *bytes* are tiny, so AQE would coalesce it
     to one task; the explicit ``repartition(N, shingle)`` pins the
     parallelism (user repartitions are exempt from AQE coalescing) and
-    the join reuses that partitioning with no extra exchange."""
+    the join reuses that partitioning with no extra exchange. The
+    repartitioned frame feeds three consumers (sizes and both join
+    sides) and is persisted so the shingle explode runs once."""
+    from pyspark.storagelevel import StorageLevel
+
     n_part = sh.sparkSession.sparkContext.defaultParallelism
-    sh = sh.repartition(n_part, "shingle")
+    sh = sh.repartition(n_part, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
@@ -136,9 +140,12 @@ def containment_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
     Same inverted-index join discipline as ``jaccard_pairs`` (explicit
     shingle repartition pinned against AQE coalescing, candidate set
-    bounded by co-shingled pairs, never all-pairs)."""
+    bounded by co-shingled pairs, never all-pairs; persisted for its
+    three consumers)."""
+    from pyspark.storagelevel import StorageLevel
+
     n_part = sh.sparkSession.sparkContext.defaultParallelism
-    sh = sh.repartition(n_part, "shingle")
+    sh = sh.repartition(n_part, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc").alias("doc_sub"), "shingle")
     b = sh.select(F.col("doc").alias("doc_super"), "shingle")
@@ -243,8 +250,14 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
 
     All bands are exploded out of ONE signature row (posexplode of the
     band-signature array) rather than unioning per-band branches — a
-    union would re-execute the signature aggregation once per band."""
-    banded = _banded(sig, bands, rows)
+    union would re-execute the signature aggregation once per band.
+    The banded frame itself feeds both self-join sides, so it is
+    persisted (``bands`` rows per doc — the LSH index you'd
+    materialize at corpus scale) instead of re-aggregating the
+    signatures per side."""
+    from pyspark.storagelevel import StorageLevel
+
+    banded = _banded(sig, bands, rows).persist(StorageLevel.MEMORY_AND_DISK)
     x = banded.select(F.col("doc").alias("doc_a"), "band", "sig")
     y = banded.select(F.col("doc").alias("doc_b"), "band", "sig")
     return (
@@ -388,6 +401,8 @@ def simhash_pairs(
     come from equi-joins on (chunk index, chunk value) — the same
     bucket-join shape as MinHash LSH — then the exact Hamming check
     filters. Results are identical to the quadratic scan, guaranteed."""
+    from pyspark.storagelevel import StorageLevel
+
     n_bands = max_distance + 1
     width = -(-bits // n_bands)  # ceil
     chunks = F.array(
@@ -398,9 +413,11 @@ def simhash_pairs(
             for b in range(n_bands)
         ]
     )
+    # both self-join sides scan the banded fingerprints: persist so the
+    # fingerprint aggregation (a groupBy over every token) runs once
     banded = fp.select(
         "doc", "fingerprint", F.posexplode(chunks).alias("band", "chunk")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(
         F.col("doc").alias("doc_a"), F.col("fingerprint").alias("fa"), "band", "chunk"
     )

@@ -640,3 +640,81 @@ def ivf_refine(cents: DataFrame, assigned: DataFrame) -> DataFrame:
     return cents.join(means, "cell", "left").select(
         "cell", F.coalesce("new_cv", "cv").alias("cv")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str, vec_col: str, levels: int = 256
+) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column — the
+    standard compression step before a vector index is materialized at
+    corpus scale (float32 → int8 is a 4× footprint cut; ``levels``
+    defaults to the int8 range).
+
+    Codebook: each dimension's [min, max] over the corpus, computed by
+    one posexplode → (pos, min, max) aggregation (map-side combinable,
+    shuffles dim rows per partition, never vectors). Codes:
+    ``floor((x - min) / (max - min) * (levels-1))`` clamped into
+    [0, levels-1] (x == max lands exactly on the top level), a
+    constant dimension coding to 0. Both engines evaluate the same
+    IEEE-double expression tree and ``floor`` carries no tie ambiguity
+    (unlike round), so codes are bit-reproducible — the SQL oracle
+    checks every byte of every code, not summary stats.
+
+    Returns (id, codes array<int>, reconstruction err_sq double):
+    dequantization is the bin's left edge ``min + c·(max-min)/
+    (levels-1)`` (both endpoints reconstruct exactly) and err_sq is
+    the squared truncation error — exact decimal accumulation, the
+    same discipline as the cosine operators. The codebook is broadcast
+    (dim rows)."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    book = (
+        base.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        # double codebook: float-typed lo/hi would drag the downstream
+        # (hi - lo) arithmetic to float32 precision and off the
+        # oracle's double expression tree
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lo", "hi"))).alias("b"))
+        .select(
+            F.transform("b", lambda s: s.getField("lo")).alias("los"),
+            F.transform("b", lambda s: s.getField("hi")).alias("his"),
+        )
+    )
+    n1 = F.lit(levels - 1).cast("double")
+    with_book = base.crossJoin(F.broadcast(book))
+    code = F.expr(
+        f"""
+        zip_with(v, zip_with(los, his, (l, h) -> struct(l AS l, h AS h)),
+                 (x, lh) -> CASE
+                     WHEN lh.h = lh.l THEN 0
+                     ELSE CAST(LEAST(FLOOR((CAST(x AS DOUBLE) - lh.l) / (lh.h - lh.l)
+                                           * {levels - 1}.0), {levels - 1}.0) AS INT)
+                 END)
+        """
+    )
+    staged = with_book.select("id", "v", "los", "his", code.alias("codes"))
+    # dequantize at the bin's left edge: lo + c * (hi - lo) / (levels-1)
+    deq = F.expr(
+        f"""
+        zip_with(codes, zip_with(los, his, (l, h) -> struct(l AS l, h AS h)),
+                 (c, lh) -> CASE
+                     WHEN lh.h = lh.l THEN lh.l
+                     ELSE lh.l + CAST(c AS DOUBLE) * (lh.h - lh.l) / {levels - 1}.0
+                 END)
+        """
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "v", deq,
+            lambda x, q: ((x.cast("double") - q) * (x.cast("double") - q)).cast(
+                "decimal(30,12)"
+            ),
+        ),
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, e: (acc + e).cast("decimal(30,12)"),
+    ).cast("double")
+    return staged.select("id", "codes", err.alias("err_sq"))

@@ -1261,3 +1261,48 @@ def q125_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup_blocked(
         e, "vec_id", "embedding", n_lists=8, threshold=0.35
     )
+
+
+@query(
+    "q138_embedding_quantization",
+    """
+    WITH dims AS (SELECT DISTINCT UNNEST(generate_series(1, len(embedding))) AS i
+                  FROM embeddings),
+    book AS (SELECT i,
+                    MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
+                    MAX(CAST(embedding[i] AS DOUBLE)) AS hi
+             FROM embeddings CROSS JOIN dims GROUP BY i),
+    coded AS (SELECT e.vec_id, d.i, b.lo, b.hi,
+                     CAST(e.embedding[d.i] AS DOUBLE) AS x,
+                     CASE WHEN b.hi = b.lo THEN 0
+                          ELSE CAST(LEAST(FLOOR((CAST(e.embedding[d.i] AS DOUBLE) - b.lo)
+                                                / (b.hi - b.lo) * 255.0), 255.0) AS INT)
+                     END AS c
+              FROM embeddings e CROSS JOIN dims d JOIN book b ON b.i = d.i),
+    recon AS (SELECT vec_id, i, c, x,
+                     CASE WHEN hi = lo THEN lo
+                          ELSE lo + CAST(c AS DOUBLE) * (hi - lo) / 255.0
+                     END AS q
+              FROM coded)
+    SELECT vec_id,
+           md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY i)) AS codes_md5,
+           CAST(SUM(CAST((x - q) * (x - q) AS DECIMAL(30,12))) AS DOUBLE) AS err_sq
+    FROM recon
+    GROUP BY vec_id
+    """,
+)
+def q138_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding table (the compression
+    step before a 100 TB vector index is materialized): per-dimension
+    [min,max] codebook via one posexplode aggregation, floor-codes in
+    whole-stage codegen, decimal-exact reconstruction error. Codes are
+    IEEE-double deterministic (floor, no rounding ties), so the oracle
+    verifies every byte of every code via an md5 over the code string —
+    not summary statistics."""
+    e = t(spark, sf_dir, "embeddings")
+    out = S.quantize_embeddings(e, "vec_id", "embedding", levels=256)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.md5(F.concat_ws(",", F.col("codes"))).alias("codes_md5"),
+        "err_sq",
+    )

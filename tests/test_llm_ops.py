@@ -357,3 +357,26 @@ def test_chunk_documents_overlap_and_short_docs(spark):
     assert rows[(3, 0)]["n_chunk_tokens"] == 1
     # overlap: last token of chunk k == first token of chunk k+1
     assert rows[(1, 0)]["chunk_text"].split()[-1] == rows[(1, 1)]["chunk_text"].split()[0]
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    rows = [
+        (1, [0.0, 5.0, -1.0]),
+        (2, [10.0, 5.0, 1.0]),
+        (3, [5.0, 5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in S.quantize_embeddings(df, "vec_id", "embedding", levels=256).collect()}
+    # endpoints land exactly on the first/last level and reconstruct
+    # exactly -> their error contribution is zero
+    assert out[1]["codes"][0] == 0 and out[2]["codes"][0] == 255
+    # constant dimension codes to 0 everywhere with zero error
+    assert all(out[k]["codes"][1] == 0 for k in out)
+    # dim 2: [-1, 1] span, value 0.0 -> floor((0-(-1))/2*255) = 127
+    assert out[3]["codes"][2] == 127
+    assert all(c >= 0 and c <= 255 for r in out.values() for c in r["codes"])
+    # vec 3 dim0 = 5.0 -> code floor(5/10*255)=127, dequant 127*10/255
+    import math
+    exp = (5.0 - 127 * 10.0 / 255.0) ** 2 + (0.0 - (-1.0 + 127 * 2.0 / 255.0)) ** 2
+    # the decimal(30,12) accumulator rounds each term at 1e-12 absolute
+    assert math.isclose(out[3]["err_sq"], exp, abs_tol=1e-11)
