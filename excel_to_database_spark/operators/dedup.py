@@ -280,6 +280,30 @@ def _banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     return sig.select("doc", F.posexplode(band_sigs).alias("band", "sig"))
 
 
+def band_index(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """The persisted corpus-side LSH index: banded signatures
+    (``bands`` rows per doc, columns (doc, band, sig)) pinned in
+    MEMORY_AND_DISK. At ingest time this is written once; every
+    subsequent batch (or micro-batch — streaming/ingest.
+    stream_lsh_dedup) joins its own bands against it, so dedup cost is
+    proportional to the batch, never the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    return _banded(sig, bands, rows).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def lsh_matches_against_index(
+    sig_new: DataFrame, index: DataFrame, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Band only the NEW side and probe a pre-banded corpus index (see
+    ``band_index``): (doc_new, doc_corpus) distinct candidate pairs."""
+    x = _banded(sig_new, bands, rows).select(
+        F.col("doc").alias("doc_new"), "band", "sig"
+    )
+    y = index.select(F.col("doc").alias("doc_corpus"), "band", "sig")
+    return x.join(y, ["band", "sig"]).select("doc_new", "doc_corpus").distinct()
+
+
 def lsh_matches_between(
     sig_new: DataFrame, sig_corpus: DataFrame, bands: int = 4, rows: int = 4
 ) -> DataFrame:

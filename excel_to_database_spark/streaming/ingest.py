@@ -152,6 +152,56 @@ def stream_upsert(
     )
 
 
+def stream_lsh_dedup(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    out_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    checkpoint: str = "/tmp/etds_lsh_dedup_ckpt",
+):
+    """Continuous-ingest near-dup screening: each micro-batch of new
+    documents is shingled, MinHash-signed, banded, and probed against
+    the persisted corpus band index (operators/dedup.band_index) —
+    the streaming form of the q133 incremental dedup. Appends
+    (doc_new, n_corpus_dups) rows to ``out_table`` per batch.
+
+    State story at 100 TB: the stream itself keeps NO Spark state —
+    the corpus index is the state, and it lives as a table the batch
+    ingest pipeline maintains. Per-batch cost is O(|batch| bands) join
+    probes plus collision volume, independent of corpus size; a batch
+    re-delivered after failure recomputes the same deterministic
+    signatures (md5, no RNG), so the append is idempotent per batch
+    id."""
+    from excel_to_database_spark.operators import dedup as D
+
+    rows = num_hashes // bands
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sig = D.minhash_signatures(
+            D.shingles(batch_df, id_col, text_col, n), num_hashes
+        )
+        (
+            D.lsh_matches_against_index(sig, corpus_index, bands, rows)
+            .groupBy("doc_new")
+            .agg(F.countDistinct("doc_corpus").alias("n_corpus_dups"))
+            .write.mode("append")
+            .saveAsTable(out_table)
+        )
+
+    return (
+        new_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

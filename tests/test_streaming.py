@@ -151,3 +151,61 @@ def test_stream_upsert_merges_each_batch(spark, tmp_path):
         5: ("five", 5),
     }
     spark.sql("DROP TABLE IF EXISTS t_stream_upsert")
+
+
+def test_stream_lsh_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched LSH dedup against a persisted corpus index emits
+    the same per-doc collision counts as the batch incremental dedup —
+    with the new half delivered across two triggers."""
+    from excel_to_database_spark.operators import dedup as D
+    from excel_to_database_spark.streaming.ingest import stream_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    in_corpus = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 128
+    )
+    corpus = docs.filter(in_corpus)
+    new = docs.filter(~in_corpus)
+
+    sig_c = D.minhash_signatures(D.shingles(corpus, "doc_id", "text", 3), 16)
+    index = D.band_index(sig_c, 4, 4)
+
+    # batch expectation through the same index
+    sig_n = D.minhash_signatures(D.shingles(new, "doc_id", "text", 3), 16)
+    expect = {
+        r["doc_new"]: r["n"]
+        for r in D.lsh_matches_against_index(sig_n, index, 4, 4)
+        .groupBy("doc_new")
+        .agg(F.countDistinct("doc_corpus").alias("n"))
+        .collect()
+    }
+
+    # stream the new half in two files -> two micro-batches
+    src = tmp_path / "new_docs"
+    half = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    new.filter(half).coalesce(1).write.parquet(str(src / "a"))
+    new.filter(~half).coalesce(1).write.parquet(str(src / "b"))
+    spark.sql("DROP TABLE IF EXISTS t_stream_lsh")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = stream_lsh_dedup(
+        stream, index, "t_stream_lsh", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_new"]: r["n_corpus_dups"]
+        for r in spark.table("t_stream_lsh").collect()
+    }
+    assert got == expect
+    spark.sql("DROP TABLE IF EXISTS t_stream_lsh")
