@@ -1306,3 +1306,49 @@ def q138_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", F.col("codes"))).alias("codes_md5"),
         "err_sq",
     )
+
+
+@query(
+    "q139_product_quantization",
+    """
+    WITH dims AS (SELECT DISTINCT UNNEST(generate_series(1, len(embedding))) AS i
+                  FROM embeddings),
+    sv AS (SELECT vec_id, CAST((d.i - 1) // 8 AS INT) AS s, d.i,
+                  CAST(embedding[d.i] AS DOUBLE) AS x
+           FROM embeddings CROSS JOIN dims d),
+    seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+    cent AS (SELECT sv.vec_id AS cell, sv.s, sv.i, sv.x
+             FROM sv JOIN seeds ON seeds.vec_id = sv.vec_id),
+    dist AS (SELECT a.vec_id, a.s, c.cell,
+                    CAST(SUM(CAST((a.x - c.x) * (a.x - c.x) AS DECIMAL(30,12)))
+                         AS DOUBLE) AS d2
+             FROM sv a JOIN cent c ON c.s = a.s AND c.i = a.i
+             GROUP BY a.vec_id, a.s, c.cell),
+    pick AS (SELECT vec_id, s, cell, d2,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                       ORDER BY d2, cell) AS rn
+             FROM dist)
+    SELECT vec_id,
+           md5(string_agg(CAST(cell AS VARCHAR), ',' ORDER BY s)) AS codes_md5,
+           CAST(SUM(CAST(d2 AS DECIMAL(30,12))) AS DOUBLE) AS dist_sq
+    FROM pick WHERE rn = 1
+    GROUP BY vec_id
+    """,
+)
+def q139_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding table (the compression
+    layer under an IVF-PQ index): 8 subspaces of 8 dims, 16-entry
+    deterministic codebooks (subvectors of the lowest-id vectors, the
+    ivf_assign pick), decimal-exact squared-L2 assignment with
+    lowest-cell tiebreak. The oracle reproduces every vector's full
+    code word (md5 over the code string) and the exact total
+    distortion."""
+    e = t(spark, sf_dir, "embeddings")
+    out = S.product_quantize(e, "vec_id", "embedding", m=8, k=16, dim=64)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.md5(F.concat_ws(",", F.transform("codes", lambda c: c.cast("string")))).alias(
+            "codes_md5"
+        ),
+        "dist_sq",
+    )

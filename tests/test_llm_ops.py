@@ -380,3 +380,25 @@ def test_quantize_embeddings_roundtrip(spark):
     exp = (5.0 - 127 * 10.0 / 255.0) ** 2 + (0.0 - (-1.0 + 127 * 2.0 / 255.0)) ** 2
     # the decimal(30,12) accumulator rounds each term at 1e-12 absolute
     assert math.isclose(out[3]["err_sq"], exp, abs_tol=1e-11)
+
+
+def test_product_quantize_seeds_and_assignment(spark):
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [10.0, 10.0, 10.0, 10.0]),
+        (3, [0.2, 0.1, 9.8, 9.9]),   # sub0 near seed 1, sub1 near seed 2
+        (4, [9.9, 9.9, 0.1, 0.0]),   # sub0 near seed 2, sub1 near seed 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in S.product_quantize(df, "vec_id", "embedding", m=2, k=2, dim=4).collect()}
+    # codebook members quantize to themselves with zero distortion
+    assert out[1]["codes"] == [1, 1] and out[1]["dist_sq"] == 0.0
+    assert out[2]["codes"] == [2, 2] and out[2]["dist_sq"] == 0.0
+    # mixed vectors pick the nearest codebook entry per subspace
+    assert out[3]["codes"] == [1, 2]
+    assert out[4]["codes"] == [2, 1]
+    assert out[3]["dist_sq"] > 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        S.product_quantize(df, "vec_id", "embedding", m=3, k=2, dim=4)
