@@ -74,3 +74,34 @@ def test_jaccard_matches_mllib_minhash(spark):
     mllib = {(r["a"], r["b"]): 1.0 - r["jd"] for r in pairs}
     for key, j in mllib.items():
         assert abs(ours.get(key, 0.0) - j) < 1e-9, (key, j, ours.get(key))
+
+
+def test_minhash_rotation_family_matches_python_model(spark):
+    """The Spark signature pipeline reproduces an independent pure-
+    Python model of the family definition (shingle = lowercase
+    whitespace 3-gram; member i = lexicographic MIN over shingles of
+    md5(shingle) rotated left by 2*i hex chars). Locks both the Spark
+    expressions and the SQL oracles — which state the same definition —
+    against drift."""
+    import hashlib
+    import re
+
+    from excel_to_database_spark.operators import dedup as D
+
+    rows = [
+        (i, f"tok{i} alpha beta gamma delta tok{i * 7 % 5} epsilon zeta eta")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def model(text):
+        w = re.split(r"\s+", text.lower().strip())
+        sh = {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+        return [min(h[2 * i :] + h[: 2 * i] for h in hs) for i in range(16)]
+
+    got = {
+        r["doc"]: [r[f"h{i}"] for i in range(16)]
+        for r in D.minhash_signatures(D.shingles(df, "doc_id", "text", 3), 16).collect()
+    }
+    assert got == {i: model(t) for i, t in rows}
