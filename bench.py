@@ -50,6 +50,9 @@ HEADLINE = [
     "q112_recursive_closure",
     "q122_pagerank",
     "q125_semantic_dedup_blocked",
+    # vector-index compression family
+    "q138_embedding_quantization",
+    "q139_product_quantization",
 ]
 
 
