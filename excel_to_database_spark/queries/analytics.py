@@ -309,16 +309,17 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # distinct on the raw integer pair BEFORE the string node ids are
-    # built: the dedup shuffle moves 2 longs per row, not 2 strings
+    # the whole iteration runs on LONG node ids (customer k → 2k,
+    # supplier k → 2k+1): the per-superstep shuffles hash and move
+    # 8-byte keys; the display ids ('c<k>'/'s<k>', what the oracle
+    # states) are rebuilt only for the final 20-row ordered output
     raw = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
+        .distinct()
     )
     edges = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -350,7 +351,20 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr("(85 * s) div 100")
             ).cast("bigint").alias("rank"),
         )
-    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+    # rebuild the display id BEFORE the ordered top-k: rank ties break
+    # on the STRING id in the oracle ('c10' < 'c2' lexicographically),
+    # so the sort key must be the display form
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("bigint").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint").cast("string"))
+    )
+    return (
+        ranks.select(label.alias("node"), "rank")
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
 
 
 @query(
