@@ -105,3 +105,41 @@ def test_minhash_rotation_family_matches_python_model(spark):
         for r in D.minhash_signatures(D.shingles(df, "doc_id", "text", 3), 16).collect()
     }
     assert got == {i: model(t) for i, t in rows}
+
+
+def test_blocked_cosine_pairs_matches_numpy(spark):
+    """The block-pair Gram sieve + decimal rescore finds exactly the
+    pairs an independent numpy all-pairs scan finds — in particular no
+    pair may be lost to cross-block orientation (larger id in the
+    lower-numbered block)."""
+    import hashlib
+
+    import numpy as np
+
+    from excel_to_database_spark.operators.similarity import cosine_pairs
+
+    def vec(i):
+        h = hashlib.md5(f"v{i}".encode()).digest()
+        return [((b / 255.0) * 2 - 1) for b in h[:8]]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    V = np.array([np.array(v, dtype=np.float32).astype(np.float64) for _, v in rows])
+    n = np.sqrt((V * V).sum(axis=1))
+    cos = (V @ V.T) / np.outer(n, n)
+    thr = 0.5
+    expect = {
+        (a, b)
+        for a in range(40)
+        for b in range(a + 1, 40)
+        if cos[a, b] >= thr
+    }
+    assert expect, "fixture must produce at least one qualifying pair"
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_pairs(df, "vec_id", "embedding", threshold=thr, n_blocks=4).collect()
+    }
+    assert set(got) == expect
+    for (a, b), c in got.items():
+        assert abs(c - cos[a, b]) < 1e-9
