@@ -521,6 +521,11 @@ def connected_components(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        # materialized once: every propagation round joins the edge
+        # list, and without the checkpoint each round would re-execute
+        # the (potentially expensive) pair-generation pipeline behind
+        # ``pairs`` — measured ~1s per round on the LSH pair graph
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc"))
