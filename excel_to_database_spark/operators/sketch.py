@@ -1,7 +1,7 @@
-"""Frequency/membership sketches: count-min and Bloom, built from the
-same md5 hash family as the dedup/sampling operators — deterministic,
-engine-portable (a DuckDB oracle reproduces every counter bit-for-bit),
-no RNG state.
+"""Frequency/membership sketches: count-min and Bloom, built from a
+single-digest md5 field family (hash each item once; row d uses the
+d-th disjoint 16-bit hex field) — deterministic, engine-portable (a
+DuckDB oracle reproduces every counter bit-for-bit), no RNG state.
 
 Scale design: both sketches are one map-side-combinable aggregation
 over the data; the sketch itself is O(depth × width) / O(bits) rows —
@@ -21,18 +21,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-def _bucket(item: Column, seed, width: int) -> Column:
-    """16-bit md5 bucket of ``seed:item`` reduced mod ``width`` — the
-    same primitive (and the same DuckDB spelling) as text.hash_bucket."""
-    seed_str = seed.cast("string") if isinstance(seed, Column) else F.lit(str(seed))
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(seed_str, F.lit(":"), item.cast("string"))), 1, 4
-        ),
-        16,
-        10,
-    ).cast("int")
-    return h % width
+def _bucket_array(n: int, width: int) -> Column:
+    """``n`` buckets from ONE digest column ``__h``: row d's bucket is
+    the d-th disjoint 16-bit hex field of md5(item), mod ``width`` —
+    one md5 per input row instead of one per (row, seed), the same
+    single-digest family trick as the MinHash rotations. Disjoint
+    fields of a uniform digest are independent uniform 16-bit values
+    (n ≤ 8, width ≤ 65536); the construction is plain substring math,
+    so DuckDB oracles reproduce every counter."""
+    if n > 8:
+        raise ValueError("digest supplies at most 8 independent 16-bit fields")
+    return F.array(
+        *[
+            F.conv(F.substring("__h", 4 * d + 1, 4), 16, 10).cast("int") % width
+            for d in range(n)
+        ]
+    )
 
 
 def cms_build(
@@ -40,14 +44,11 @@ def cms_build(
 ) -> DataFrame:
     """Count-min sketch of ``item_col``'s frequency distribution:
     ``depth`` hash rows × ``width`` counters as a (seed, bucket, cnt)
-    frame. One explode (depth copies of the key column only — never the
-    full row) + one map-side-combinable aggregation."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
-    keyed = df.select(F.col(item_col).alias("__item")).select("__item", seeds)
+    frame. One md5 per row, one posexplode of the derived bucket array
+    (never the full row), one map-side-combinable aggregation."""
+    staged = df.select(F.md5(F.col(item_col).cast("string")).alias("__h"))
     return (
-        keyed.select(
-            "seed", _bucket(F.col("__item"), F.col("seed"), width).alias("bucket")
-        )
+        staged.select(F.posexplode(_bucket_array(depth, width)).alias("seed", "bucket"))
         .groupBy("seed", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -66,14 +67,11 @@ def cms_estimate(
     shuffles more than (item, seed) pairs. ``depth``/``width`` must
     match the build call — taken as parameters so plan construction
     stays job-free (no driver probe of the sketch)."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
     probe_buckets = (
         probes.select(F.col(item_col).alias("item"))
         .distinct()
-        .select("item", seeds)
-        .select(
-            "item", "seed", _bucket(F.col("item"), F.col("seed"), width).alias("bucket")
-        )
+        .select("item", F.md5(F.col("item").cast("string")).alias("__h"))
+        .select("item", F.posexplode(_bucket_array(depth, width)).alias("seed", "bucket"))
     )
     return (
         probe_buckets.join(F.broadcast(sketch), ["seed", "bucket"], "left")
@@ -88,11 +86,9 @@ def bloom_build(
     """Bloom filter membership set: the distinct (seed, bit) positions
     lit by the items. Size ≤ n_hashes × n_bits rows regardless of data
     volume."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
     return (
-        df.select(F.col(item_col).alias("__item"))
-        .select("__item", seeds)
-        .select("seed", _bucket(F.col("__item"), F.col("seed"), n_bits).alias("bit"))
+        df.select(F.md5(F.col(item_col).cast("string")).alias("__h"))
+        .select(F.posexplode(_bucket_array(n_hashes, n_bits)).alias("seed", "bit"))
         .distinct()
     )
 
@@ -104,12 +100,11 @@ def bloom_probe(
     """Probe: an item is (possibly) a member iff ALL of its bit
     positions are lit — no false negatives, bounded false positives.
     Returns (item, bloom_hit boolean). The bit set broadcasts."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
     probe_bits = (
         probes.select(F.col(item_col).alias("item"))
         .distinct()
-        .select("item", seeds)
-        .select("item", "seed", _bucket(F.col("item"), F.col("seed"), n_bits).alias("bit"))
+        .select("item", F.md5(F.col("item").cast("string")).alias("__h"))
+        .select("item", F.posexplode(_bucket_array(n_hashes, n_bits)).alias("seed", "bit"))
     )
     hit = F.count(F.lit(1)) == F.sum(F.when(F.col("lit"), 1).otherwise(0))
     return (

@@ -140,7 +140,7 @@ def q118_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seeds AS (SELECT UNNEST([0, 1, 2, 3]) AS seed),
     exploded AS (
         SELECT seed,
-               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 4)) AS INTEGER) % 4096 AS bucket
+               CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), seed * 4 + 1, 4)) AS INTEGER) % 4096 AS bucket
         FROM lineitem, seeds
     ),
     sketch AS (SELECT seed, bucket, COUNT(*) AS cnt FROM exploded GROUP BY seed, bucket),
@@ -148,7 +148,7 @@ def q118_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys AS (SELECT DISTINCT l_partkey AS item FROM lineitem),
     probe_buckets AS (
         SELECT item, seed,
-               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 4)) AS INTEGER) % 4096 AS bucket
+               CAST(('0x' || substring(md5(CAST(item AS VARCHAR)), seed * 4 + 1, 4)) AS INTEGER) % 4096 AS bucket
         FROM keys, seeds
     ),
     est AS (SELECT item, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_est

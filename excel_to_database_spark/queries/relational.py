@@ -2031,14 +2031,14 @@ def q107_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seeds AS (SELECT UNNEST([0, 1, 2, 3]) AS seed),
     exploded AS (
         SELECT seed,
-               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 4)) AS INTEGER) % 256 AS bucket
+               CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), seed * 4 + 1, 4)) AS INTEGER) % 256 AS bucket
         FROM lineitem, seeds
     ),
     sketch AS (SELECT seed, bucket, COUNT(*) AS cnt FROM exploded GROUP BY seed, bucket),
     probes AS (SELECT DISTINCT l_partkey AS item FROM lineitem WHERE l_partkey < 50),
     probe_buckets AS (
         SELECT item, seed,
-               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 4)) AS INTEGER) % 256 AS bucket
+               CAST(('0x' || substring(md5(CAST(item AS VARCHAR)), seed * 4 + 1, 4)) AS INTEGER) % 256 AS bucket
         FROM probes, seeds
     ),
     est AS (SELECT item, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_est
@@ -2083,12 +2083,12 @@ def q110_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seeds AS (SELECT UNNEST([0, 1, 2]) AS seed),
     bits AS (
         SELECT DISTINCT seed,
-               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 4)) AS INTEGER) % 4096 AS bit
+               CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), seed * 4 + 1, 4)) AS INTEGER) % 4096 AS bit
         FROM orders, seeds
     ),
     probe_bits AS (
         SELECT c_custkey AS item, seed,
-               CAST(('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 4)) AS INTEGER) % 4096 AS bit
+               CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), seed * 4 + 1, 4)) AS INTEGER) % 4096 AS bit
         FROM customer, seeds
     ),
     hits AS (SELECT item, COUNT(*) = SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS bloom_hit
