@@ -364,3 +364,24 @@ def mixture_rates(df, stratum_col: str, weight_col):
             F.lit(1.0), F.col("min_w").cast("double") / F.col("total_w").cast("double")
         ).alias("rate"),
     )
+
+
+def group_sample(df, group_col: str, key_col: str, k: int, salt: str = "gs"):
+    """Deterministic fixed-k sample PER GROUP (eval-set construction:
+    'k docs per source/language'): rows rank by the md5 of
+    ``salt:key`` inside their group — a uniform, engine- and
+    partitioning-reproducible order — and the first ``k`` survive.
+    Returns the input rows plus ``sample_rank`` (1-based).
+
+    One shuffle on the group key; the window's per-group sort is the
+    cost at scale, bounded by the largest group (heavily skewed group
+    sizes → pre-filter with ``stratified_sample`` at a few×k/|group|
+    to cap the sorted volume, then rank the survivors)."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -1352,3 +1352,29 @@ def q139_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "dist_sq",
     )
+
+
+@query(
+    "q140_per_group_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, sample_rank
+    FROM ranked WHERE sample_rank <= 20
+    """,
+)
+def q140_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample per source (k=20) — the eval-set
+    construction shape: uniform within each group by md5 order,
+    reproducible across reruns/backfills/partitionings, every sampled
+    row oracle-matched (not just counts)."""
+    d = t(spark, sf_dir, "documents")
+    out = T.group_sample(d, "source", "doc_id", k=20)
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), "sample_rank"
+    )

@@ -402,3 +402,20 @@ def test_product_quantize_seeds_and_assignment(spark):
 
     with _pytest.raises(ValueError, match="not divisible"):
         S.product_quantize(df, "vec_id", "embedding", m=3, k=2, dim=4)
+
+
+def test_group_sample_deterministic_k_per_group(spark):
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = T.group_sample(df, "grp", "doc_id", k=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["grp"], []).append((r["sample_rank"], r["doc_id"]))
+    assert set(per) == {"g0", "g1", "g2"}
+    for g, picks in per.items():
+        assert sorted(r for r, _ in picks) == [1, 2, 3, 4, 5]
+    # reproducible across invocations (and independent of partitioning)
+    again = T.group_sample(df.repartition(7), "grp", "doc_id", k=5).collect()
+    assert {(r["grp"], r["sample_rank"], r["doc_id"]) for r in again} == {
+        (r["grp"], r["sample_rank"], r["doc_id"]) for r in out
+    }
