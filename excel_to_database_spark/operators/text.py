@@ -385,3 +385,84 @@ def group_sample(df, group_col: str, key_col: str, k: int, salt: str = "gs"):
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def bigram_novelty(df, id_col: str, text_col: str):
+    """Per-document bigram novelty: of the doc's distinct word
+    bigrams, the fraction that occur in NO other document — the
+    n-gram-level fluency/boilerplate signal (low novelty = text shared
+    with many docs; high = unusual phrasing). Integer-exact end to end
+    (distinct counts and a ratio of counts), so the score is
+    oracle-reproducible. Two shuffles: bigram docfreq, then the
+    per-doc aggregate."""
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+        ),
+    ).otherwise(F.array())
+    bg = (
+        df.select(F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w"))
+        .select("doc", F.explode(F.array_distinct(grams)).alias("bigram"))
+    )
+    docfreq = bg.groupBy("bigram").agg(F.countDistinct("doc").alias("df"))
+    return (
+        bg.join(docfreq, "bigram")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )
+
+
+def remove_boilerplate_lines(df, id_col: str, text_col: str, min_doc_freq: int = 3):
+    """C4/RefinedWeb-style boilerplate removal: a LINE that appears (as
+    an exact normalized string) in ≥ ``min_doc_freq`` distinct
+    documents is dropped from every document; each text is rebuilt
+    from its surviving lines in original order. Returns
+    (id, clean_text, n_lines, n_removed).
+
+    Plan: posexplode lines → line docfreq (one shuffle) → join back
+    (broadcast-able: the boilerplate set is small by construction —
+    only repeated lines matter) → ordered re-aggregation per doc. The
+    reconstruction sorts each doc's surviving (pos, line) pairs inside
+    a per-doc aggregate — array_sort of collected structs, no window."""
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_norm", F.trim(F.col("line")))
+    boiler = (
+        lines.filter(F.col("line_norm") != "")
+        .groupBy("line_norm")
+        .agg(F.countDistinct("doc").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("line_norm")
+        .withColumn("__boiler", F.lit(True))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line_norm", "left")
+    kept = F.when(F.col("__boiler").isNull(), F.struct("pos", "line"))
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda s: s.getField("line"),
+                ),
+            ).alias("clean_text"),
+        )
+    )

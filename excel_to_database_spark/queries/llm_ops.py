@@ -1378,3 +1378,31 @@ def q140_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), "sample_rank"
     )
+
+
+@query(
+    "q141_bigram_novelty",
+    """
+    WITH ws AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+    bg AS (SELECT doc_id AS doc,
+                  UNNEST(list_distinct([w[i] || ' ' || w[i+1]
+                                        FOR i IN range(1, len(w))])) AS bigram
+           FROM ws),
+    dfq AS (SELECT bigram, COUNT(DISTINCT doc) AS df FROM bg GROUP BY bigram)
+    SELECT bg.doc AS doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS novelty
+    FROM bg JOIN dfq USING (bigram)
+    GROUP BY bg.doc
+    """,
+)
+def q141_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty per document: the fraction of a doc's distinct
+    word bigrams that occur in no other document — the n-gram-level
+    boilerplate/fluency signal (integer-exact counts and a ratio, so
+    the score itself is oracle-reproduced)."""
+    d = t(spark, sf_dir, "documents")
+    return T.bigram_novelty(d, "doc_id", "text").withColumnRenamed("doc", "doc_id")

@@ -419,3 +419,39 @@ def test_group_sample_deterministic_k_per_group(spark):
     assert {(r["grp"], r["sample_rank"], r["doc_id"]) for r in again} == {
         (r["grp"], r["sample_rank"], r["doc_id"]) for r in out
     }
+
+
+def test_remove_boilerplate_lines(spark):
+    cookie = "accept all cookies"
+    nav = "home | products | contact"
+    rows = [
+        (1, f"{cookie}\nunique first article\n{nav}"),
+        (2, f"{cookie}\nanother piece of text\n{nav}\nextra tail"),
+        (3, f"{cookie}\nthird doc body\n{nav}"),
+        (4, "no boilerplate here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in T.remove_boilerplate_lines(df, "doc_id", "text", min_doc_freq=3).collect()}
+    # lines in >= 3 docs vanish from every doc, order preserved
+    assert out[1]["clean_text"] == "unique first article"
+    assert out[2]["clean_text"] == "another piece of text\nextra tail"
+    assert out[3]["clean_text"] == "third doc body"
+    assert out[4]["clean_text"] == "no boilerplate here at all"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 2
+    assert out[2]["n_lines"] == 4 and out[2]["n_removed"] == 2
+    assert out[4]["n_removed"] == 0
+
+
+def test_bigram_novelty_counts(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta delta"),
+        (3, "zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in T.bigram_novelty(df, "doc_id", "text").collect()}
+    # doc1: bigrams {alpha beta, beta gamma}; 'alpha beta' shared with doc2
+    assert out[1]["n_bigrams"] == 2 and out[1]["n_unique"] == 1
+    assert out[2]["n_bigrams"] == 2 and out[2]["n_unique"] == 1
+    assert out[3]["n_bigrams"] == 3 and out[3]["n_unique"] == 3
+    assert out[3]["novelty"] == 1.0
