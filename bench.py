@@ -53,6 +53,9 @@ HEADLINE = [
     # vector-index compression family
     "q138_embedding_quantization",
     "q139_product_quantization",
+    # sampling + n-gram text-quality family
+    "q140_per_group_sample",
+    "q141_bigram_novelty",
 ]
 
 
