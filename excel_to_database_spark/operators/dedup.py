@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from excel_to_database_spark.operators.caching import pin
 from excel_to_database_spark.operators.text import words
 
 def normalized_text(text):
@@ -88,7 +89,62 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> Data
     return staged.select("doc", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+def _split_by_docfreq(sh: DataFrame, max_df: int):
+    """Partition the inverted index by shingle document-frequency:
+    returns (cold, hot, any_hot) where cold/hot are (doc, shingle)
+    frames with df ≤ / > ``max_df``. The df aggregate and the flagging
+    join both reuse ``sh``'s shingle partitioning (no extra exchange).
+    ``any_hot`` is a driver-side probe (one aggregation over the cached
+    index) so the common no-boilerplate case can keep the exact
+    single-join plan with zero guard overhead."""
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    any_hot = not dfreq.filter(F.col("df") > max_df).isEmpty()
+    if not any_hot:
+        return sh, None, False
+    flagged = sh.join(dfreq, "shingle")
+    cold = flagged.filter(F.col("df") <= max_df).select("doc", "shingle")
+    hot = pin(flagged.filter(F.col("df") > max_df).select("doc", "shingle"))
+    return cold, hot, True
+
+
+def _hot_heavy_docs(
+    sh: DataFrame, hot: DataFrame, threshold: float
+) -> DataFrame:
+    """Docs whose hot-shingle count h reaches threshold·n (n = total
+    shingles). These are the only docs that can form a qualifying pair
+    through hot shingles ALONE: a pair scoring ≥ t needs c ≥ t·n_x
+    common shingles on each constrained side x, so if every common
+    shingle is hot then h_x ≥ c ≥ t·n_x — i.e. x is hot-heavy."""
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    hot_counts = hot.groupBy("doc").agg(F.count(F.lit(1)).alias("h"))
+    # the 1e-9 slack keeps a boundary doc (h == ceil(t·n)) classified
+    # heavy under double rounding — erring inclusive costs a few extra
+    # candidates, erring exclusive would cost exactness
+    return (
+        sizes.join(hot_counts, "doc")
+        .filter(F.col("h") >= F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        .select("doc")
+    )
+
+
+def _hot_common_counts(
+    cand: DataFrame, hot: DataFrame, a: str, b: str
+) -> DataFrame:
+    """Exact |hot(a) ∩ hot(b)| per candidate pair — a narrow add-back
+    join over only the hot rows of only the candidate docs, never a
+    hot-shingle self-join."""
+    return (
+        cand.select(a, b)
+        .join(hot.withColumnRenamed("doc", a), a)
+        .join(hot.select(F.col("doc").alias(b), "shingle"), [b, "shingle"])
+        .groupBy(a, b)
+        .agg(F.count(F.lit(1)).alias("c_hot"))
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, max_df: int = 4096
+) -> DataFrame:
     """Exact Jaccard over shingle sets via inverted index:
     (doc_a, doc_b, jaccard) for pairs ≥ threshold.
 
@@ -98,20 +154,62 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     parallelism (user repartitions are exempt from AQE coalescing) and
     the join reuses that partitioning with no extra exchange. The
     repartitioned frame feeds three consumers (sizes and both join
-    sides) and is persisted so the shingle explode runs once."""
-    from pyspark.storagelevel import StorageLevel
+    sides) and is persisted so the shingle explode runs once.
 
+    Hot-shingle guard (exact, not approximate): one boilerplate shingle
+    shared by d docs fans the self-join out to d² rows in a single key,
+    so shingles with document frequency > ``max_df`` are excluded from
+    the pair-generating join and their contribution is restored by
+    exact arithmetic instead:
+
+      * common counts come from COLD shingles only (join fan-out ≤
+        max_df² per key), then |hot(a) ∩ hot(b)| is added back per
+        candidate pair via a narrow join over only the candidates' hot
+        rows — so every reported score is the full exact Jaccard;
+      * a pair whose common shingles are ALL hot has no cold join row.
+        Such a pair scoring ≥ t forces c ≥ t·n on both docs (jaccard ≤
+        c/max(na, nb)), hence both docs are hot-heavy (h ≥ t·n) — so
+        joining hot shingles of hot-heavy docs only recovers exactly
+        the missing candidates. Lossless for the threshold, with the
+        quadratic confined to boilerplate-dominated docs.
+
+    When no shingle exceeds ``max_df`` (probed against the cached
+    index) the plan is the unguarded single join, byte-for-byte."""
     n_part = sh.sparkSession.sparkContext.defaultParallelism
-    sh = sh.repartition(n_part, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
+    sh = pin(sh.repartition(n_part, "shingle"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    cold, hot, any_hot = _split_by_docfreq(sh, max_df)
+    a = cold.select(F.col("doc").alias("doc_a"), "shingle")
+    b = cold.select(F.col("doc").alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if any_hot:
+        heavy = _hot_heavy_docs(sh, hot, threshold)
+        hh = hot.join(heavy, "doc")
+        hot_pairs = (
+            hh.select(F.col("doc").alias("doc_a"), "shingle")
+            .join(hh.select(F.col("doc").alias("doc_b"), "shingle"), "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        cand = (
+            common.unionByName(
+                hot_pairs.withColumn("c", F.lit(0).cast("long"))
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.max("c").alias("c"))
+        )
+        c_hot = _hot_common_counts(cand, hot, "doc_a", "doc_b")
+        common = cand.join(c_hot, ["doc_a", "doc_b"], "left").select(
+            "doc_a",
+            "doc_b",
+            (F.col("c") + F.coalesce("c_hot", F.lit(0))).alias("c"),
+        )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
     return (
@@ -129,7 +227,9 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def containment_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+def containment_pairs(
+    sh: DataFrame, threshold: float, max_df: int = 4096
+) -> DataFrame:
     """Asymmetric containment C(sub ⊆ super) = |sub ∩ super| / |sub|
     over shingle sets: (doc_sub, doc_super, containment) for ORDERED
     pairs ≥ threshold. The asymmetric score is what catches
@@ -138,23 +238,48 @@ def containment_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     dominated by the long doc), so a Jaccard-threshold dedup never
     pairs them.
 
-    Same inverted-index join discipline as ``jaccard_pairs`` (explicit
-    shingle repartition pinned against AQE coalescing, candidate set
-    bounded by co-shingled pairs, never all-pairs; persisted for its
-    three consumers)."""
-    from pyspark.storagelevel import StorageLevel
-
+    Same inverted-index join discipline and hot-shingle guard as
+    ``jaccard_pairs``, with one asymmetry: containment ≥ t only bounds
+    the SUB side (c ≥ t·n_sub ⇒ sub is hot-heavy; the super side is
+    unconstrained), so the hot-only candidate recovery joins hot
+    shingles of hot-heavy subs against hot shingles of ALL docs — the
+    fan-out per hot shingle is |hot-heavy subs| · df, quadratic only
+    when boilerplate-dominated docs are themselves numerous."""
     n_part = sh.sparkSession.sparkContext.defaultParallelism
-    sh = sh.repartition(n_part, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
+    sh = pin(sh.repartition(n_part, "shingle"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc").alias("doc_sub"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_super"), "shingle")
+    cold, hot, any_hot = _split_by_docfreq(sh, max_df)
+    a = cold.select(F.col("doc").alias("doc_sub"), "shingle")
+    b = cold.select(F.col("doc").alias("doc_super"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_sub") != F.col("doc_super"))
         .groupBy("doc_sub", "doc_super")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if any_hot:
+        heavy = _hot_heavy_docs(sh, hot, threshold)
+        hot_pairs = (
+            hot.join(heavy, "doc")
+            .select(F.col("doc").alias("doc_sub"), "shingle")
+            .join(hot.select(F.col("doc").alias("doc_super"), "shingle"), "shingle")
+            .filter(F.col("doc_sub") != F.col("doc_super"))
+            .select("doc_sub", "doc_super")
+            .distinct()
+        )
+        cand = (
+            common.unionByName(
+                hot_pairs.withColumn("c", F.lit(0).cast("long"))
+            )
+            .groupBy("doc_sub", "doc_super")
+            .agg(F.max("c").alias("c"))
+        )
+        c_hot = _hot_common_counts(cand, hot, "doc_sub", "doc_super")
+        common = cand.join(c_hot, ["doc_sub", "doc_super"], "left").select(
+            "doc_sub",
+            "doc_super",
+            (F.col("c") + F.coalesce("c_hot", F.lit(0))).alias("c"),
+        )
     ssub = sizes.select(F.col("doc").alias("doc_sub"), F.col("n").alias("n_sub"))
     return (
         common.join(ssub, "doc_sub")
@@ -255,9 +380,7 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
     persisted (``bands`` rows per doc — the LSH index you'd
     materialize at corpus scale) instead of re-aggregating the
     signatures per side."""
-    from pyspark.storagelevel import StorageLevel
-
-    banded = _banded(sig, bands, rows).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = pin(_banded(sig, bands, rows))
     x = banded.select(F.col("doc").alias("doc_a"), "band", "sig")
     y = banded.select(F.col("doc").alias("doc_b"), "band", "sig")
     return (
@@ -287,9 +410,7 @@ def band_index(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
     subsequent batch (or micro-batch — streaming/ingest.
     stream_lsh_dedup) joins its own bands against it, so dedup cost is
     proportional to the batch, never the corpus."""
-    from pyspark.storagelevel import StorageLevel
-
-    return _banded(sig, bands, rows).persist(StorageLevel.MEMORY_AND_DISK)
+    return pin(_banded(sig, bands, rows))
 
 
 def lsh_matches_against_index(
@@ -345,7 +466,7 @@ def minhash_lsh_dedup(
     # shingles feed three consumers (signatures, candidate join, verify
     # join) — persist once instead of re-exploding per consumer;
     # MEMORY_AND_DISK so the cache degrades gracefully at corpus scale
-    sh = shingles(df, id_col, text_col, n).persist()
+    sh = pin(shingles(df, id_col, text_col, n))
     cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, num_hashes // bands)
     return verify_jaccard(cand, sh, threshold)
 
@@ -425,8 +546,6 @@ def simhash_pairs(
     come from equi-joins on (chunk index, chunk value) — the same
     bucket-join shape as MinHash LSH — then the exact Hamming check
     filters. Results are identical to the quadratic scan, guaranteed."""
-    from pyspark.storagelevel import StorageLevel
-
     n_bands = max_distance + 1
     width = -(-bits // n_bands)  # ceil
     chunks = F.array(
@@ -439,9 +558,9 @@ def simhash_pairs(
     )
     # both self-join sides scan the banded fingerprints: persist so the
     # fingerprint aggregation (a groupBy over every token) runs once
-    banded = fp.select(
-        "doc", "fingerprint", F.posexplode(chunks).alias("band", "chunk")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = pin(
+        fp.select("doc", "fingerprint", F.posexplode(chunks).alias("band", "chunk"))
+    )
     a = banded.select(
         F.col("doc").alias("doc_a"), F.col("fingerprint").alias("fa"), "band", "chunk"
     )
@@ -566,3 +685,63 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("doc", F.col("label").alias("cluster"))
+
+
+def transitive_closure(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_depth: int = 8
+) -> DataFrame:
+    """Distinct reachable (src, dst) pairs over the symmetric closure
+    of a duplicate-pair graph, by SEMI-NAIVE frontier iteration: each
+    level joins only the pairs that were NEW at the previous level
+    against the edge list, dedups the step, and anti-joins it against
+    everything already seen before unioning it in.
+
+    Level i therefore holds each reachable pair exactly once (at its
+    shortest path length), so on a dense k-clique the visited set tops
+    out at k² rows and the frontier empties after two levels. A
+    ``UNION ALL`` recursion that dedups only at the end — the shape
+    Spark's recursive CTE forces, since per-level ``UNION`` is
+    unsupported ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE] as of 4.1) —
+    instead multiplies the frontier by cluster degree each level:
+    O(degree^depth) intermediate path rows before the final DISTINCT
+    sees any of them, a scale-killer on exactly the dense near-dup
+    clusters dedup exists to find.
+
+    The edge list is localCheckpoint-ed once (2 columns, bounded by
+    duplicate volume) so the possibly-expensive pair pipeline behind
+    ``pairs`` never re-executes per level; each level's step frame is
+    checkpointed lazily with the emptiness probe (a driver-side count,
+    never a data collect) as its materializing action — one job per
+    level, O(log diameter ≤ max_depth) levels."""
+    sym = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = sym
+    frontier = sym
+    # the first level joins the SAME checkpointed frame on all three
+    # sides (frontier, edge list, anti-join target) — re-aliasing each
+    # side through a select mints fresh expression ids, which Spark's
+    # self-join deduplication does not reliably do for checkpointed
+    # LogicalRDD relations (NoSuchElementException: key not found)
+    for _ in range(max_depth):
+        f = frontier.select(F.col("src").alias("f_src"), F.col("dst").alias("f_dst"))
+        s = sym.select(F.col("src").alias("s_src"), F.col("dst").alias("s_dst"))
+        v = visited.select(F.col("src").alias("v_src"), F.col("dst").alias("v_dst"))
+        grown = (
+            f.join(s, F.col("f_dst") == F.col("s_src"))
+            .select(F.col("f_src").alias("src"), F.col("s_dst").alias("dst"))
+            .distinct()
+        )
+        step = grown.join(
+            v,
+            (grown["src"] == v["v_src"]) & (grown["dst"] == v["v_dst"]),
+            "left_anti",
+        ).localCheckpoint(eager=False)
+        if step.count() == 0:
+            break
+        visited = visited.unionByName(step)
+        frontier = step
+    return visited

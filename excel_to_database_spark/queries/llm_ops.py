@@ -1097,42 +1097,28 @@ def q109_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q112_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster closure via Spark's native RECURSIVE CTE
-    (SQL-level recursion, a different execution path from q100's
-    DataFrame label-propagation loop — both held to the same answer).
-    The recursion is depth-guarded (UNION ALL + depth < 8, dedup after)
-    so it terminates on the cyclic symmetric edge set in both engines;
-    8 hops covers any near-dup cluster diameter the verify threshold
-    admits at these document sizes."""
+    """Duplicate-cluster closure cross-checking q100's label
+    propagation, held to the oracle's depth-guarded RECURSIVE CTE
+    answer. The Spark side is ``transitive_closure``'s SEMI-NAIVE
+    frontier loop (per-level distinct + anti-join against visited, each
+    reachable pair materialized once at its shortest path length) —
+    NOT a native recursive CTE: Spark's recursion only supports UNION
+    ALL, whose per-level path multiplicity is O(degree^depth) on a
+    dense near-dup cluster before the closing DISTINCT runs. The
+    depth budget (8 levels ≥ the oracle's 9-edge reach, since
+    semi-naive needs only the shortest path) matches the oracle's
+    depth guard, and the frontier empties far earlier on real pair
+    graphs."""
     d = t(spark, sf_dir, "documents")
-    pairs = (
-        D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
-    # materialize BEFORE the recursion: a temp view is a lazy plan, and
-    # the recursive join would re-execute the whole shingle self-join
-    # once per depth step (measured ~8× the pair-list cost) — the
-    # eager count pins the 2-column pair list in the cache instead
-    pairs.count()
-    pairs.createOrReplaceTempView("dup_pairs")
-    return spark.sql(
-        """
-        WITH RECURSIVE
-        sym AS (SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
-                UNION SELECT doc_b, doc_a FROM dup_pairs),
-        reach(src, dst, depth) AS (
-            SELECT src, dst, 0 FROM sym
-            UNION ALL
-            SELECT r.src, s.dst, r.depth + 1
-            FROM reach r JOIN sym s ON r.dst = s.src
-            WHERE r.depth < 8
-        ),
-        labels AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
-                   FROM (SELECT DISTINCT src, dst FROM reach) GROUP BY src)
-        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
-        FROM labels GROUP BY cluster
-        """
+    pairs = D.jaccard_pairs(
+        D.shingles(d, "doc_id", "text", 3), threshold=0.6
+    ).select("doc_a", "doc_b")
+    reach = D.transitive_closure(pairs, "doc_a", "doc_b", max_depth=8)
+    labels = reach.groupBy("src").agg(F.min("dst").alias("min_dst"))
+    return (
+        labels.select(F.least(F.col("src"), F.col("min_dst")).alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 

@@ -289,6 +289,103 @@ def test_stratified_sample_matches_python_md5(spark):
     assert got == expected
 
 
+@pytest.fixture(scope="module")
+def boiler_corpus(spark):
+    """Pathological shared-shingle corpus: 30 docs each carrying the
+    same 6-word boilerplate sentence (4 shared shingles, df=32 — 'hot'
+    under any small cap) plus 4 unique words; 2 docs that are PURE
+    boilerplate (every shingle hot — pairs reachable only through hot
+    shingles); 2 ordinary near-dups with no boilerplate at all."""
+    boiler = "subscribe to our newsletter for updates"
+    rows = [(i, f"unique{i} alpha{i} beta{i} gamma{i} " + boiler) for i in range(1, 31)]
+    rows += [(31, boiler), (32, boiler)]
+    rows += [
+        (33, "spark engine rules the world today"),
+        (34, "spark engine rules the world yesterday"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_hot_shingle_guard_lossless(boiler_corpus):
+    """jaccard_pairs with a df cap must equal the unguarded run exactly
+    — including pairs whose ONLY common shingles are hot (the pure
+    boilerplate docs), and pairs sitting exactly on the h = t·n
+    hot-heavy boundary (every regular doc here: h=4, n=8, t=0.5), where
+    a lossy cap would silently drop them."""
+    sh = D.shingles(boiler_corpus, "doc_id", "text", 3)
+    unguarded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(sh, 0.5, max_df=10**9).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(sh, 0.5, max_df=5).collect()
+    }
+    assert guarded == unguarded
+    assert guarded[(31, 32)] == 1.0  # hot-only pair survives the cap
+    assert guarded[(33, 34)] == pytest.approx(0.6)  # pure-cold pair
+    assert guarded[(1, 31)] == pytest.approx(0.5)  # boundary pair h == t·n
+
+
+def test_containment_hot_shingle_guard_lossless(boiler_corpus):
+    """containment_pairs under the cap: the sub side of a hot-only pair
+    is provably hot-heavy but the SUPER side is not (pure-boilerplate
+    sub inside a regular doc: super has h=4 < 0.8·8) — exercises the
+    asymmetric recovery joining heavy subs against ALL hot rows."""
+    sh = D.shingles(boiler_corpus, "doc_id", "text", 3)
+    unguarded = {
+        (r["doc_sub"], r["doc_super"]): r["containment"]
+        for r in D.containment_pairs(sh, 0.8, max_df=10**9).collect()
+    }
+    guarded = {
+        (r["doc_sub"], r["doc_super"]): r["containment"]
+        for r in D.containment_pairs(sh, 0.8, max_df=5).collect()
+    }
+    assert guarded == unguarded
+    assert guarded[(31, 1)] == 1.0  # heavy sub ⊆ non-heavy super
+    assert (1, 31) not in guarded  # asymmetry: 4/8 < 0.8
+
+
+def test_transitive_closure_dense_clique(spark):
+    """A 50-doc clique: the UNION ALL recursion shape would hold
+    O(49^8) path rows before its closing DISTINCT; the semi-naive
+    closure tops out at 50² visited rows and the frontier empties after
+    two levels. Also checks the q112 aggregation shape on top."""
+    n = 50
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(1, n + 1) for b in range(a + 1, n + 1)],
+        "doc_a long, doc_b long",
+    )
+    reach = D.transitive_closure(pairs, "doc_a", "doc_b", max_depth=8)
+    assert reach.count() == n * n  # every (src, dst) incl. self-reach
+    labels = reach.groupBy("src").agg(F.min("dst").alias("min_dst"))
+    clusters = (
+        labels.select(F.least(F.col("src"), F.col("min_dst")).alias("cluster"))
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+    assert [(r["cluster"], r["count"]) for r in clusters] == [(1, n)]
+
+
+def test_transitive_closure_chain_and_islands(spark):
+    """Chain 2-5-9-11 plus island 20-21: reach is symmetric-transitive
+    per component; no cross-component pairs."""
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (9, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in D.transitive_closure(pairs, max_depth=8).collect()
+    }
+    chain = [2, 5, 9, 11]
+    expected = {(a, b) for a in chain for b in chain} | {
+        (20, 21), (21, 20), (20, 20), (21, 21)
+    }
+    # self-pairs appear once a node can step out and back (all can here)
+    assert got == expected
+
+
 def test_connected_components_chain(spark):
     """A chain a-b, b-c, c-d collapses to one cluster labeled by the
     min id, even though a and d never share a pair (transitive
