@@ -407,7 +407,10 @@ def bigram_novelty(df, id_col: str, text_col: str):
         df.select(F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w"))
         .select("doc", F.explode(F.array_distinct(grams)).alias("bigram"))
     )
-    docfreq = bg.groupBy("bigram").agg(F.countDistinct("doc").alias("df"))
+    # rows are already distinct per (doc, bigram) — array_distinct
+    # upstream — so a plain count IS the document frequency; a
+    # countDistinct here would re-dedup inside the aggregate for nothing
+    docfreq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
     return (
         bg.join(docfreq, "bigram")
         .groupBy("doc")

@@ -260,6 +260,7 @@ class WorkbookReader:
 
         hidden_cols: set[int] = set()
         rows: list[tuple[int, dict[int, str]]] = []
+        content_rows: set[int] = set()  # rows with content in ANY visible col
         max_col = -1
         # streaming parse: <cols> (column visibility) precedes
         # <sheetData> in the part, so hidden_cols is complete before
@@ -280,6 +281,7 @@ class WorkbookReader:
             r_idx = int(row.get("r", len(rows) + 1)) - 1
             cells: dict[int, str] = {}
             next_col = 0
+            has_content = False
             for c in row.findall(f"{_MAIN_NS}c"):
                 ref = c.get("r")
                 col_idx = a1_to_rowcol(ref)[1] if ref else next_col
@@ -287,7 +289,15 @@ class WorkbookReader:
                 if col_idx in hidden_cols:
                     continue
                 if want_cols is not None and col_idx not in want_cols:
-                    continue  # pruned: skip the value decode entirely
+                    # pruned: skip the value FORMATTING (date/number
+                    # rendering), but the row's extent must match the
+                    # unpruned read — a truthy raw text marks the row
+                    # non-empty even when every projected cell is blank
+                    # (formatting never turns nonempty text empty, so
+                    # this is the same emptiness the full decode sees)
+                    if not has_content and _cell_text(c, self._shared):
+                        has_content = True
+                    continue
                 text = _cell_text(c, self._shared)
                 if text and c.get("t", "n") == "n":
                     style = int(c.get("s", "-1"))
@@ -303,12 +313,17 @@ class WorkbookReader:
                 if text:
                     cells[col_idx] = text
                     max_col = max(max_col, col_idx)
+                    has_content = True
+            if has_content:
+                content_rows.add(r_idx)
             rows.append((r_idx, cells))
             row.clear()
             if max_rows is not None and len(rows) >= max_rows:
                 break
 
-        if max_col < 0:
+        if max_col < 0 and (want_cols is None or not content_rows):
+            # an all-empty PROJECTION of a sheet that has content still
+            # yields one blank row per surviving row (kept_cols = [])
             return [], []
         # densify into a rectangle (xlsparser.js:126-142), dropping
         # hidden columns without leaving gaps
@@ -318,10 +333,21 @@ class WorkbookReader:
         matrix = [
             [present.get(r, {}).get(c, "") for c in kept_cols] for r in range(n_rows)
         ]
+        row_ids = list(range(n_rows))
         if visible_only:
             # row indices with holes (hidden rows skipped) collapse
-            matrix = [m for r, m in zip(range(n_rows), matrix) if r in present]
-        # trailing-empty-row trim, bottom-up early cut-off (xlsparser.js:189-210)
-        while matrix and not any(cell for cell in matrix[-1]):
-            matrix.pop()
+            matrix = [m for r, m in zip(row_ids, matrix) if r in present]
+            row_ids = [r for r in row_ids if r in present]
+        # trailing-empty-row trim, bottom-up early cut-off
+        # (xlsparser.js:189-210). Under pruning, "empty" means the whole
+        # ROW was empty across every visible column (content_rows), not
+        # just the projected cells — so a pruned read keeps exactly the
+        # rows the unpruned read keeps.
+        if want_cols is None:
+            while matrix and not any(cell for cell in matrix[-1]):
+                matrix.pop()
+        else:
+            while matrix and row_ids[-1] not in content_rows:
+                matrix.pop()
+                row_ids.pop()
         return matrix, kept_cols

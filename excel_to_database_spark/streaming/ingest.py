@@ -21,7 +21,18 @@ from pyspark.sql import functions as F
 
 from excel_to_database_spark.sync.sinks import Destination, LocalDestination
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+# the canonical events schema (TESTDATA.md) — the fallback when the
+# stream starts against a directory no file has landed in yet, where a
+# footer probe has nothing to read
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
     """Stream the events table from a parquet directory, normalizing
     ``ts`` to a µs-precision TIMESTAMP under the pinned-UTC session —
     the streaming twin of the batch loader ``queries/base.t``.
@@ -36,13 +47,23 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         UTC, exactly how the batch oracles read it.
       * legacy ``bigint`` (TIMESTAMP(NANOS) surfaced via
         ``nanosAsLong``) → ns→µs truncation, as before.
+
+    Pass ``schema`` explicitly (DDL string or StructType) to skip the
+    probe; when the directory exists but holds no files yet — the
+    normal state when the stream starts before the first producer
+    write — the probe falls back to :data:`EVENTS_SCHEMA` so the query
+    can start and pick files up as they land.
     """
     import os
 
     # naive wall-clock == UTC instants, same contract as queries/base.py
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema  # driver-side footer probe
+    if schema is None:
+        try:
+            schema = spark.read.parquet(path).schema  # driver footer probe
+        except Exception:
+            schema = EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)
     if not os.path.isdir(path):
         # file source wants a directory: stream the parent, filtered
@@ -69,6 +90,35 @@ def windowed_counts(
         .select(
             F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
             "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation per user — the
+    incremental form of q66_session_window (built-in
+    ``F.session_window``, 30-min inactivity gap). Sessions merge across
+    micro-batches in the state store; the watermark bounds how long an
+    open session can wait for a late event before it is finalized and
+    its state evicted — the streaming twin of the batch gap-session
+    semantics (new session iff gap ≥ the window duration).
+
+    Emits (user_id, session_start epoch-seconds, n_events) — the same
+    row contract as the batch q66 aggregation, so an availableNow
+    replay is directly comparable."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
             "n_events",
         )
     )
@@ -172,10 +222,17 @@ def stream_lsh_dedup(
     State story at 100 TB: the stream itself keeps NO Spark state —
     the corpus index is the state, and it lives as a table the batch
     ingest pipeline maintains. Per-batch cost is O(|batch| bands) join
-    probes plus collision volume, independent of corpus size; a batch
-    re-delivered after failure recomputes the same deterministic
-    signatures (md5, no RNG), so the append is idempotent per batch
-    id."""
+    probes plus collision volume, independent of corpus size.
+
+    Exactly-once on the table: foreachBatch is at-least-once (a batch
+    can be re-delivered after a failure), and a deterministic
+    recomputation does NOT make a blind append idempotent — the same
+    rows would land twice. The sink therefore keys the output by
+    ``__batch_id`` partition and dynamically OVERWRITES that one
+    partition per delivery: a replay of batch N replaces batch N's
+    rows instead of duplicating them. (After a replay, readers in
+    OTHER sessions should ``spark.catalog.refreshTable(out_table)`` —
+    the sink refreshes its own micro-batch session only.)"""
     from excel_to_database_spark.operators import dedup as D
 
     rows = num_hashes // bands
@@ -186,13 +243,26 @@ def stream_lsh_dedup(
         sig = D.minhash_signatures(
             D.shingles(batch_df, id_col, text_col, n), num_hashes
         )
-        (
+        out = (
             D.lsh_matches_against_index(sig, corpus_index, bands, rows)
             .groupBy("doc_new")
             .agg(F.countDistinct("doc_corpus").alias("n_corpus_dups"))
-            .write.mode("append")
-            .saveAsTable(out_table)
+            .withColumn("__batch_id", F.lit(batch_id))
         )
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(out_table):
+            cols = [f.name for f in spark.table(out_table).schema.fields]
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(conf_key, "static")
+            spark.conf.set(conf_key, "dynamic")
+            try:
+                out.select(*cols).write.mode("overwrite").insertInto(out_table)
+            finally:
+                spark.conf.set(conf_key, prev)
+            # replaced files invalidate any cached listing of the table
+            spark.catalog.refreshTable(out_table)
+        else:
+            out.write.partitionBy("__batch_id").saveAsTable(out_table)
 
     return (
         new_docs.writeStream.foreachBatch(sink)

@@ -3,6 +3,7 @@ import pyspark.sql.functions as F
 from excel_to_database_spark.streaming.ingest import (
     read_events_stream,
     run_stream_to_memory,
+    sessionized_counts,
     stream_dedup,
     stream_sync,
     windowed_counts,
@@ -51,6 +52,79 @@ def test_stream_matches_batch(spark, sf_dir):
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n_events"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming F.session_window (30-min gap, watermarked, sessions
+    merging ACROSS two micro-batches) == an independent batch
+    lag/cumsum gap-session computation (the q66 oracle shape: new
+    session iff gap >= 1800s) — stream ≡ batch for sessionization."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # split the events file by event_id parity into two files so
+    # sessions span micro-batch boundaries
+    src = tmp_path / "events_split"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    events.filter(half).coalesce(1).write.parquet(str(src / "a"))
+    events.filter(~half).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        # same NTZ→TIMESTAMP normalization as read_events_stream (the
+        # session files were re-written above, so the loader's path
+        # glob doesn't apply here)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = run_stream_to_memory(
+        spark, sessionized_counts(stream), "t_stream_sessions", "complete"
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) >= 1800),
+            1,
+        ).otherwise(0),
+    )
+    batch = (
+        flagged.withColumn("sid", F.sum("is_new").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "n_events")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    shutil.rmtree(src)
+
+
+def test_read_events_stream_empty_dir_schema_fallback(spark, tmp_path):
+    """The stream can start against a directory no producer has written
+    to yet: the footer probe fails, the known events schema kicks in,
+    and files landing later are picked up on the next run."""
+    import shutil
+
+    d = tmp_path / "events_pending"
+    d.mkdir()
+    stream = read_events_stream(spark, str(d))  # must not raise
+    empty = run_stream_to_memory(spark, stream, "t_empty_events", "append")
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["ts"] == "timestamp"
+    # first file lands; a later availableNow run drains it
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "a.parquet")
+    stream2 = read_events_stream(spark, str(d))
+    got = run_stream_to_memory(spark, stream2, "t_late_events", "append")
+    assert got.count() == spark.read.parquet(str(d / "a.parquet")).count()
 
 
 def test_stream_dedup(spark, sf_dir, tmp_path):
@@ -208,4 +282,28 @@ def test_stream_lsh_dedup_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.table("t_stream_lsh").collect()
     }
     assert got == expect
+
+    # re-delivery: a second run from a FRESH checkpoint re-delivers the
+    # same files as the same batch ids — the batch-keyed dynamic
+    # partition overwrite must replace, not duplicate
+    n_rows = spark.table("t_stream_lsh").count()
+    stream2 = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q2 = stream_lsh_dedup(
+        stream2, index, "t_stream_lsh", checkpoint=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    # the overwrite replaced files; invalidate THIS session's listing
+    # cache (the sink can only refresh its own cloned micro-batch session)
+    spark.catalog.refreshTable("t_stream_lsh")
+    assert spark.table("t_stream_lsh").count() == n_rows
+    got2 = {
+        r["doc_new"]: r["n_corpus_dups"]
+        for r in spark.table("t_stream_lsh").collect()
+    }
+    assert got2 == expect
     spark.sql("DROP TABLE IF EXISTS t_stream_lsh")

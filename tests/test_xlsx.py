@@ -240,6 +240,29 @@ def test_read_excel_column_pruning(spark, tmp_path):
         read_excel(spark, str(p), columns=["nope"])
 
 
+def test_pruned_read_keeps_row_extent(spark, tmp_path):
+    """Pruning must not change WHICH rows survive: rows whose projected
+    cells are all empty but that hold content in pruned columns are
+    kept (blank), and an all-empty projection yields blank rows rather
+    than an empty matrix — read_excel(columns=[...]) always has the
+    same height as read_excel().select(...)."""
+    wb = build_xlsx({"S": [["a", "b"], ["1", "x"], ["", "y"], ["", "z"]]})
+    rdr = WorkbookReader(wb)
+    full = rdr.read_sheet("S")
+    pruned = rdr.read_sheet("S", want_cols={0})
+    assert len(pruned) == len(full) == 4
+    assert [r[0] for r in pruned] == [r[0] for r in full]
+    # entirely-empty projection: same height, zero-width rows
+    assert len(rdr.read_sheet("S", want_cols=set())) == 4
+
+    from excel_to_database_spark.sources.excel_source import read_excel
+
+    p = tmp_path / "extent.xlsx"
+    p.write_bytes(wb)
+    got = read_excel(spark, str(p), columns=["a"]).collect()
+    assert [r["a"] for r in got] == ["1", "", ""]
+
+
 def test_xlsx_datasource_column_pruning(spark, tmp_path):
     """The registered format prunes through the 'columns' option."""
     from excel_to_database_spark.sources.xlsx_datasource import XlsxDataSource
