@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from excel_to_database_spark.operators.caching import pin
 from pyspark.sql.window import Window
 
 def cosine_topk(
@@ -147,7 +149,7 @@ def cosine_pairs(
             "v", lambda x: (x.cast("double") * x.cast("double")).cast("decimal(30,12)")
         )
     )
-    base = base.withColumn("n2", exact_n2).persist()
+    base = pin(base.withColumn("n2", exact_n2))
 
     # replicate each vector to every block pair it participates in:
     # as the LEFT side of (b, j≥b) and the RIGHT side of (i≤b, b)
@@ -289,13 +291,10 @@ def semantic_dedup_blocked(
     pick = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
     # three consumers (sieve, both verify join sides) — compute the
     # decimal-exact assignment once
-    from pyspark.storagelevel import StorageLevel
-
-    assign = (
+    assign = pin(
         scored.withColumn("rn", F.row_number().over(pick))
         .filter(F.col("rn") == 1)
         .select("id", "v", "n2", "cell")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Candidate sieve: per-cell numpy Gram matrix in ONE Arrow batch per
     # cell — float64 cosines with a safety margin far above float error
@@ -561,14 +560,22 @@ def ann_ivf(
     n_probe: int = 4,
     sweeps: int = 0,
     query_filter=None,
+    tol: float | None = None,
 ) -> DataFrame:
     """IVF search: each query probes its ``n_probe`` nearest cells and
     ranks only those cells' members by true cosine — candidate volume
     is |corpus|·n_probe/n_lists instead of |corpus|. ``sweeps`` Lloyd
     iterations refine the quantizer (better-balanced cells → better
-    recall per probe). Same output shape as the other ANN paths:
+    recall per probe); pass ``tol`` to instead train to SSE
+    convergence (``ivf_assign_converged``, at most max(sweeps, 10)
+    sweeps). Same output shape as the other ANN paths:
     (query_id, neighbor_id, cosine, rank)."""
-    cents, assigned = ivf_assign(emb, id_col, vec_col, n_lists, sweeps=sweeps)
+    if tol is not None:
+        cents, assigned, _ = ivf_assign_converged(
+            emb, id_col, vec_col, n_lists, max_sweeps=max(sweeps, 10), tol=tol
+        )
+    else:
+        cents, assigned = ivf_assign(emb, id_col, vec_col, n_lists, sweeps=sweeps)
     q = assigned.filter(query_filter) if query_filter is not None else assigned
     q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
 
@@ -640,6 +647,72 @@ def ivf_refine(cents: DataFrame, assigned: DataFrame) -> DataFrame:
     return cents.join(means, "cell", "left").select(
         "cell", F.coalesce("new_cv", "cv").alias("cv")
     )
+
+
+def ivf_sse(cents: DataFrame, assigned: DataFrame) -> float:
+    """Within-cell sum of squared distances of an IVF assignment — the
+    k-means objective. One broadcast join (n_lists rows) + one
+    aggregation; this is both the convergence probe and the
+    materializing action of each training sweep."""
+    d2 = F.aggregate(
+        F.zip_with(
+            "v",
+            "cv",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        assigned.join(F.broadcast(cents), "cell")
+        .agg(F.sum(d2).alias("sse"))
+        .collect()[0]
+    )
+    return float(row["sse"] if row["sse"] is not None else 0.0)
+
+
+def ivf_assign_converged(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    max_sweeps: int = 10,
+    tol: float = 1e-4,
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """Lloyd iteration to (near-)convergence: alternate the mean update
+    (``ivf_refine``) and re-assignment until the relative SSE
+    improvement drops below ``tol`` or ``max_sweeps`` is reached —
+    deterministic (seed-free centroid init, no RNG), so index builds
+    are reproducible run to run.
+
+    Classic k-means monotonicity gives a non-increasing SSE sequence:
+    the mean minimizes within-cell squared error for a fixed
+    assignment, and nearest-cell re-assignment can only lower it
+    further (asserted numerically in tests). Per sweep the corpus is
+    scanned twice from cache (refine + SSE probe) and only
+    n_cells × dim partial sums shuffle; the tiny centroid frame is
+    localCheckpoint-ed so its lineage stays one sweep deep. Returns
+    (centroids, assignments, sse_history)."""
+    from excel_to_database_spark.operators.caching import pin
+
+    base = pin(emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    cents = (
+        base.orderBy(F.asc("id"))
+        .limit(n_lists)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    assigned = _ivf_nearest_cell(base, cents)
+    history = [ivf_sse(cents, assigned)]
+    for _ in range(max_sweeps):
+        cents = ivf_refine(cents, assigned).localCheckpoint(eager=True)
+        assigned = _ivf_nearest_cell(base, cents)
+        history.append(ivf_sse(cents, assigned))
+        prev, cur = history[-2], history[-1]
+        if prev - cur <= tol * max(prev, 1e-12):
+            break
+    return cents, assigned, history
 
 
 def quantize_embeddings(

@@ -1065,10 +1065,11 @@ def q109_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair list feeds all three triangle legs: persist it (bounded
     # by duplicate volume) instead of re-running the shingle pipeline
     # per leg — without this the plan scans `documents` 12 times
-    p = (
+    from excel_to_database_spark.operators.caching import pin
+
+    p = pin(
         D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
         .select("doc_a", "doc_b")
-        .persist()
     )
     e1 = p.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = p.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))

@@ -164,6 +164,64 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert len(p_ & t_) / len(t_) > 0.3  # partial probing: bounded recall loss
 
 
+def test_ivf_converged_sse_monotone(spark, sf_dir):
+    """Lloyd training to convergence: the SSE history is non-increasing
+    across sweeps (k-means monotonicity, ≥3 recorded points on this
+    fixture) and the loop stops on the relative-improvement tolerance
+    rather than exhausting max_sweeps."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, assigned, hist = S.ivf_assign_converged(
+        emb, "vec_id", "embedding", n_lists=8, max_sweeps=12, tol=1e-3
+    )
+    assert len(hist) >= 3
+    assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))  # non-increasing
+    assert len(hist) < 13  # converged before the sweep budget
+    # the returned frames are consistent: SSE of the returned pair
+    # equals the last history point
+    assert S.ivf_sse(cents, assigned) == pytest.approx(hist[-1], rel=1e-9)
+
+
+def test_ann_ivf_converged_recall_on_clustered_data(spark):
+    """Where the data HAS cluster structure, converged Lloyd training
+    must translate into recall: 16 tight blobs, ids ordered so the
+    seed centroid pick (16 lowest ids) lands entirely inside blob 0 —
+    the worst case for the unrefined quantizer. Training to
+    convergence discovers the blobs and recall at n_probe=2 rises
+    decisively. (On uniform-random embeddings like the sfX fixtures,
+    cell geometry is arbitrary and refinement only tightens SSE /
+    balance — covered by the SSE test — so the recall property is
+    asserted here, on data where it is real.) All vectors are
+    md5-derived: deterministic, no RNG state, stable measurement."""
+    import hashlib
+
+    def u(s):  # deterministic uniform [0, 1)
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 16**8
+
+    dim, blobs, per = 16, 16, 50
+    centers = [
+        [u(f"c{b}:{d}") * 2 - 1 for d in range(dim)] for b in range(blobs)
+    ]
+    rows = []
+    for i in range(blobs * per):
+        b = i // per  # ids grouped by blob: seed pick = 16 ids of blob 0
+        v = [centers[b][d] + (u(f"j{i}:{d}") - 0.5) * 0.1 for d in range(dim)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qf = F.col("id") % 40 == 0  # 20 queries spanning every blob
+    truth = S.cosine_topk(emb, "vec_id", "embedding", k=5, query_filter=qf, exact=False)
+    t_ = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+
+    def recall(ann):
+        a_ = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+        return len(a_ & t_) / len(t_)
+
+    r_seed = recall(S.ann_ivf(emb, "vec_id", "embedding", k=5, n_lists=16,
+                              n_probe=2, query_filter=qf))
+    r_conv = recall(S.ann_ivf(emb, "vec_id", "embedding", k=5, n_lists=16,
+                              n_probe=2, query_filter=qf, tol=1e-3))
+    assert r_conv >= max(r_seed, 0.9)  # blob structure recovered
+
+
 def test_char_shingles_pipeline(spark, docs):
     sh = D.char_shingles(docs, "doc_id", "text", n=5)
     rows = sh.filter(F.col("doc") == 1).collect()
