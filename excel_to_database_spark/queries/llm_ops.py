@@ -1393,3 +1393,60 @@ def q141_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score itself is oracle-reproduced)."""
     d = t(spark, sf_dir, "documents")
     return T.bigram_novelty(d, "doc_id", "text").withColumnRenamed("doc", "doc_id")
+
+
+@query(
+    "q142_boilerplate_line_removal",
+    """
+    WITH multi AS (
+        SELECT doc_id,
+               text || chr(10) || 'visit our homepage for more'
+                    || chr(10) || 'tail ' || md5(CAST(doc_id AS VARCHAR)) AS t
+        FROM documents
+    ),
+    sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM multi),
+    ln AS (SELECT doc_id, UNNEST(range(0, len(ls))) AS pos, ls FROM sp),
+    l2 AS (SELECT doc_id, pos, ls[pos + 1] AS line,
+                  trim(ls[pos + 1]) AS line_norm
+           FROM ln),
+    boiler AS (SELECT line_norm FROM l2 WHERE line_norm <> ''
+               GROUP BY line_norm HAVING COUNT(DISTINCT doc_id) >= 3),
+    flagged AS (SELECT l2.*,
+                       line_norm IN (SELECT line_norm FROM boiler) AS is_b
+                FROM l2)
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN NOT is_b THEN line END,
+                                   chr(10) ORDER BY pos), '')) AS clean_md5
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def q142_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal over a MULTI-LINE corpus built
+    deterministically from the documents table (each doc = its text,
+    one line shared by every doc, one md5-unique tail line): the shared
+    line and any exact text appearing in ≥3 docs are dropped, unique
+    lines survive, and the rebuilt text is md5'd so the oracle verifies
+    every byte of every cleaned document, not just counts. This gives
+    ``remove_boilerplate_lines`` the same differential gate as its
+    siblings — the real testdata texts are single-line, which is why
+    the operator was previously pytest-only."""
+    d = t(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("visit our homepage for more"),
+            F.concat(F.lit("tail "), F.md5(F.col("doc_id").cast("string"))),
+        ).alias("text_multi"),
+    )
+    out = T.remove_boilerplate_lines(multi, "doc_id", "text_multi", min_doc_freq=3)
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_lines",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )

@@ -60,31 +60,99 @@ def _row_xml(idx: int, cells: list[str]) -> str:
     return "".join(parts)
 
 
-def write_excel(
-    df: DataFrame, path: str, sheet_name: str = "Sheet1", max_rows: int = EXCEL_MAX_ROWS
-) -> int:
-    """Write ``df`` (header + rows, all rendered as text — the
-    reference's all-text sheet model) to ``path``. Returns the number of
-    data rows written; raises if the sheet cap would be exceeded."""
-    n = 0
+def _write_workbook(path: str, sheet_name: str, rows_xml: list[str]) -> None:
+    """Assemble one single-sheet workbook from pre-rendered row XML."""
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("[Content_Types].xml", _CT)
         z.writestr("_rels/.rels", _ROOT_RELS)
         z.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
         z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
-        rows_xml = [_row_xml(1, list(df.columns))]
-        for row in df.toLocalIterator():
-            n += 1
-            if n >= max_rows:  # header occupies one row of the cap
-                raise ValueError(
-                    f"sheet cap {max_rows} rows exceeded; export a filtered/"
-                    "aggregated frame, or use parquet/CSV sinks for bulk data"
-                )
-            rows_xml.append(_row_xml(n + 1, [row[c] for c in df.columns]))
         z.writestr(
             "xl/worksheets/sheet1.xml",
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
             f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>",
         )
+
+
+def write_excel(
+    df: DataFrame, path: str, sheet_name: str = "Sheet1", max_rows: int = EXCEL_MAX_ROWS
+) -> int:
+    """Write ``df`` (header + rows, all rendered as text — the
+    reference's all-text sheet model) to ``path``. Returns the number of
+    data rows written; raises if the sheet cap would be exceeded.
+
+    This is the SINGLE-file writer: rows stream through the driver
+    (``toLocalIterator``, one partition in memory at a time) because one
+    .xlsx is one unsplittable zip. For exports that should scale with
+    the cluster, use :func:`write_excel_dir` — one workbook per
+    partition, written executor-side."""
+    n = 0
+    rows_xml = [_row_xml(1, list(df.columns))]
+    for row in df.toLocalIterator():
+        n += 1
+        if n >= max_rows:  # header occupies one row of the cap
+            raise ValueError(
+                f"sheet cap {max_rows} rows exceeded; export a filtered/"
+                "aggregated frame, or use parquet/CSV sinks for bulk data"
+            )
+        rows_xml.append(_row_xml(n + 1, [row[c] for c in df.columns]))
+    _write_workbook(path, sheet_name, rows_xml)
     return n
+
+
+def write_excel_dir(
+    df: DataFrame,
+    path: str,
+    sheet_name: str = "Sheet1",
+    max_rows: int = EXCEL_MAX_ROWS,
+) -> int:
+    """Partition-parallel Excel export: one workbook PER PARTITION,
+    rendered and zipped executor-side (Arrow-batched ``mapInPandas`` —
+    no rows ever pass through the driver), all sharing the header row —
+    exactly the directory layout ``read_excel``'s directory ingest
+    consumes, so a multi-file export round-trips through the same
+    reader. The driver only collects the per-partition report (one
+    (file, n_rows) row per partition).
+
+    The per-SHEET format cap applies per file here, so the exportable
+    volume scales with partition count instead of being a single-sheet
+    ceiling; repartition the frame to size each workbook. ``path`` must
+    be a filesystem every executor can write (shared mount on a real
+    cluster; any local dir on local[N]). Empty partitions write no
+    file. Returns total data rows written."""
+    import os
+    from collections.abc import Iterator
+
+    os.makedirs(path, exist_ok=True)
+    cols = list(df.columns)
+
+    def write_part(batches) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows_xml = [_row_xml(1, cols)]
+        n = 0
+        for pdf in batches:
+            for tup in pdf.itertuples(index=False):
+                n += 1
+                if n >= max_rows:
+                    raise ValueError(
+                        f"sheet cap {max_rows} rows exceeded in partition "
+                        f"{pid}; repartition the frame into more files"
+                    )
+                rows_xml.append(
+                    _row_xml(
+                        n + 1,
+                        [None if pd.isna(v) else v for v in tup],
+                    )
+                )
+        fname = ""
+        if n:
+            fname = os.path.join(path, f"part-{pid:05d}.xlsx")
+            _write_workbook(fname, sheet_name, rows_xml)
+        yield pd.DataFrame({"file": [fname], "n_rows": [n]})
+
+    report = df.mapInPandas(write_part, "file string, n_rows long").collect()
+    return int(sum(r["n_rows"] for r in report))

@@ -118,6 +118,77 @@ def test_multimodal_decode_stub(spark, sf_dir):
         assert 16 <= r["height"] < 80 and r["n_frames"] == 1
 
 
+def _tiny_png(w, h):
+    """A minimal valid RGB PNG built with stdlib only (zlib IDAT,
+    CRC-correct chunks)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\xc8\x0a\x0a" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_png_codec_decodes_real_png(spark):
+    """A REAL decoder drops into the stub's mapInPandas seam unchanged:
+    hand-assembled valid PNGs decoded through decode_media(codec=
+    png_header_codec()) — true geometry comes back through the same
+    schema, partitioning, and Arrow batch shape as the stub path, and a
+    non-PNG payload fails at the codec, not the plumbing."""
+    rows = [(1, "image", bytearray(_tiny_png(8, 6)), "image/png"),
+            (2, "image", bytearray(_tiny_png(32, 4)), "image/png")]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           M.decode_media(media, codec=M.png_header_codec()).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (8, 6, 1)
+    assert (got[2]["width"], got[2]["height"]) == (32, 4)
+    assert got[1]["n_bytes"] == len(_tiny_png(8, 6))
+
+    bad = spark.createDataFrame(
+        [(3, "image", bytearray(b"not a png"), "image/png")], M.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="not a PNG"):
+        M.decode_media(bad, codec=M.png_header_codec()).collect()
+
+
+def test_multimodal_pillow_codec_decodes_real_png(spark):
+    """A REAL decoder drops into the stub's mapInPandas seam unchanged:
+    tiny PNGs rendered with Pillow, decoded through decode_media(codec=
+    pillow_image_codec()) — true geometry comes back, same schema and
+    batch shape as the stub path."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — gate only
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (200, 10, 10)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, "image", bytearray(png_bytes(8, 6)), "image/png"),
+            (2, "image", bytearray(png_bytes(32, 4)), "image/png")]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           M.decode_media(media, codec=M.pillow_image_codec()).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (8, 6, 1)
+    assert (got[2]["width"], got[2]["height"]) == (32, 4)
+    assert got[1]["n_bytes"] == len(png_bytes(8, 6))
+
+
 def test_multimodal_error_stub_raises(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
     media = M.attach_payload(d, "doc_id", "text")

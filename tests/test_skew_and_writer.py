@@ -46,6 +46,44 @@ def test_excel_writer_roundtrip(spark, tmp_path):
     assert rows["bob"]["When"] == ""  # empty cell survives
 
 
+def test_excel_dir_writer_roundtrip(spark, tmp_path):
+    """Partition-parallel export: one workbook per non-empty partition,
+    written executor-side, round-tripping through read_excel's
+    directory ingest (the scale-true inverse of directory ingest)."""
+    import glob
+
+    from excel_to_database_spark.sources.xlsx_writer import write_excel_dir
+
+    df = (
+        spark.range(97)
+        .select(
+            F.col("id").cast("string").alias("k"),
+            F.concat(F.lit("v&<"), F.col("id").cast("string")).alias("val"),
+        )
+        .repartition(8)
+    )
+    d = str(tmp_path / "export_dir")
+    n = write_excel_dir(df, d)
+    assert n == 97
+    files = glob.glob(f"{d}/*.xlsx")
+    assert 1 < len(files) <= 8  # parallel files, empty partitions skipped
+    back = read_excel(spark, d)
+    assert back.columns == ["k", "val"]
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_excel_dir_writer_per_file_cap(spark, tmp_path):
+    """The sheet cap applies per partition file; a partition over the
+    cap fails with guidance to repartition."""
+    from excel_to_database_spark.sources.xlsx_writer import write_excel_dir
+
+    df = spark.range(30).select(F.col("id").cast("string").alias("x")).coalesce(1)
+    with pytest.raises(Exception, match="repartition"):
+        write_excel_dir(df, str(tmp_path / "cap_dir"), max_rows=10)
+
+
 def test_excel_writer_cap(spark, tmp_path):
     df = spark.range(20).select(F.col("id").cast("string").alias("x"))
     with pytest.raises(ValueError, match="cap"):
