@@ -56,6 +56,9 @@ HEADLINE = [
     # sampling + n-gram text-quality family
     "q140_per_group_sample",
     "q141_bigram_novelty",
+    # round-5 additions: boilerplate-line removal, streaming sessions
+    "q142_boilerplate_line_removal",
+    "q143_stream_session_window",
 ]
 
 
@@ -136,18 +139,28 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # scale slope for the iterative/graph family: same queries on a
+    # deterministic 10x synthesis of sf_dir, so each round records the
+    # scaling SLOPE (scaled/base, ~linear expected) next to the
+    # absolute point. Not part of "value" — it is a different scale.
+    # Disable with SPARK_GRAFT_SCALE_SLOPE=0.
+    if os.environ.get("SPARK_GRAFT_SCALE_SLOPE", "1") != "0":
+        from scripts.scale_slope import run_slope
+
+        factor = int(os.environ.get("SPARK_GRAFT_SLOPE_FACTOR", "10"))
+        out["scale_slope"] = run_slope(spark, sf_dir, factor)
+        for q, sl in out["scale_slope"]["slope"].items():
+            print(f"# slope {q}: {sl}x at {factor}x rows", file=sys.stderr)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

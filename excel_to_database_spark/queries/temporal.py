@@ -13,6 +13,7 @@ from excel_to_database_spark.queries.base import dsum, query, sql_dsum, t
 from excel_to_database_spark.streaming.ingest import (
     read_events_stream,
     run_stream_to_memory,
+    sessionized_counts,
     windowed_counts,
 )
 
@@ -238,6 +239,45 @@ def q66_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.col("w.start")).alias("session_start"),
             "n_events",
         )
+    )
+
+
+@query(
+    "q143_stream_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def q143_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (q66's incremental twin): availableNow
+    replay of the events table through the watermarked
+    ``F.session_window`` aggregation — sessions merge in the state
+    store, the oracle rebuilds them with the same lag/cumsum
+    construction as q66, so stream ≡ batch ≡ oracle is the correctness
+    claim (the cross-trigger merge case is pinned separately in
+    tests/test_streaming.py)."""
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sessions = sessionized_counts(stream, gap="30 minutes", watermark="30 minutes")
+    return run_stream_to_memory(
+        spark, sessions, "q143_sessions", output_mode="complete"
     )
 
 

@@ -1,0 +1,155 @@
+"""Scale-slope harness: synthesize a ``factor``-times corpus from an
+existing sf directory (deterministically — no RNG state) and time the
+iterative/graph query family at both scales, so the round-over-round
+record carries a scaling SLOPE, not just one absolute point.
+
+Synthesis preserves each query's work profile while keeping growth
+linear in ``factor``:
+
+* documents — ``factor`` replicas with id offsets; every 4th word of a
+  replica > 0 is tagged with the replica id, so word-shingle overlap
+  ACROSS replicas collapses (no artificial factor²-sized near-dup
+  clusters) while similarity structure WITHIN a replica is preserved.
+* embeddings — replicas with a deterministic per-(replica, dim) sign
+  pattern: intra-replica cosines are bit-identical under a common sign
+  flip (⟨s⊙x, s⊙y⟩ = ⟨x, y⟩), cross-replica cosines decorrelate.
+* lineitem/orders — key-offset replicas (only the join keys the graph
+  queries read), giving ``factor`` disjoint copies of the co-trade
+  graph.
+
+Usage: python scripts/scale_slope.py [factor]  (default 10; reads
+$SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SLOPE_QUERIES = [
+    "q76_dedup_minhash_lsh",
+    "q100_dedup_clusters",
+    "q112_recursive_closure",
+    "q122_pagerank",
+    "q125_semantic_dedup_blocked",
+]
+
+
+def _rep(df, factor: int):
+    return df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    )
+
+
+def build_scaled_dir(spark: SparkSession, sf_dir: str, factor: int = 10) -> str:
+    """Write the synthetic scaled tables; returns the directory."""
+    out = tempfile.mkdtemp(prefix=f"etds_scale{factor}x_")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    w = F.split("text", " ")
+    tagged = F.concat_ws(
+        " ",
+        F.transform(
+            w,
+            lambda x, i: F.when(
+                (i % 4 == 0) & (F.col("rep") > 0),
+                F.concat(x, F.lit("~r"), F.col("rep").cast("string")),
+            ).otherwise(x),
+        ),
+    )
+    _rep(docs, factor).select(
+        (F.col("doc_id") + F.col("rep") * stride).alias("doc_id"),
+        tagged.alias("text"),
+        "lang",
+        "source",
+        F.length(tagged).alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vstride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    # per-(rep, dim) sign from md5 parity — deterministic, engine-free
+    sign = lambda i: (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("rep").cast("string"), F.lit(":"), i.cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        * 2
+        - 1
+    ).cast("float")
+    flipped = F.transform("embedding", lambda x, i: x * sign(i))
+    _rep(emb, factor).select(
+        (F.col("vec_id") + F.col("rep") * vstride).alias("vec_id"),
+        flipped.alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    ostride = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    sstride = li.agg(F.max("l_suppkey")).collect()[0][0] + 1
+    cstride = od.agg(F.max("o_custkey")).collect()[0][0] + 1
+    _rep(li, factor).select(
+        (F.col("l_orderkey") + F.col("rep") * ostride).alias("l_orderkey"),
+        (F.col("l_suppkey") + F.col("rep") * sstride).alias("l_suppkey"),
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    _rep(od, factor).select(
+        (F.col("o_orderkey") + F.col("rep") * ostride).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("rep") * cstride).alias("o_custkey"),
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    return out
+
+
+def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
+    """Time SLOPE_QUERIES at sf_dir and at the synthesized factor× dir.
+    Returns {"factor", "build_s", "base": {q: s}, "scaled": {q: s},
+    "slope": {q: scaled/base}} — slope ≈ factor means linear scaling;
+    slope >> factor flags a super-linear plan."""
+    from excel_to_database_spark.operators.caching import evict_caches
+    from excel_to_database_spark.queries import QUERIES
+
+    t0 = time.perf_counter()
+    scaled_dir = build_scaled_dir(spark, sf_dir, factor)
+    build_s = round(time.perf_counter() - t0, 3)
+
+    out = {"factor": factor, "build_s": build_s, "base": {}, "scaled": {}, "slope": {}}
+    for name in SLOPE_QUERIES:
+        for tag, d in (("base", sf_dir), ("scaled", scaled_dir)):
+            evict_caches()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, d).count()
+            out[tag][name] = round(time.perf_counter() - t0, 3)
+        out["slope"][name] = round(out["scaled"][name] / out["base"][name], 2)
+    evict_caches()
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    from excel_to_database_spark.session import get_session
+
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("etds-scale-slope")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run_slope(spark, sf_dir, factor)))
