@@ -586,3 +586,60 @@ def q123_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, agg, "q123_enrich", output_mode="complete"
     ).select("c_mktsegment", "n_purchases", "sum_value")
+
+
+@query(
+    "q144_hypertable_rollup",
+    """
+    SELECT CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS approx_ok
+    FROM events
+    GROUP BY bucket_start, event_type
+    """,
+)
+def q144_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: DAILY answers computed ONLY from
+    mergeable HOURLY partials (operators/rollup.py) — counts and
+    decimal sums re-summed, min/max folded, distinct users merged as
+    DataSketches HLL unions — never by rescanning raw events. The
+    oracle recomputes the day grain directly from raw: the additive
+    measures must match EXACTLY (partial mergeability is lossless);
+    the sketch estimate is checked with q28's tolerance-flag pattern
+    (``approx_ok`` = estimate within 5% of exact), since DuckDB's HLL
+    is a different sketch. ``exact_users`` comes from one raw pass,
+    present only so the oracle can pin the flag."""
+    from excel_to_database_spark.operators.rollup import (
+        merge_partials,
+        time_bucket_partials,
+    )
+
+    e = t(spark, sf_dir, "events")
+    hourly = time_bucket_partials(e, bucket_seconds=3600)
+    daily = merge_partials(hourly, bucket_seconds=86400)
+    exact = e.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("bigint")
+        .alias("bucket_start"),
+        "event_type",
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return daily.join(exact, ["bucket_start", "event_type"]).select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+        "exact_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("approx_ok"),
+    )

@@ -157,3 +157,92 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     assert all(hits[m] for m in members if m in hits)
     fp = sum(1 for x in non_members if hits[x])
     assert len(non_members) == 0 or fp / len(non_members) < 0.2
+
+
+def test_rollup_partials_merge_exactly(spark, sf_dir):
+    """Continuous-aggregate mergeability: daily answers computed ONLY
+    from hourly partials equal a direct daily aggregation of raw data
+    for every additive measure, and the HLL distinct estimate lands
+    within 5% of exact. Merges compose: hour → day → week equals
+    hour → week directly."""
+    from excel_to_database_spark.operators.rollup import (
+        merge_partials,
+        time_bucket_partials,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hourly = time_bucket_partials(e, bucket_seconds=3600)
+    daily = merge_partials(hourly, bucket_seconds=86400)
+
+    raw_daily = e.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("bigint")
+        .alias("bucket_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    got = {
+        (r["bucket_start"], r["event_type"]): r
+        for r in daily.collect()
+    }
+    for r in raw_daily.collect():
+        g = got[(r["bucket_start"], r["event_type"])]
+        assert g["n_events"] == r["n_events"]
+        assert g["sum_value"] == r["sum_value"]  # decimal-exact merge
+        assert abs(g["approx_distinct"] - r["exact_users"]) <= max(
+            1, 0.05 * r["exact_users"]
+        )
+    assert len(got) == raw_daily.count()
+
+    # composition: (hour → day) → week == hour → week
+    week_via_day = merge_partials(daily, bucket_seconds=7 * 86400)
+    week_direct = merge_partials(hourly, bucket_seconds=7 * 86400)
+    a = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value"], r["approx_distinct"])
+        for r in week_via_day.collect()
+    }
+    b = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value"], r["approx_distinct"])
+        for r in week_direct.collect()
+    }
+    assert a == b  # sketch unions are associative, sums exact
+
+
+def test_rollup_incremental_refresh(spark, sf_dir):
+    """The partial table updates incrementally: partials of (old ∪ new)
+    == union of per-batch partials re-merged — appending a batch never
+    requires rescanning old raw data."""
+    from excel_to_database_spark.operators.rollup import (
+        merge_partials,
+        time_bucket_partials,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    old = e.filter(F.col("event_id") % 2 == 0)
+    new = e.filter(F.col("event_id") % 2 == 1)
+    # incremental: per-batch hourly partials appended, then re-merged
+    # AT THE SAME GRAIN (a merge of partials is itself a valid partial)
+    incr_hourly = merge_partials(
+        time_bucket_partials(old, 3600).unionByName(
+            time_bucket_partials(new, 3600)
+        ),
+        bucket_seconds=3600,
+    ).drop("approx_distinct")
+    full_daily = merge_partials(time_bucket_partials(e, 3600), 86400)
+    incr_daily = merge_partials(incr_hourly, 86400)
+    a = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value"], r["approx_distinct"])
+        for r in full_daily.collect()
+    }
+    b = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value"], r["approx_distinct"])
+        for r in incr_daily.collect()
+    }
+    assert a == b
