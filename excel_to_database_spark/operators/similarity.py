@@ -578,14 +578,31 @@ def ann_ivf(
         cents, assigned = ivf_assign(emb, id_col, vec_col, n_lists, sweeps=sweeps)
     q = assigned.filter(query_filter) if query_filter is not None else assigned
     q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+    return ivf_probe_index(q, cents, assigned, k=k, n_probe=n_probe)
 
+
+def ivf_probe_index(
+    queries: DataFrame,
+    cents: DataFrame,
+    assigned: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a PRE-BUILT IVF index with an external query set: each
+    (qid, qv) query row probes its ``n_probe`` nearest cells of
+    ``cents`` (broadcast) and ranks that cells' members of ``assigned``
+    by exact cosine. This is the index-build / index-search separation
+    the batch ``ann_ivf`` wraps, and the probe a continuous-ingest
+    pipeline runs per micro-batch against a persisted corpus index
+    (streaming/ingest.stream_ann_probe) — per-batch cost is
+    |batch| · n_probe/n_lists of the corpus, never corpus²."""
     dot_c = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     )
     probe_rank = Window.partitionBy("qid").orderBy(F.desc("psim"), F.asc("cell"))
     probes = (
-        q.crossJoin(F.broadcast(cents))
+        queries.crossJoin(F.broadcast(cents))
         .select("qid", "qv", "cell", dot_c.alias("psim"))
         .withColumn("rn", F.row_number().over(probe_rank))
         .filter(F.col("rn") <= n_probe)
@@ -793,6 +810,177 @@ def quantize_embeddings(
     return staged.select("id", "codes", err.alias("err_sq"))
 
 
+def _sub_structs(vcol, m: int, w: int):
+    """Split a vector column into m contiguous (subspace, subvector)
+    structs — one in-place slice per subspace, no dim-explode."""
+    return F.array(
+        *[
+            F.struct(F.lit(s).alias("s"), F.slice(vcol, s * w + 1, w).alias("sv"))
+            for s in range(m)
+        ]
+    )
+
+
+def _pq_codebook(base: DataFrame, m: int, k: int, w: int) -> DataFrame:
+    """Per-subspace PQ codebook (code, s, cv): the subvectors of the k
+    lowest-id vectors — the same seed-free deterministic pick as
+    ``ivf_assign``, so index builds reproduce bit-for-bit."""
+    return (
+        base.orderBy(F.asc("id"))
+        .limit(k)
+        .select(
+            F.col("id").alias("code"),
+            F.explode(_sub_structs(F.col("v"), m, w)).alias("t"),
+        )
+        .select("code", F.col("t.s").alias("s"), F.col("t.sv").alias("cv"))
+    )
+
+
+def ann_ivf_pq(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    sweeps: int = 0,
+    tol: float | None = None,
+    rerank: int = 0,
+    query_filter=None,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search — the composed vector index: IVF cells prune the
+    corpus to ``n_probe`` lists per query, PQ codes supply an O(1)
+    per-candidate ASYMMETRIC cosine estimate, and ``rerank`` optionally
+    re-scores the top ADC candidates with exact cosine.
+
+    The ADC trick, in DataFrame shape: the expensive vector math runs
+    once per (query, subspace, codebook entry) — a |queries| × m·pq_k
+    broadcast cross join building a lookup table of partial dots and
+    partial code norms — and every candidate thereafter is scored by a
+    pure EQUI-JOIN on (qid, subspace, code) plus a sum: no per-candidate
+    vector arithmetic at all, which is what makes PQ scale to billions
+    of candidates. approx_cos = Σ_s⟨q_s, cb[s,code_s]⟩ /
+    (‖q‖·sqrt(Σ_s‖cb[s,code_s]‖²)) — the standard IP-ADC estimate
+    with the code's own reconstructed norm.
+
+    Same output contract as the other ANN paths: (query_id,
+    neighbor_id, cosine, rank); ``cosine`` is the ADC estimate, or the
+    exact value for rows that passed the rerank. Deterministic end to
+    end (seed-free coarse + PQ codebooks, md5-free integer ids, unique
+    tiebreakers); pass ``tol`` to train the coarse quantizer to SSE
+    convergence."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if dim is None:
+        dim = len(base.select("v").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+
+    if tol is not None:
+        cents, assigned, _ = ivf_assign_converged(
+            emb, id_col, vec_col, n_lists, max_sweeps=max(sweeps, 10), tol=tol
+        )
+    else:
+        cents, assigned = ivf_assign(emb, id_col, vec_col, n_lists, sweeps=sweeps)
+    from excel_to_database_spark.operators.caching import pin
+
+    assigned = pin(assigned)  # probed by queries AND scanned as candidates
+    codes = product_quantize(emb, id_col, vec_col, m, pq_k, dim).select(
+        F.col("id").alias("nid"), "codes"
+    )
+    cb = _pq_codebook(base, m, pq_k, w)
+
+    qset = assigned.filter(query_filter) if query_filter is not None else assigned
+    q = qset.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+
+    dot_c = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    probe_rank = Window.partitionBy("qid").orderBy(F.desc("psim"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "cell", dot_c.alias("psim"))
+        .withColumn("rn", F.row_number().over(probe_rank))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "cell")
+    )
+
+    sub_q = F.slice("qv", F.col("s") * w + 1, F.lit(w))
+    pdot = F.aggregate(
+        F.zip_with(sub_q, F.col("cv"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    pn2 = F.aggregate(
+        F.transform("cv", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "qid", "s", "code", pdot.alias("pdot"), pn2.alias("pn2")
+    )
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    qnorm = q.select("qid", qn.alias("qn"))
+
+    cand = (
+        probes.join(assigned.select(F.col("id").alias("nid"), "cell"), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+    )
+    exploded = cand.join(codes, "nid").select(
+        "qid", "nid", F.posexplode("codes").alias("s", "code")
+    )
+    scored = (
+        exploded.join(lut, ["qid", "s", "code"])
+        .groupBy("qid", "nid")
+        .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("an2"))
+        .join(qnorm, "qid")
+        .select(
+            "qid",
+            "nid",
+            (F.col("adot") / (F.col("qn") * F.sqrt("an2"))).alias("cosine"),
+        )
+    )
+    rk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    if rerank:
+        r = max(rerank, k)
+        shortlist = (
+            scored.withColumn("rn", F.row_number().over(rk))
+            .filter(F.col("rn") <= r)
+            .select("qid", "nid")
+        )
+        nd = F.aggregate(
+            F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        dot_e = F.aggregate(
+            F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        scored = (
+            shortlist.join(q, "qid")
+            .join(base.select(F.col("id").alias("nid"), F.col("v").alias("nv")), "nid")
+            .select("qid", "nid", (dot_e / (F.sqrt(nd) * qn)).alias("cosine"))
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def product_quantize(
     emb: DataFrame,
     id_col: str,
@@ -823,24 +1011,11 @@ def product_quantize(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     w = dim // m
 
-    def sub_structs(vcol):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("s"), F.slice(vcol, s * w + 1, w).alias("sv")
-                )
-                for s in range(m)
-            ]
-        )
-
-    subs = base.select("id", F.explode(sub_structs(F.col("v"))).alias("t")).select(
-        "id", F.col("t.s").alias("s"), F.col("t.sv").alias("sv")
-    )
-    cents = (
-        base.orderBy(F.asc("id"))
-        .limit(k)
-        .select(F.col("id").alias("cell"), F.explode(sub_structs(F.col("v"))).alias("t"))
-        .select("cell", F.col("t.s").alias("s"), F.col("t.sv").alias("cv"))
+    subs = base.select(
+        "id", F.explode(_sub_structs(F.col("v"), m, w)).alias("t")
+    ).select("id", F.col("t.s").alias("s"), F.col("t.sv").alias("sv"))
+    cents = _pq_codebook(base, m, k, w).select(
+        F.col("code").alias("cell"), "s", "cv"
     )
     d2 = F.aggregate(
         F.zip_with(

@@ -485,6 +485,21 @@ def q86_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q145_ann_ivf_pq")  # approximate (PQ codes) — rows-only by design
+def q145_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the composed compressed vector index: IVF cells
+    prune to n_probe lists, PQ codes score candidates through a
+    per-query lookup table (zero per-candidate vector math), exact
+    cosine reranks the ADC top-50. Exactness anchor (pq_k = corpus ≡
+    brute force) and rerank recall floor asserted in
+    tests/test_llm_ops.py."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.ann_ivf_pq(
+        e, "vec_id", "embedding", k=5, n_lists=16, n_probe=4,
+        m=8, pq_k=32, rerank=50, query_filter=F.col("id") < 10,
+    )
+
+
 @query(
     "q87_tfidf_top_terms",
     """

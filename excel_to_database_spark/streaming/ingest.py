@@ -202,6 +202,70 @@ def stream_upsert(
     )
 
 
+def _write_batch_keyed(spark, out: DataFrame, out_table: str) -> None:
+    """Exactly-once foreachBatch sink: ``out`` must carry a
+    ``__batch_id`` column; that partition is dynamically overwritten,
+    so a re-delivered micro-batch replaces its own rows instead of
+    appending duplicates."""
+    if spark.catalog.tableExists(out_table):
+        cols = [f.name for f in spark.table(out_table).schema.fields]
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            out.select(*cols).write.mode("overwrite").insertInto(out_table)
+        finally:
+            spark.conf.set(conf_key, prev)
+        # replaced files invalidate any cached listing of the table
+        spark.catalog.refreshTable(out_table)
+    else:
+        out.write.partitionBy("__batch_id").saveAsTable(out_table)
+
+
+def stream_ann_probe(
+    new_vecs: DataFrame,
+    cents: DataFrame,
+    assigned: DataFrame,
+    out_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    checkpoint: str = "/tmp/etds_ann_probe_ckpt",
+):
+    """Continuous-ingest similarity search: each micro-batch of new
+    embeddings probes a PERSISTED IVF index (centroids + corpus
+    assignment from ``similarity.ivf_assign``/``ivf_assign_converged``)
+    and appends its top-k corpus neighbors — the vector twin of
+    ``stream_lsh_dedup``, e.g. online near-duplicate screening of
+    freshly embedded documents against the training corpus.
+
+    Same state story: the stream keeps NO Spark state — the IVF index
+    IS the state, maintained by the batch index-build pipeline.
+    Per-batch cost is |batch| · n_probe/n_lists of the corpus.  The
+    sink is the batch-id-keyed dynamic overwrite, so replays are
+    exactly-once on the table."""
+    from excel_to_database_spark.operators.similarity import ivf_probe_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        q = batch_df.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        )
+        out = ivf_probe_index(q, cents, assigned, k=k, n_probe=n_probe).withColumn(
+            "__batch_id", F.lit(batch_id)
+        )
+        _write_batch_keyed(batch_df.sparkSession, out, out_table)
+
+    return (
+        new_vecs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_lsh_dedup(
     new_docs: DataFrame,
     corpus_index: DataFrame,
@@ -249,20 +313,7 @@ def stream_lsh_dedup(
             .agg(F.countDistinct("doc_corpus").alias("n_corpus_dups"))
             .withColumn("__batch_id", F.lit(batch_id))
         )
-        spark = batch_df.sparkSession
-        if spark.catalog.tableExists(out_table):
-            cols = [f.name for f in spark.table(out_table).schema.fields]
-            conf_key = "spark.sql.sources.partitionOverwriteMode"
-            prev = spark.conf.get(conf_key, "static")
-            spark.conf.set(conf_key, "dynamic")
-            try:
-                out.select(*cols).write.mode("overwrite").insertInto(out_table)
-            finally:
-                spark.conf.set(conf_key, prev)
-            # replaced files invalidate any cached listing of the table
-            spark.catalog.refreshTable(out_table)
-        else:
-            out.write.partitionBy("__batch_id").saveAsTable(out_table)
+        _write_batch_keyed(batch_df.sparkSession, out, out_table)
 
     return (
         new_docs.writeStream.foreachBatch(sink)

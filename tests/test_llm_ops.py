@@ -293,6 +293,59 @@ def test_ann_ivf_converged_recall_on_clustered_data(spark):
     assert r_conv >= max(r_seed, 0.9)  # blob structure recovered
 
 
+def test_ann_ivf_pq_exact_degeneration(spark):
+    """With pq_k = corpus size every vector IS a codebook entry, so the
+    PQ reconstruction is the vector itself and the ADC estimate equals
+    exact cosine; with n_probe = n_lists the search must then reproduce
+    brute-force top-k exactly — the correctness anchor for the whole
+    IVF-PQ pipeline (codes, LUT join, probe, ranking)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 64
+    )
+    qf = F.col("id") < 10
+    truth = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in S.cosine_topk(
+            emb, "vec_id", "embedding", k=3, query_filter=qf, exact=False
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in S.ann_ivf_pq(
+            emb, "vec_id", "embedding", k=3, n_lists=4, n_probe=4,
+            m=8, pq_k=64, query_filter=qf,
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_ann_ivf_pq_rerank_recall(spark):
+    """Lossy codes + exact rerank: ADC shortlists, exact cosine
+    re-orders — recall on random vectors (PQ's worst case: nothing for
+    the codebooks to exploit) must still clear a floor well above the
+    ~1% random-chance rate, and reranked scores must be exact (match
+    brute force for overlapping pairs)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qf = F.col("id") < 10
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.cosine_topk(
+            emb, "vec_id", "embedding", k=5, query_filter=qf, exact=False
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.ann_ivf_pq(
+            emb, "vec_id", "embedding", k=5, n_lists=8, n_probe=8,
+            m=8, pq_k=32, rerank=50, query_filter=qf,
+        ).collect()
+    }
+    overlap = set(got) & set(truth)
+    assert len(overlap) / len(truth) >= 0.5
+    for key in overlap:  # reranked scores are exact, not ADC estimates
+        assert got[key] == pytest.approx(truth[key], abs=1e-9)
+
+
 def test_char_shingles_pipeline(spark, docs):
     sh = D.char_shingles(docs, "doc_id", "text", n=5)
     rows = sh.filter(F.col("doc") == 1).collect()

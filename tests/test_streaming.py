@@ -227,6 +227,49 @@ def test_stream_upsert_merges_each_batch(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_stream_upsert")
 
 
+def test_stream_ann_probe_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched ANN probing of a persisted IVF index emits the
+    same top-k corpus neighbors as a batch probe of the same index,
+    with the new vectors delivered across two triggers — the vector
+    twin of the streaming LSH dedup."""
+    from excel_to_database_spark.operators import similarity as S
+    from excel_to_database_spark.streaming.ingest import stream_ann_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+
+    cents, assigned = S.ivf_assign(corpus, "vec_id", "embedding", n_lists=8)
+    q = new.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    expect = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], round(r["cosine"], 9))
+        for r in S.ivf_probe_index(q, cents, assigned, k=3, n_probe=3).collect()
+    }
+
+    src = tmp_path / "new_vecs"
+    half = F.pmod(F.col("vec_id"), F.lit(8)) == 0
+    new.filter(half).coalesce(1).write.parquet(str(src / "a"))
+    new.filter(~half).coalesce(1).write.parquet(str(src / "b"))
+    spark.sql("DROP TABLE IF EXISTS t_stream_ann")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    qr = stream_ann_probe(
+        stream, cents, assigned, "t_stream_ann",
+        k=3, n_probe=3, checkpoint=str(tmp_path / "ckpt_ann"),
+    )
+    qr.awaitTermination()
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], round(r["cosine"], 9))
+        for r in spark.table("t_stream_ann").collect()
+    }
+    assert got == expect
+    spark.sql("DROP TABLE IF EXISTS t_stream_ann")
+
+
 def test_stream_lsh_dedup_matches_batch(spark, sf_dir, tmp_path):
     """Micro-batched LSH dedup against a persisted corpus index emits
     the same per-doc collision counts as the batch incremental dedup —
