@@ -56,9 +56,12 @@ HEADLINE = [
     # sampling + n-gram text-quality family
     "q140_per_group_sample",
     "q141_bigram_novelty",
-    # round-5 additions: boilerplate-line removal, streaming sessions
+    # round-5 additions: boilerplate-line removal, streaming sessions,
+    # hypertable rollup, compressed vector index
     "q142_boilerplate_line_removal",
     "q143_stream_session_window",
+    "q144_hypertable_rollup",
+    "q145_ann_ivf_pq",
 ]
 
 

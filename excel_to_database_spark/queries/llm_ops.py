@@ -496,7 +496,7 @@ def q145_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     return S.ann_ivf_pq(
         e, "vec_id", "embedding", k=5, n_lists=16, n_probe=4,
-        m=8, pq_k=32, rerank=50, query_filter=F.col("id") < 10,
+        m=8, pq_k=32, rerank=50, query_filter=F.col("id") < 10, dim=64,
     )
 
 

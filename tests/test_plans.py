@@ -57,3 +57,32 @@ def test_asof_join_single_key_shuffle(spark, sf_dir):
                   payload=["o_orderkey"])
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rollup_partials_single_agg_no_join(spark, sf_dir):
+    """The hypertable partial build is ONE map-side-combinable hash
+    aggregation over the raw scan — any join or window appearing here
+    means the partial table stopped being a single-pass ingest step."""
+    from excel_to_database_spark.operators.rollup import time_bucket_partials
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        time_bucket_partials(e.withColumn("ts", F.col("ts").cast("timestamp")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final = map-side combine
+
+
+def test_ivf_pq_codebook_broadcasts(spark, sf_dir):
+    """IVF-PQ: the PQ codebook LUT join and the coarse-centroid probe
+    must broadcast (m·k and n_lists rows) — a shuffled codebook would
+    serialize every query through an exchange."""
+    plan = _plan(spark, sf_dir, "q145_ann_ivf_pq")
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2
+    # rank windows partition by qid — never a single-partition funnel
+    assert "Exchange SinglePartition" not in plan
