@@ -266,6 +266,40 @@ def stream_ann_probe(
     )
 
 
+def stream_rollup(
+    events: DataFrame,
+    out_table: str,
+    bucket_seconds: int = 3600,
+    checkpoint: str = "/tmp/etds_rollup_ckpt",
+):
+    """Continuously-maintained hypertable partials (the streaming form
+    of operators/rollup): each micro-batch appends ITS OWN time-bucket
+    partial rows — counts, decimal sums, min/max, HLL sketch — keyed by
+    batch id (exactly-once under replay). Raw events are scanned once,
+    at ingest; any dashboard window is then answered by
+    ``merge_partials`` over the table, which is valid precisely because
+    a merge of partials is itself a partial (same-bucket rows from
+    different batches collapse at read time, HLL unions being
+    order-insensitive). No Spark streaming state at all — the partial
+    table IS the state."""
+    from excel_to_database_spark.operators.rollup import time_bucket_partials
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = time_bucket_partials(batch_df, bucket_seconds).withColumn(
+            "__batch_id", F.lit(batch_id)
+        )
+        _write_batch_keyed(batch_df.sparkSession, out, out_table)
+
+    return (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_lsh_dedup(
     new_docs: DataFrame,
     corpus_index: DataFrame,

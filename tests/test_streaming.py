@@ -227,6 +227,52 @@ def test_stream_upsert_merges_each_batch(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_stream_upsert")
 
 
+def test_stream_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The continuously-maintained partial table (two micro-batches,
+    same hours split across both) merged to daily equals the batch
+    rollup of raw data — additive measures exactly, HLL estimates
+    identically (sketch unions are order-insensitive)."""
+    from excel_to_database_spark.operators.rollup import (
+        merge_partials,
+        time_bucket_partials,
+    )
+    from excel_to_database_spark.streaming.ingest import stream_rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tmp_path / "ev_split"
+    half = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    events.filter(half).coalesce(1).write.parquet(str(src / "a"))
+    events.filter(~half).coalesce(1).write.parquet(str(src / "b"))
+
+    spark.sql("DROP TABLE IF EXISTS t_stream_rollup")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = stream_rollup(stream, "t_stream_rollup", checkpoint=str(tmp_path / "ck_ru"))
+    q.awaitTermination()
+
+    got_daily = merge_partials(
+        spark.table("t_stream_rollup").drop("__batch_id"), 86400
+    )
+    want_daily = merge_partials(
+        time_bucket_partials(
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+        ),
+        86400,
+    )
+    key = lambda r: (r["bucket_start"], r["event_type"])
+    val = lambda r: (r["n_events"], r["sum_value"], r["min_value"],
+                     r["max_value"], r["approx_distinct"])
+    a = {key(r): val(r) for r in got_daily.collect()}
+    b = {key(r): val(r) for r in want_daily.collect()}
+    assert a == b
+    spark.sql("DROP TABLE IF EXISTS t_stream_rollup")
+
+
 def test_stream_ann_probe_matches_batch(spark, sf_dir, tmp_path):
     """Micro-batched ANN probing of a persisted IVF index emits the
     same top-k corpus neighbors as a batch probe of the same index,
