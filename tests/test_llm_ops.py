@@ -346,6 +346,32 @@ def test_ann_ivf_pq_rerank_recall(spark):
         assert got[key] == pytest.approx(truth[key], abs=1e-9)
 
 
+def test_ivf_index_persists_as_tables(spark, tmp_path):
+    """The IVF index is plain DataFrames, so it survives a parquet
+    round trip: build → save centroids+assignments → reload in a
+    'different job' → probe — results identical to probing the
+    in-memory index. This is the build/search separation a 100 TB
+    deployment needs (index built once, searched by many jobs)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, assigned = S.ivf_assign(emb, "vec_id", "embedding", n_lists=8)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_probe_index(q, cents, assigned, k=3, n_probe=3).collect()
+    }
+    cents.write.parquet(str(tmp_path / "ivf_cents"))
+    assigned.write.parquet(str(tmp_path / "ivf_assigned"))
+    cents2 = spark.read.parquet(str(tmp_path / "ivf_cents"))
+    assigned2 = spark.read.parquet(str(tmp_path / "ivf_assigned"))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_probe_index(q, cents2, assigned2, k=3, n_probe=3).collect()
+    }
+    assert got == want
+
+
 def test_char_shingles_pipeline(spark, docs):
     sh = D.char_shingles(docs, "doc_id", "text", n=5)
     rows = sh.filter(F.col("doc") == 1).collect()
