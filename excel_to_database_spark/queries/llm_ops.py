@@ -485,19 +485,95 @@ def q86_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PQ_PARAMS = dict(n_lists=16, m=8, pq_k=32, dim=64)
+
+
+def _ivf_pq_index_path(sf_dir: str) -> str:
+    """Deterministic on-disk home for the persisted IVF-PQ index of one
+    testdata scale factor: <repo>/.cache/ivf_pq/<sf-basename>-<params>.
+    Overridable via SPARK_GRAFT_INDEX_DIR (e.g. point it at HDFS/S3 on
+    a cluster — the path is only ever used through spark.read/write)."""
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if not root:
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        root = os.path.join(os.path.dirname(pkg), ".cache", "ivf_pq")
+    p = _IVF_PQ_PARAMS
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-l{p['n_lists']}m{p['m']}k{p['pq_k']}"
+    return os.path.join(root, tag)
+
+
+def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the embeddings IVF-PQ index iff its meta table is absent —
+    the build-once half of the lifecycle. Returns the index path."""
+    import os
+
+    path = _ivf_pq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "meta")):
+        e = t(spark, sf_dir, "embeddings")
+        S.build_ivf_pq_index(
+            e, "vec_id", "embedding", path, **_IVF_PQ_PARAMS
+        ).collect()
+    return path
+
+
 @query("q145_ann_ivf_pq")  # approximate (PQ codes) — rows-only by design
 def q145_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ search — the composed compressed vector index: IVF cells
-    prune to n_probe lists, PQ codes score candidates through a
-    per-query lookup table (zero per-candidate vector math), exact
-    cosine reranks the ADC top-50. Exactness anchor (pq_k = corpus ≡
-    brute force) and rerank recall floor asserted in
-    tests/test_llm_ops.py."""
-    e = t(spark, sf_dir, "embeddings")
-    return S.ann_ivf_pq(
-        e, "vec_id", "embedding", k=5, n_lists=16, n_probe=4,
-        m=8, pq_k=32, rerank=50, query_filter=F.col("id") < 10, dim=64,
+    """IVF-PQ search against the PERSISTED index — the amortized
+    search-many half of the vector-index lifecycle (q146 is the build
+    half). IVF cells prune to n_probe lists, PQ codes score candidates
+    through a per-query lookup table (zero per-candidate vector math),
+    exact cosine reranks the ADC top-50. The index is built on first
+    touch and reused thereafter, so this query's marginal cost is pure
+    search: broadcast centroid ranking + one (qid, s, code) equi-join —
+    the number that matters at 100 TB. Exactness anchor (pq_k = corpus
+    ≡ brute force), rerank recall floor, and probe ≡ inline-build row
+    parity asserted in tests/test_llm_ops.py; the probe plan is
+    asserted training-free in tests/test_plans.py."""
+    idx = S.load_ivf_pq_index(spark, _ensure_ivf_pq_index(spark, sf_dir))
+    return S.ann_ivf_pq_probe(
+        idx, k=5, n_probe=4, rerank=50, query_filter=F.col("id") < 10
     )
+
+
+@query(
+    "q146_ivf_pq_index_build",
+    """
+    WITH dims AS (SELECT DISTINCT UNNEST(generate_series(1, len(embedding))) AS i
+                  FROM embeddings),
+    vn AS (SELECT vec_id,
+                  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                                AS DECIMAL(30,12))) AS DOUBLE) AS n2
+           FROM embeddings CROSS JOIN dims GROUP BY vec_id),
+    cents AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+              ORDER BY vec_id LIMIT 16),
+    sims AS (SELECT e.vec_id, c.cell,
+                    CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
+                                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             FROM embeddings e CROSS JOIN cents c CROSS JOIN dims
+             GROUP BY e.vec_id, c.cell),
+    assign AS (SELECT vec_id, cell FROM (
+                 SELECT s.vec_id, s.cell,
+                        ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                            ORDER BY s.dot / (SQRT(v.n2) * SQRT(cn.n2)) DESC, s.cell) AS rn
+                 FROM sims s JOIN vn v ON v.vec_id = s.vec_id
+                 JOIN vn cn ON cn.vec_id = s.cell)
+               WHERE rn = 1)
+    SELECT cell, COUNT(*) AS n_members FROM assign GROUP BY cell
+    """,
+)
+def q146_ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index BUILD — trains the coarse quantizer (decimal-exact
+    assignment, the q125 discipline) + PQ codebooks and persists all
+    four index tables; returns per-cell populations, which the oracle
+    reproduces value-exact (centroids = 16 lowest-id vectors, argmax
+    cosine, ties to the lowest cell). Keeping the build as its own
+    query keeps construction cost visible instead of hiding it inside
+    every search (VERDICT r5 item 1)."""
+    path = _ivf_pq_index_path(sf_dir)
+    e = t(spark, sf_dir, "embeddings")
+    return S.build_ivf_pq_index(e, "vec_id", "embedding", path, **_IVF_PQ_PARAMS)
 
 
 @query(

@@ -372,6 +372,60 @@ def test_ivf_index_persists_as_tables(spark, tmp_path):
     assert got == want
 
 
+def test_ivf_pq_persisted_index_lifecycle(spark, tmp_path):
+    """Full IVF-PQ build-once/search-many lifecycle: build_ivf_pq_index
+    persists four tables + meta, the build stats cover the corpus
+    exactly, and probing the RELOADED index reproduces the inline
+    (train-per-run) ann_ivf_pq rows identically — so amortizing the
+    index costs zero correctness."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "pqidx")
+    stats = S.build_ivf_pq_index(
+        emb, "vec_id", "embedding", path, n_lists=8, m=8, pq_k=16
+    ).collect()
+    n = emb.count()
+    assert sum(r["n_members"] for r in stats) == n
+    assert len(stats) <= 8
+
+    idx = S.load_ivf_pq_index(spark, path)
+    assert idx.meta["n_vectors"] == n and idx.meta["w"] == 8
+    qf = F.col("id") < 10
+    probe = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ann_ivf_pq_probe(
+            idx, k=5, n_probe=4, rerank=20, query_filter=qf
+        ).collect()
+    }
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ann_ivf_pq(
+            emb, "vec_id", "embedding", k=5, n_lists=8, n_probe=4,
+            m=8, pq_k=16, rerank=20, query_filter=qf,
+        ).collect()
+    }
+    assert probe == inline
+
+
+def test_ivf_pq_probe_external_queries(spark, tmp_path):
+    """A probe with an EXTERNAL query set (the streaming micro-batch
+    shape: vectors not in the index) returns k ranked neighbors per
+    query drawn from the indexed corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "pqidx2")
+    S.build_ivf_pq_index(emb, "vec_id", "embedding", path, n_lists=8, m=8, pq_k=16)
+    idx = S.load_ivf_pq_index(spark, path)
+    ext = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("qid"), F.col("embedding").alias("qv")
+    )
+    rows = S.ann_ivf_pq_probe(idx, k=3, n_probe=4, queries=ext).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {1_000_000 + i for i in range(5)}
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3]
+
+
 def test_char_shingles_pipeline(spark, docs):
     sh = D.char_shingles(docs, "doc_id", "text", n=5)
     rows = sh.filter(F.col("doc") == 1).collect()

@@ -86,3 +86,29 @@ def test_ivf_pq_codebook_broadcasts(spark, sf_dir):
     ) >= 2
     # rank windows partition by qid — never a single-partition funnel
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ivf_pq_probe_plan_is_training_free(spark, sf_dir):
+    """q145 searches the PERSISTED index: its plan must contain only
+    parquet scans of the index tables + the search joins — never the
+    training stages (centroid/codebook picks plan as
+    TakeOrderedAndProject over the corpus; Lloyd sweeps as posexplode
+    aggregations over `v`). The build query q146, by contrast, must
+    contain the training pick."""
+    from excel_to_database_spark.queries.llm_ops import (
+        _ensure_ivf_pq_index,
+        _ivf_pq_index_path,
+    )
+
+    path = _ensure_ivf_pq_index(spark, sf_dir)
+    plan = _plan(spark, sf_dir, "q145_ann_ivf_pq")
+    assert "TakeOrderedAndProject" not in plan  # no centroid/codebook pick
+    assert path in plan  # candidates come from the persisted index scan
+    build_plan = (
+        QUERIES["q146_ivf_pq_index_build"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the build's returned stats scan the freshly persisted assignment
+    assert _ivf_pq_index_path(sf_dir) in build_plan
