@@ -712,7 +712,13 @@ def transitive_closure(
     ``pairs`` never re-executes per level; each level's step frame is
     checkpointed lazily with the emptiness probe (a driver-side count,
     never a data collect) as its materializing action — one job per
-    level, O(log diameter ≤ max_depth) levels."""
+    level. Levels are O(diameter) capped at ``max_depth`` (each level
+    joins the frontier against the STATIC edge list, extending reach
+    one hop per level — max_depth=8 covers 9-edge paths); a
+    frontier-against-visited join would double paths per level
+    (O(log diameter)) at the cost of a growing join target —
+    ``connected_components`` is the pointer-jumping variant that takes
+    that trade."""
     sym = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))

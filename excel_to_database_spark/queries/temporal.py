@@ -203,7 +203,7 @@ def q64_sliding_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q66_session_window",
     """
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
                     THEN 1 ELSE 0 END AS is_new
@@ -211,7 +211,7 @@ def q64_sliding_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS sid
         FROM flagged
@@ -246,7 +246,7 @@ def q66_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q143_stream_session_window",
     """
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
                     THEN 1 ELSE 0 END AS is_new
@@ -254,7 +254,7 @@ def q66_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS sid
         FROM flagged

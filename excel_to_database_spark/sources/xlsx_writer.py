@@ -145,7 +145,17 @@ def write_excel_dir(
                 rows_xml.append(
                     _row_xml(
                         n + 1,
-                        [None if pd.isna(v) else v for v in tup],
+                        # scalar-only isna: array-typed cells (list, or
+                        # the ndarray Arrow hands mapInPandas) make
+                        # pd.isna ambiguous — normalize them to the
+                        # plain list the single-file writer stringifies
+                        [
+                            list(v)
+                            if isinstance(v, (list, tuple))
+                            or getattr(v, "ndim", 0)
+                            else (None if pd.isna(v) else v)
+                            for v in tup
+                        ],
                     )
                 )
         fname = ""

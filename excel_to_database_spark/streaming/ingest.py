@@ -16,6 +16,7 @@ watermark; dedup state is bounded by ``dropDuplicatesWithinWatermark``.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,7 +63,12 @@ def read_events_stream(
     if schema is None:
         try:
             schema = spark.read.parquet(path).schema  # driver footer probe
-        except Exception:
+        except AnalysisException:
+            # path empty/missing at start-up (legal for a stream that
+            # will pick files up as they land) → events contract.
+            # Anything else (permissions, corrupt footer) re-raises:
+            # silently substituting EVENTS_SCHEMA there would start a
+            # misconfigured stream that yields zero rows.
             schema = EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)
     if not os.path.isdir(path):

@@ -74,6 +74,34 @@ def test_excel_dir_writer_roundtrip(spark, tmp_path):
     )
 
 
+def test_excel_dir_writer_array_column_parity(spark, tmp_path):
+    """Array-typed columns: the directory writer must stringify them
+    like the single-file writer instead of tripping pd.isna's
+    'truth value of an array is ambiguous' (ADVICE r5) — both writers
+    export the same cell text."""
+    import glob
+
+    from excel_to_database_spark.sources.xlsx_writer import (
+        write_excel,
+        write_excel_dir,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3], None), ("b", [], "x")],
+        "k string, arr array<int>, opt string",
+    )
+    single = str(tmp_path / "arr.xlsx")
+    write_excel(df, single)
+    d = str(tmp_path / "arr_dir")
+    n = write_excel_dir(df.repartition(2), d)
+    assert n == 2 and glob.glob(f"{d}/*.xlsx")
+    one = read_excel(spark, single).collect()
+    many = read_excel(spark, d).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+    by_k = {r["k"]: r["arr"] for r in many}
+    assert by_k["a"] == "[1, 2, 3]"
+
+
 def test_excel_dir_writer_per_file_cap(spark, tmp_path):
     """The sheet cap applies per partition file; a partition over the
     cap fails with guidance to repartition."""
