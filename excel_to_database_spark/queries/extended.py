@@ -555,9 +555,10 @@ def q133_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q137_stream_typed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed-state streaming fold (transformWithStateInPandas when the
-    runtime carries its protobuf dependency, the byte-identical
-    applyInPandasWithState twin otherwise — streaming/tws.py) replaying
+    """Typed-state streaming fold — transformWithStateInPandas, active
+    even without the protobuf distribution via the vendored minimal
+    runtime (streaming/tws.ensure_protobuf; the byte-identical
+    applyInPandasWithState twin remains as the fallback) — replaying
     the events table availableNow; the oracle is the equivalent batch
     aggregate — streaming/batch parity on a custom stateful operator,
     not a built-in agg. Each key's state row updates with

@@ -36,6 +36,33 @@ _DEFAULT_CONFS = {
 }
 
 
+def _export_pbshim_pythonpath() -> None:
+    """If the real protobuf distribution is absent, put the vendored
+    minimal runtime (streaming/_pbshim) on PYTHONPATH *before* the JVM
+    gateway launches: ``transformWithStateInPandas``'s pre-init driver
+    worker and local-mode daemon workers inherit the JVM's environment
+    and do NOT process addPyFile includes, so the env var is the only
+    channel that reaches them. Appended last — a real protobuf anywhere
+    on the path always wins."""
+    try:
+        import google.protobuf
+
+        # the shim itself may already be importable in THIS process
+        # (ensure_protobuf appends it to sys.path); only a real
+        # distribution makes the env export unnecessary
+        if not getattr(google.protobuf, "__version__", "").endswith("etds-shim"):
+            return
+    except ImportError:
+        pass
+    shim = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "streaming", "_pbshim")
+    current = os.environ.get("PYTHONPATH", "")
+    if shim not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{current}{os.pathsep}{shim}" if current else shim
+        )
+
+
 def get_session(
     app_name: str = "excel_to_database_spark",
     master: str | None = None,
@@ -48,6 +75,7 @@ def get_session(
     when no cluster master is configured — the same layout the driver's
     bench harness uses.
     """
+    _export_pbshim_pythonpath()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")

@@ -77,18 +77,79 @@ class UserStatsProcessor(StatefulProcessor):
         pass
 
 
-def tws_available() -> bool:
-    """``transformWithStateInPandas`` needs the protobuf wire format
-    for its state-server protocol; absent the dependency the operator
-    cannot start (the container this engine is developed in ships
-    without it — a cluster deployment installs ``protobuf`` and the
-    typed-state path activates with no code change)."""
+def _pbshim_dir() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "_pbshim")
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable in THIS process: prefer the
+    real distribution; fall back to the vendored minimal runtime
+    (``_pbshim`` — clean-room wire-format implementation, see its
+    docstring). Returns True when the import surface is available."""
     try:
         import google.protobuf  # noqa: F401
 
         return True
     except ImportError:
-        return False
+        import sys
+
+        shim = _pbshim_dir()
+        if shim not in sys.path:
+            sys.path.append(shim)  # append: a real protobuf still wins
+        try:
+            import google.protobuf  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+
+def ship_protobuf_to_workers(spark) -> None:
+    """Python workers speak the typed-state protocol, so THEY need
+    ``google.protobuf`` too. ``addPyFile`` is the mechanism that works
+    in every deploy mode (local-mode daemons and real executors alike):
+    workers insert shipped archives into sys.path before deserializing
+    the processor, and the state client imports protobuf lazily inside
+    its methods — after that insertion. No-op when the real protobuf
+    is installed cluster-wide."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        # importable without the shim dir on sys.path → real install
+        if not getattr(google.protobuf, "__version__", "").endswith("etds-shim"):
+            return
+    except ImportError:
+        if not ensure_protobuf():
+            return
+    import os
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(
+        tempfile.gettempdir(), "etds_pbshim", "google_protobuf_shim.zip"
+    )
+    if not os.path.exists(zpath):
+        os.makedirs(os.path.dirname(zpath), exist_ok=True)
+        shim = _pbshim_dir()
+        with zipfile.ZipFile(zpath + ".tmp", "w") as z:
+            for root, _dirs, files in os.walk(shim):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, shim))
+        os.replace(zpath + ".tmp", zpath)
+    spark.sparkContext.addPyFile(zpath)
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` needs the protobuf runtime for
+    its state-server protocol. With the vendored minimal runtime
+    (``ensure_protobuf``) the typed-state path now activates even in
+    environments without the protobuf distribution; a cluster install
+    of the real package always takes precedence."""
+    return ensure_protobuf()
 
 
 def _prepared(events: DataFrame) -> DataFrame:
@@ -150,6 +211,7 @@ def user_stats_auto(events: DataFrame) -> DataFrame:
     implementation-agnostic."""
     if tws_available():
         spark = events.sparkSession
+        ship_protobuf_to_workers(spark)
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."
