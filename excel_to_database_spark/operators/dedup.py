@@ -339,6 +339,43 @@ def subsequence_containments(
     )
 
 
+def char_span_pairs(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 50
+) -> DataFrame:
+    """Character-exact substring dedup: (doc_a, doc_b, n_shared) for
+    every unordered doc pair whose NORMALIZED texts share a common
+    substring of length ≥ ``min_len`` characters — matches may cross
+    word boundaries (the deduplicate-text-datasets semantic at fixed
+    match length, which q79's word-aligned containment cannot see).
+
+    Exact with no verification pass, by construction: a shared
+    substring of length ≥ L exists IFF some length-L window of one
+    text equals a length-L window of the other, so the operator is
+    one distinct-window index (``char_shingles`` at n = L) self-joined
+    on the window — suffix-array answer, inverted-index plan shape.
+    ``n_shared`` counts the distinct shared windows (a shared run of
+    length M ≥ L contributes M − L + 1 of them, so longer overlaps
+    score higher).
+
+    Scale: index rows = Σ chars (the same O(total corpus characters)
+    a suffix array costs); rows are (doc, window) with the window as
+    join key — a cluster deployment joins on a 128-bit digest of the
+    window instead to cut shuffle bytes 3× (md5 is already the
+    engine's portable digest family). Boilerplate windows shared by d
+    docs legitimately produce d² pairs — that IS the answer here
+    (pair-level semantics), unlike jaccard_pairs where hot shingles
+    only mediate a score."""
+    g = char_shingles(df, id_col, text_col, n=min_len)
+    a = g.select(F.col("doc").alias("doc_a"), "shingle")
+    b = g.select(F.col("doc").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     """Per-doc MinHash signature from ONE digest per shingle row:
     member i = MIN over shingles of md5(shingle) rotated left by 2·i

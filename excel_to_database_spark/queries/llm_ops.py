@@ -299,6 +299,31 @@ def q79_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.subsequence_containments(d, "doc_id", "text", 3)
 
 
+@query(
+    "q147_char_substring_dedup",
+    """
+    WITH norm AS (SELECT doc_id,
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                  FROM documents),
+    g AS (SELECT DISTINCT doc_id, substring(t, i, 50) AS gram
+          FROM norm CROSS JOIN UNNEST(range(1, len(t) - 48)) AS s(i)
+          WHERE len(t) >= 50)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+)
+def q147_char_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-exact substring dedup at match length ≥ 50 (the
+    public deduplicate-text-datasets bar): doc pairs sharing ANY
+    50-char run of normalized text, word boundaries ignored —
+    operators/dedup.char_span_pairs. Exact by the window⟺substring
+    equivalence (no verify pass); the oracle is the same distinct
+    window index self-joined in SQL."""
+    d = t(spark, sf_dir, "documents")
+    return D.char_span_pairs(d, "doc_id", "text", min_len=50)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -372,6 +372,34 @@ def test_ivf_index_persists_as_tables(spark, tmp_path):
     assert got == want
 
 
+def test_char_span_pairs_cross_word_boundaries(spark):
+    """Character-exact substring dedup must find a shared ≥50-char run
+    that starts and ends MID-WORD (invisible to the word-aligned q79
+    containment), must not fire below the length bar, and must score
+    longer overlaps with more shared windows."""
+    shared = "tremendous boilerplate passage duplicated across documents"  # 58 ch
+    rows = [
+        (1, "alpha intro xx" + shared + "yy outro omega"),  # mid-word splice
+        (2, "completely different beginning zz" + shared + "ww distinct end"),
+        (3, "no overlap here at all — unique content only, nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in D.char_span_pairs(df, "doc_id", "text", min_len=50).collect()
+    }
+    # the splice makes the true shared run "x" + shared + ... no — the
+    # run is exactly `shared` plus nothing (neighbors differ), 58 chars:
+    # 58 - 50 + 1 = 9 shared windows
+    assert got == {(1, 2): 9}
+    # above the run length: no pair
+    assert (
+        D.char_span_pairs(df, "doc_id", "text", min_len=59).count() == 0
+    )
+    # the word-aligned containment operator cannot see this overlap
+    assert D.subsequence_containments(df, "doc_id", "text", 3).count() == 0
+
+
 def test_ivf_pq_persisted_index_lifecycle(spark, tmp_path):
     """Full IVF-PQ build-once/search-many lifecycle: build_ivf_pq_index
     persists four tables + meta, the build stats cover the corpus
