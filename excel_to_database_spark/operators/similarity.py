@@ -113,6 +113,8 @@ def cosine_pairs(
     threshold: float,
     sieve_margin: float = 1e-6,
     n_blocks: int = 8,
+    route_above: int | None = 2_000_000,
+    route_n_lists: int = 64,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (embedding near-dup), exact — but
     sieved: candidate pairs come from blocked Gram matmuls, and only
@@ -131,7 +133,20 @@ def cosine_pairs(
     The 2M-pair crossJoin this replaces materialized every pair as a
     128-double row just to run an interpreted per-element fold over
     it. Pairs are generated once in canonical (a < b) orientation.
-    Returns (vec_a, vec_b, cosine)."""
+    Returns (vec_a, vec_b, cosine).
+
+    Scale routing: above ``route_above`` input rows (one bounded count
+    aggregate to decide) the call routes to the SemDeDup cell-blocked
+    path (``semantic_dedup_blocked`` with ``route_n_lists`` cells, the
+    q125 plan) under the same (vec_a, vec_b, cosine) contract, so no
+    user silently pays O(|D|²) flops at corpus scale — the documented
+    trade is recall on pairs whose members quantize into different
+    cells. Pass ``route_above=None`` to force the exact all-pairs
+    evaluation at any size."""
+    if route_above is not None and emb.count() > route_above:
+        return semantic_dedup_blocked(
+            emb, id_col, vec_col, n_lists=route_n_lists, threshold=threshold
+        ).select("vec_a", "vec_b", "cosine")
     import numpy as _np
     import pandas as _pd
 

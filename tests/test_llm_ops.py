@@ -372,6 +372,51 @@ def test_ivf_index_persists_as_tables(spark, tmp_path):
     assert got == want
 
 
+def test_cosine_pairs_scale_routing(spark):
+    """Above route_above input rows, cosine_pairs must switch to the
+    cell-blocked SemDeDup plan (same (vec_a, vec_b, cosine) contract)
+    instead of silently running all-pairs; on a fixture whose
+    qualifying pairs are all within-cell, the two plans return the
+    same rows."""
+    import math
+
+    # two tight clusters; ids 0 and 1 seed the two cells (centroids =
+    # lowest-id vectors), so every qualifying pair is within-cell
+    def vec(axis, jitter):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = jitter
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [(0, vec(0, 0.01)), (1, vec(4, 0.01))] + [
+        (i, vec(0, 0.01 * i)) for i in range(2, 7)
+    ] + [(i, vec(4, 0.01 * i)) for i in range(7, 12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = S.cosine_pairs(df, "vec_id", "embedding", 0.9, route_above=None)
+    routed = S.cosine_pairs(
+        df, "vec_id", "embedding", 0.9, route_above=5, route_n_lists=2
+    )
+    below = S.cosine_pairs(
+        df, "vec_id", "embedding", 0.9, route_above=100, route_n_lists=2
+    )
+    routed_plan = routed._jdf.queryExecution().executedPlan().toString()
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    below_plan = below._jdf.queryExecution().executedPlan().toString()
+    # the blocked path picks cells with a row_number window; the exact
+    # block-pair path has no window anywhere
+    assert "Window" in routed_plan
+    assert "Window" not in exact_plan
+    assert "Window" not in below_plan  # under the threshold: exact plan
+
+    def key(rows_):
+        return sorted((r["vec_a"], r["vec_b"], round(r["cosine"], 9)) for r in rows_)
+
+    assert key(routed.collect()) == key(exact.collect())
+    assert routed.columns == exact.columns == ["vec_a", "vec_b", "cosine"]
+
+
 def test_char_span_pairs_cross_word_boundaries(spark):
     """Character-exact substring dedup must find a shared ≥50-char run
     that starts and ends MID-WORD (invisible to the word-aligned q79
