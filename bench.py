@@ -16,7 +16,13 @@ Janino compiling the generated code for the heavy md5/explode
 expressions (measured 2-3x inflation at sf0.1, e.g. 16.7s -> 4.7s for
 the MinHash pipeline); on a real cluster that one-time cost amortizes
 over 100 TB, so the steady-state number is the one that predicts scale
-throughput."""
+throughput.
+
+Round-6 methodology hardening: each headline records the MEDIAN of
+$SPARK_GRAFT_BENCH_REPS (default 3) runs, and the output carries a
+``sandbox_cal`` scalar (median of 3 fixed data-independent
+calibration runs) so cross-round comparisons can normalize away
+sandbox speed drift instead of mistaking it for regressions."""
 
 from __future__ import annotations
 
@@ -61,8 +67,44 @@ HEADLINE = [
     "q142_boilerplate_line_removal",
     "q143_stream_session_window",
     "q144_hypertable_rollup",
+    # round-6 additions: typed-state streaming (now executing through
+    # transformWithStateInPandas), char-exact substring dedup, and the
+    # split vector-index lifecycle: q146 is the amortizable BUILD
+    # (runs first, persists the index), q145 the pure probe
+    "q137_stream_typed_state",
+    "q147_char_substring_dedup",
+    "q146_ivf_pq_index_build",
     "q145_ann_ivf_pq",
 ]
+
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+
+def sandbox_calibration(spark) -> float:
+    """One fixed, data-independent calibration measurement (median of
+    3): a codegen sum over a generated range plus a 1000-key shuffle
+    aggregate. Rounds compare their query timings NORMALIZED by this
+    scalar to cancel sandbox speed drift (the round-5 cross-file
+    comparison was void until old code was re-benched in the current
+    sandbox — this field makes that correction automatic)."""
+    times = []
+    for _ in range(3):
+        start = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        (
+            spark.range(10_000_000)
+            .selectExpr("id % 1000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .count()
+        )
+        times.append(time.perf_counter() - start)
+    return round(_median(times), 3)
 
 
 def etl_benchmarks(spark, sf_dir: str, timings: dict[str, float]) -> None:
@@ -132,15 +174,35 @@ def main() -> None:
             _Q[name](spark, warm_dir).count()
         print("# warm-up pass at sf0.001 complete", file=sys.stderr)
 
+    cal = sandbox_calibration(spark)
+    print(f"# sandbox_cal: {cal:.3f}s", file=sys.stderr)
+
+    # the q145 probe must not pay the q146 build on its first timed rep:
+    # ensure the persisted index exists before the timed loop (untimed —
+    # construction cost is measured by the q146 headline itself)
+    from excel_to_database_spark.queries.llm_ops import _ensure_ivf_pq_index
+
+    _ensure_ivf_pq_index(spark, sf_dir)
+
+    from excel_to_database_spark.operators import evict_caches
+
     timings: dict[str, float] = {}
     etl_benchmarks(spark, sf_dir, timings)
     for name in HEADLINE:
         fn = QUERIES[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        reps = []
+        for _ in range(BENCH_REPS):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            reps.append(time.perf_counter() - start)
+            evict_caches()  # operator pins must not carry across reps
+        timings[name] = round(_median(reps), 3)
+        print(
+            f"# {name}: median {timings[name]:.3f}s of "
+            f"{[round(r, 3) for r in reps]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -148,6 +210,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": BENCH_REPS,
+        "aggregation": "median",
+        "sandbox_cal": cal,
     }
 
     # scale slope for the iterative/graph family: same queries on a

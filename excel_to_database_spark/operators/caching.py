@@ -7,49 +7,47 @@ long session running many queries; this registry makes the lifetime
 explicit: operators register what they pin, callers (or a session-level
 sweep) call :func:`evict_caches` after the consuming action.
 
-The registry holds WEAK references: a caller that never calls
-:func:`evict_caches` (a long-lived library session) doesn't leak — once
-the caller drops its last strong reference, the DataFrame is GC-eligible
-exactly as with a plain ``persist()``, and Spark's ContextCleaner
-reclaims the blocks. ``evict_caches`` eagerly unpersists whatever is
-still live. The list is lock-guarded for concurrent query threads.
+The registry holds STRONG references, deliberately: Spark's JVM-side
+CacheManager pins the cached blocks until ``unpersist`` is called —
+letting the Python handle be garbage-collected would not free a single
+block, it would only make the cache impossible to evict (measured: the
+round-6 weakref experiment leaked the JVM cache across bench reps and
+inflated the q76 scale slope 4×). So the registry IS the lifetime:
+long-lived sessions call :func:`evict_caches` after each query (bench,
+scale_slope, and the query sweep all do); the held handles are the
+eviction capability, bounded by pins-per-query × queries-since-evict.
+The list is lock-guarded for concurrent query threads.
 """
 
 from __future__ import annotations
 
 import threading
-import weakref
 
 from pyspark.sql import DataFrame
 
-_ACTIVE: list[weakref.ref] = []
+_ACTIVE: list[DataFrame] = []
 _LOCK = threading.Lock()
 
 
 def pin(df: DataFrame) -> DataFrame:
-    """Persist ``df`` MEMORY_AND_DISK and register it (weakly) for
-    later :func:`evict_caches`. Returns the persisted frame."""
+    """Persist ``df`` MEMORY_AND_DISK and register it for later
+    :func:`evict_caches`. Returns the persisted frame."""
     from pyspark.storagelevel import StorageLevel
 
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     with _LOCK:
-        _ACTIVE.append(weakref.ref(out))
+        _ACTIVE.append(out)
     return out
 
 
 def evict_caches() -> int:
     """Unpersist every operator-pinned cache registered since the last
     eviction (blocking=False — Spark frees the blocks asynchronously).
-    Returns the number of still-live frames evicted (GC-collected
-    entries are dropped silently). Safe to call at any time; in-flight
-    queries that still reference an evicted frame simply recompute
-    it."""
+    Returns the number of frames evicted. Safe to call at any time;
+    in-flight queries that still reference an evicted frame simply
+    recompute it."""
     with _LOCK:
-        refs, _ACTIVE[:] = _ACTIVE[:], []
-    n = 0
-    for r in refs:
-        df = r()
-        if df is not None:
-            df.unpersist()
-            n += 1
-    return n
+        frames, _ACTIVE[:] = _ACTIVE[:], []
+    for df in frames:
+        df.unpersist()
+    return len(frames)

@@ -168,17 +168,75 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def extract_features(df: DataFrame, dim: int = 16, decode_stub: str = "fake") -> DataFrame:
+def clip_shaped_featurizer(dim: int = 64):
+    """A deterministic FIXED-WEIGHT featurizer with a real model's
+    shape — pooled input features → dense projection → nonlinearity →
+    L2 normalize (the CLIP image-tower output contract) — so the
+    payload → vector → ANN-index pipeline is provable end-to-end
+    without model weights in the container.
+
+    Input pooling: the 256-bin byte histogram of the payload,
+    normalized to a distribution (content-dependent, length-invariant
+    — identical payloads map to identical vectors). Projection: a
+    fixed ±1 matrix W[256 × dim] whose sign at (i, j) is the parity of
+    md5(f"{i}:{j}") — the same RNG-free weight derivation as the LSH
+    hyperplanes (similarity._hyperplane_matrix), built once at
+    construction and shipped to executors inside the closure. Forward:
+    ``normalize(relu(hist @ W))``. A real CLIP checkpoint swaps in by
+    returning its own ``bytes -> vector`` callable; nothing else in
+    the pipeline changes."""
+    import hashlib
+
+    import numpy as np
+
+    W = np.array(
+        [
+            [
+                1.0
+                if hashlib.md5(f"{i}:{j}".encode()).digest()[0] % 2
+                else -1.0
+                for j in range(dim)
+            ]
+            for i in range(256)
+        ]
+    )
+
+    def featurize(payload: bytes) -> list:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(arr, minlength=256).astype(np.float64)
+        x = hist / (hist.sum() or 1.0)
+        f = np.maximum(x @ W, 0.0)
+        n = float(np.sqrt((f * f).sum())) or 1.0
+        return (f / n).astype("float32").tolist()
+
+    return featurize
+
+
+def extract_features(
+    df: DataFrame, dim: int = 16, decode_stub: str = "fake", featurizer=None
+) -> DataFrame:
     """Payload → fixed-dim float feature vector (the embedding step of
-    a multimodal pipeline). Stub featurizer: bytes folded into ``dim``
-    buckets, normalized — deterministic, vectorized per Arrow batch.
-    A real model (CLIP et al.) plugs into the same mapInPandas shape."""
+    a multimodal pipeline). ``featurizer`` is the injection seam (same
+    pattern as decode_media's ``codec``): a callable ``bytes ->
+    list[float]`` run per payload inside the Arrow batch loop — see
+    :func:`clip_shaped_featurizer` for the deterministic fixed-weight
+    model-shaped default, or plug a real CLIP forward in. Without one,
+    the byte-fold stub applies; ``decode_stub='error'`` marks the
+    plug-in point."""
 
     def run(batches) -> Iterator:
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
+            if featurizer is not None:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "feature": [featurizer(bytes(b)) for b in pdf["payload"]],
+                    }
+                )
+                continue
             if decode_stub == "error":
                 raise NotImplementedError("real featurizer (e.g. CLIP) plugs in here")
             feats = []

@@ -53,6 +53,49 @@ def time_bucket_partials(
     )
 
 
+def compact_partials(
+    spark,
+    table: str,
+    before_bucket: int,
+    coarse_seconds: int = 86400,
+    keys: tuple[str, ...] = ("event_type",),
+    drop_before: int | None = None,
+) -> None:
+    """Hypertable maintenance: rewrite the partial TABLE so buckets
+    older than ``before_bucket`` collapse into ``coarse_seconds``-wide
+    rows (hourly → daily), optionally dropping buckets older than
+    ``drop_before`` entirely (retention). Because a merge of partials
+    is itself a partial, every ``merge_partials`` answer at width ≥
+    ``coarse_seconds`` over the compacted region — including the HLL
+    distinct estimate, union being associative — is bit-identical
+    before and after; what changes is the table's row count and file
+    count (per-scan task counts stay proportional to retained data,
+    not ingest history).
+
+    Compacted rows carry ``__batch_id = -1`` (never a real micro-batch
+    id), so the streaming sink's replay-dedup delete can never collide
+    with them; only compact buckets old enough that their source
+    batches are committed (in practice: anything before the stream's
+    watermark). The rewrite goes through the same temp-table staging
+    as the CDC merge path (sync/merge._rewrite_via_temp) — never
+    reading and overwriting the same files in one job."""
+    from excel_to_database_spark.sync.merge import _rewrite_via_temp
+
+    df = spark.table(table)
+    cols = df.columns
+    old = df.filter(F.col("bucket_start") < before_bucket)
+    if drop_before is not None:
+        old = old.filter(F.col("bucket_start") >= drop_before)
+    keep = df.filter(F.col("bucket_start") >= before_bucket)
+    compacted = (
+        merge_partials(old, coarse_seconds, keys)
+        .drop("approx_distinct")
+        .withColumn("__batch_id", F.lit(-1).cast("long"))
+        .select(*cols)
+    )
+    _rewrite_via_temp(spark, table, keep.unionByName(compacted))
+
+
 def merge_partials(
     partials: DataFrame,
     bucket_seconds: int = 86400,

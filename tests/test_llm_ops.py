@@ -372,6 +372,39 @@ def test_ivf_index_persists_as_tables(spark, tmp_path):
     assert got == want
 
 
+def test_clip_shaped_featurizer_to_ann_index(spark, tmp_path):
+    """The multimodal seam end-to-end: binary payloads → deterministic
+    CLIP-shaped featurizer (pooled byte histogram → fixed ±1
+    projection → relu → L2 normalize) → persisted IVF-PQ index →
+    top-k probe. An exact duplicate payload must come back as its
+    twin's rank-1 neighbor at cosine ≈ 1, and the featurizer must be
+    deterministic across runs."""
+    from excel_to_database_spark.operators import multimodal as M
+
+    rows = [(i, f"document number {i} with distinct content {'x' * (i % 7)}")
+            for i in range(24)]
+    rows.append((100, rows[3][1]))  # payload 100 duplicates payload 3
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = M.attach_payload(df, "doc_id", "text")
+    feats = M.extract_features(media, featurizer=M.clip_shaped_featurizer(64))
+    a = {r["media_id"]: r["feature"] for r in feats.collect()}
+    b = {r["media_id"]: r["feature"] for r in feats.collect()}
+    assert a == b  # deterministic
+    assert all(len(v) == 64 for v in a.values())
+    assert a[100] == a[3]  # identical payloads → identical vectors
+
+    path = str(tmp_path / "media_idx")
+    S.build_ivf_pq_index(feats, "media_id", "feature", path,
+                         n_lists=4, m=8, pq_k=8)
+    idx = S.load_ivf_pq_index(spark, path)
+    got = S.ann_ivf_pq_probe(
+        idx, k=3, n_probe=4, rerank=10, query_filter=F.col("id") == 100
+    ).collect()
+    assert [r["neighbor_id"] for r in got if r["rank"] == 1] == [3]
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
 def test_cosine_pairs_scale_routing(spark):
     """Above route_above input rows, cosine_pairs must switch to the
     cell-blocked SemDeDup plan (same (vec_a, vec_b, cosine) contract)

@@ -273,6 +273,77 @@ def test_stream_rollup_matches_batch(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_stream_rollup")
 
 
+def test_compact_partials_preserves_answers_and_retention(spark, sf_dir, tmp_path):
+    """Hypertable maintenance: after N micro-batches the hourly partial
+    table compacts (old buckets → daily rows, __batch_id = -1) with
+    bit-identical merge_partials answers — including the HLL distinct
+    estimate — at fewer rows; a second compaction with drop_before
+    applies retention, removing expired buckets from answers."""
+    from excel_to_database_spark.operators.rollup import (
+        compact_partials,
+        merge_partials,
+    )
+    from excel_to_database_spark.streaming.ingest import stream_rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tmp_path / "ev_parts"
+    third = F.pmod(F.col("event_id"), F.lit(3))
+    for i in range(3):  # three micro-batches
+        events.filter(third == i).coalesce(1).write.parquet(str(src / f"p{i}"))
+
+    spark.sql("DROP TABLE IF EXISTS t_compact_rollup")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = stream_rollup(stream, "t_compact_rollup", checkpoint=str(tmp_path / "ck_cp"))
+    q.awaitTermination()
+
+    buckets = sorted(
+        r["bucket_start"]
+        for r in spark.table("t_compact_rollup").select("bucket_start").distinct().collect()
+    )
+    cutoff = buckets[len(buckets) * 2 // 3]  # compact the older two thirds
+
+    def snapshot():
+        return {
+            (r["bucket_start"], r["event_type"]): (
+                r["n_events"], r["sum_value"], r["min_value"],
+                r["max_value"], r["approx_distinct"],
+            )
+            for r in merge_partials(
+                spark.table("t_compact_rollup").drop("__batch_id"), 86400
+            ).collect()
+        }
+
+    before = snapshot()
+    n_before = spark.table("t_compact_rollup").count()
+    compact_partials(spark, "t_compact_rollup", before_bucket=cutoff)
+    n_after = spark.table("t_compact_rollup").count()
+    assert snapshot() == before  # answers unchanged, bit for bit
+    assert n_after < n_before  # rows actually collapsed
+    # compacted rows are marked, never colliding with a real batch id
+    assert (
+        spark.table("t_compact_rollup")
+        .filter((F.col("bucket_start") < cutoff) & (F.col("__batch_id") != -1))
+        .count()
+        == 0
+    )
+
+    # retention: drop everything before the first daily boundary above
+    # the minimum bucket — those buckets disappear from answers
+    drop_at = (buckets[0] // 86400 + 1) * 86400
+    compact_partials(
+        spark, "t_compact_rollup", before_bucket=cutoff, drop_before=drop_at
+    )
+    kept = snapshot()
+    assert set(kept) == {k for k in before if k[0] >= drop_at // 86400 * 86400}
+    spark.sql("DROP TABLE IF EXISTS t_compact_rollup")
+
+
 def test_stream_ann_probe_matches_batch(spark, sf_dir, tmp_path):
     """Micro-batched ANN probing of a persisted IVF index emits the
     same top-k corpus neighbors as a batch probe of the same index,
