@@ -305,11 +305,11 @@ def q79_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH norm AS (SELECT doc_id,
                          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
                   FROM documents),
-    g AS (SELECT DISTINCT doc_id, substring(t, i, 50) AS gram
+    g AS (SELECT DISTINCT doc_id, md5(substring(t, i, 50)) AS h
           FROM norm CROSS JOIN UNNEST(range(1, len(t) - 48)) AS s(i)
           WHERE len(t) >= 50)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
     """,
 )
