@@ -1272,3 +1272,84 @@ def ann_ivf_pq_probe(
         rerank,
         int(index.meta["w"]),
     )
+
+
+def ivf_pq_index_append(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> int:
+    """Incremental index maintenance — the operation that makes the
+    persisted IVF-PQ index a MAINTAINED asset rather than a rebuild
+    artifact: new vectors are assigned to the EXISTING centroids and
+    coded against the EXISTING PQ codebooks (no retraining — the
+    standard IVF ingestion contract; quantizer drift is handled by a
+    periodic rebuild, not per batch), then appended to the assigned
+    and codes tables. Probes (``ann_ivf_pq_probe`` and the streaming
+    ANN path) see the new vectors on their next index load.
+
+    Per-batch cost: one broadcast join against n_lists centroids + one
+    broadcast join against the m·pq_k codebook + two parquet appends —
+    |batch|-proportional, never corpus-proportional. Returns the
+    number of vectors appended. Duplicate ids are the caller's
+    contract (same as any append-only table)."""
+    idx = load_ivf_pq_index(spark, path)
+    m = int(idx.meta["m"])
+    w = int(idx.meta["w"])
+    base = new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    assigned_new = _ivf_nearest_cell(base, idx.cents, exact=True)
+
+    subs = base.select(
+        "id", F.explode(_sub_structs(F.col("v"), m, w)).alias("t")
+    ).select("id", F.col("t.s").alias("s"), F.col("t.sv").alias("sv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            "sv", "cv",
+            lambda x, y: (
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ).cast("decimal(30,12)"),
+        ),
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, e: (acc + e).cast("decimal(30,12)"),
+    ).cast("double")
+    cb = idx.codebook.select(F.col("code").alias("cell"), "s", "cv")
+    codes_new = (
+        subs.join(F.broadcast(cb), "s")
+        .select("id", "s", "cell", d2.alias("d2"))
+        .groupBy("id", "s")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cell"))).alias("b"))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("s"), F.col("b.cell").alias("code")))
+                ),
+                lambda t: t.getField("code"),
+            ).alias("codes")
+        )
+        .select(F.col("id").alias("nid"), "codes")
+    )
+
+    assigned_new.write.mode("append").parquet(f"{path}/assigned")
+    codes_new.write.mode("append").parquet(f"{path}/codes")
+    n_new = spark.read.parquet(f"{path}/assigned").count() - int(
+        idx.meta["n_vectors"]
+    )
+    spark.createDataFrame(
+        [
+            (
+                int(idx.meta["n_lists"]),
+                m,
+                int(idx.meta["pq_k"]),
+                int(idx.meta["dim"]),
+                w,
+                int(idx.meta["n_vectors"]) + n_new,
+            )
+        ],
+        "n_lists int, m int, pq_k int, dim int, w int, n_vectors bigint",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return n_new

@@ -512,6 +512,45 @@ def test_ivf_pq_persisted_index_lifecycle(spark, tmp_path):
     assert probe == inline
 
 
+def test_ivf_pq_index_append_incremental(spark, tmp_path):
+    """Incremental index maintenance: a new batch appends to the
+    persisted IVF-PQ index (assigned to existing centroids, coded
+    against existing codebooks — no retraining), and the next probe
+    finds the appended vectors; meta's n_vectors tracks the total.
+    An appended exact duplicate must surface as rank-1 at cosine ≈ 1
+    after rerank."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    path = str(tmp_path / "incr_idx")
+    S.build_ivf_pq_index(corpus, "vec_id", "embedding", path, n_lists=8, m=8, pq_k=16)
+
+    # batch: 50 held-out vectors + one exact duplicate of vec 7 at id 9000
+    dup = corpus.filter(F.col("vec_id") == 7).select(
+        F.lit(9000).cast("long").alias("vec_id"), "embedding"
+    )
+    batch = (
+        emb.filter(F.col("vec_id") >= 400)
+        .select("vec_id", "embedding")
+        .unionByName(dup)
+    )
+    n_appended = S.ivf_pq_index_append(spark, path, batch, "vec_id", "embedding")
+    assert n_appended == batch.count()
+
+    idx = S.load_ivf_pq_index(spark, path)
+    assert idx.meta["n_vectors"] == 400 + n_appended
+    got = S.ann_ivf_pq_probe(
+        idx, k=3, n_probe=8, rerank=20, query_filter=F.col("id") == 9000
+    ).collect()
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 7
+    assert top["cosine"] == pytest.approx(1.0, abs=1e-9)
+    # appended non-duplicates are probe-able too
+    got2 = S.ann_ivf_pq_probe(
+        idx, k=2, n_probe=4, query_filter=F.col("id") == 450
+    ).collect()
+    assert {r["rank"] for r in got2} == {1, 2}
+
+
 def test_ivf_pq_probe_external_queries(spark, tmp_path):
     """A probe with an EXTERNAL query set (the streaming micro-batch
     shape: vectors not in the index) returns k ranked neighbors per
