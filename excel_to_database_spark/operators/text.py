@@ -469,3 +469,48 @@ def remove_boilerplate_lines(df, id_col: str, text_col: str, min_doc_freq: int =
             ).alias("clean_text"),
         )
     )
+
+
+def line_dedup(df, id_col: str, text_col: str):
+    """C4-style line-level corpus dedup, keep-first variant: every
+    exact (normalized) line is kept only at its FIRST occurrence in
+    the corpus — ordered by (doc id, line position) — and dropped from
+    every later document; each text is rebuilt from its surviving
+    lines in original order. The complement of
+    ``remove_boilerplate_lines`` (which drops frequent lines from ALL
+    docs): here one canonical copy survives, the dedup discipline used
+    for repeated headers/footers/quotes in web-scale training corpora.
+    Returns (doc, n_lines, n_removed, clean_text).
+
+    Plan: posexplode lines → per-line argmin (min struct((doc, pos))
+    per normalized line — one map-side-combinable aggregation, no
+    window over a possibly-huge line group) → join back on the line →
+    ordered per-doc re-aggregation. Whitespace-only lines are document
+    structure, not content — always kept, and excluded from the argmin
+    so the empty-string group can never skew a partition."""
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_norm", F.trim(F.col("line")))
+    firsts = (
+        lines.filter(F.col("line_norm") != "")
+        .groupBy("line_norm")
+        .agg(F.min(F.struct("doc", "pos")).alias("first"))
+    )
+    flagged = lines.join(firsts, "line_norm", "left").withColumn(
+        "__keep",
+        (F.col("line_norm") == "")
+        | ((F.col("doc") == F.col("first.doc")) & (F.col("pos") == F.col("first.pos"))),
+    )
+    kept = F.when(F.col("__keep"), F.struct("pos", "line"))
+    return flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept)),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("clean_text"),
+    )

@@ -1566,3 +1566,61 @@ def q142_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_removed",
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+@query(
+    "q148_line_dedup",
+    """
+    WITH multi AS (
+        SELECT doc_id,
+               text || chr(10) || 'visit our homepage for more'
+                    || chr(10) || 'tail ' || md5(CAST(doc_id AS VARCHAR)) AS t
+        FROM documents
+    ),
+    sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM multi),
+    l2 AS (SELECT doc_id, UNNEST(range(0, len(ls))) AS pos, ls FROM sp),
+    l3 AS (SELECT doc_id, pos, ls[pos + 1] AS line,
+                  trim(ls[pos + 1]) AS line_norm
+           FROM l2),
+    firsts AS (SELECT line_norm, doc_id AS fdoc, pos AS fpos FROM (
+                 SELECT line_norm, doc_id, pos,
+                        ROW_NUMBER() OVER (PARTITION BY line_norm
+                                           ORDER BY doc_id, pos) AS rn
+                 FROM l3 WHERE line_norm <> '') WHERE rn = 1),
+    flagged AS (SELECT l3.doc_id, l3.pos, l3.line,
+                       l3.line_norm = ''
+                       OR (l3.doc_id = f.fdoc AND l3.pos = f.fpos) AS keepit
+                FROM l3 LEFT JOIN firsts f ON f.line_norm = l3.line_norm)
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN NOT keepit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN keepit THEN line END,
+                                   chr(10) ORDER BY pos), '')) AS clean_md5
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def q148_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup, keep-first (operators/text.line_dedup)
+    over the same deterministic multi-line corpus as q142: the line
+    shared by every doc survives only in the minimum (doc_id, pos)
+    occurrence, duplicate document texts lose their line content to
+    their first copy, unique tail lines all survive. The rebuilt text
+    is md5'd so the oracle verifies every byte."""
+    d = t(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("visit our homepage for more"),
+            F.concat(F.lit("tail "), F.md5(F.col("doc_id").cast("string"))),
+        ).alias("text_multi"),
+    )
+    out = T.line_dedup(multi, "doc_id", "text_multi")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_lines",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )

@@ -377,3 +377,53 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_ann_pq_probe(
+    new_vecs: DataFrame,
+    index_path: str,
+    out_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 0,
+    checkpoint: str = "/tmp/etds_ann_pq_probe_ckpt",
+):
+    """Continuous-ingest ANN against the PERSISTED IVF-PQ index
+    (similarity.build_ivf_pq_index's on-disk layout): each micro-batch
+    probes the compressed index — coarse prune to n_probe cells, ADC
+    scoring through the broadcast LUT, optional exact rerank — and
+    appends its top-k. The compressed twin of ``stream_ann_probe``:
+    candidates are scored from PQ CODES (one equi-join row each, no
+    vector math), which is what keeps a per-batch probe cheap when the
+    indexed corpus is billions of rows. The index is loaded once at
+    stream construction and incrementally maintained by the batch
+    pipeline (``ivf_pq_index_append``); restarting the stream picks up
+    appended vectors. No Spark state; batch-id-keyed writes make
+    replays exactly-once."""
+    from excel_to_database_spark.operators.similarity import (
+        ann_ivf_pq_probe,
+        load_ivf_pq_index,
+    )
+
+    spark = new_vecs.sparkSession
+    index = load_ivf_pq_index(spark, index_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        q = batch_df.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        )
+        out = ann_ivf_pq_probe(
+            index, k=k, n_probe=n_probe, rerank=rerank, queries=q
+        ).withColumn("__batch_id", F.lit(batch_id))
+        _write_batch_keyed(batch_df.sparkSession, out, out_table)
+
+    return (
+        new_vecs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -372,6 +372,28 @@ def test_ivf_index_persists_as_tables(spark, tmp_path):
     assert got == want
 
 
+def test_line_dedup_keep_first(spark):
+    """Keep-first line dedup: a line shared across docs survives only
+    in the minimum (doc, pos) occurrence; repeated lines WITHIN a doc
+    keep only the earliest; whitespace-only lines always survive
+    (structure, not content); later docs keep their unique lines."""
+    rows = [
+        (1, "alpha\nshared line\n\nbeta"),
+        (2, "shared line\ngamma\nshared line"),
+        (3, "delta\n   \nalpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: r for r in T.line_dedup(df, "doc_id", "text").collect()}
+    assert got[1]["clean_text"] == "alpha\nshared line\n\nbeta"
+    assert got[1]["n_removed"] == 0
+    # doc 2 loses both copies of the shared line (doc 1 owns it)
+    assert got[2]["clean_text"] == "gamma"
+    assert got[2]["n_removed"] == 2
+    # doc 3 keeps its whitespace line, loses 'alpha' to doc 1
+    assert got[3]["clean_text"] == "delta\n   "
+    assert got[3]["n_removed"] == 1
+
+
 def test_clip_shaped_featurizer_to_ann_index(spark, tmp_path):
     """The multimodal seam end-to-end: binary payloads → deterministic
     CLIP-shaped featurizer (pooled byte histogram → fixed ±1

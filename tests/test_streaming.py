@@ -387,6 +387,52 @@ def test_stream_ann_probe_matches_batch(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_stream_ann")
 
 
+def test_stream_ann_pq_probe_matches_batch(spark, sf_dir, tmp_path):
+    """Micro-batched ANN probing of the persisted IVF-PQ index — the
+    compressed-index streaming path — emits the same top-k as a batch
+    probe of the same index, across two triggers."""
+    from excel_to_database_spark.operators import similarity as S
+    from excel_to_database_spark.streaming.ingest import stream_ann_pq_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "pq_idx")
+    S.build_ivf_pq_index(corpus, "vec_id", "embedding", path,
+                         n_lists=8, m=8, pq_k=16)
+    idx = S.load_ivf_pq_index(spark, path)
+    q = new.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    expect = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], round(r["cosine"], 9))
+        for r in S.ann_ivf_pq_probe(
+            idx, k=3, n_probe=3, rerank=10, queries=q
+        ).collect()
+    }
+
+    src = tmp_path / "new_pq_vecs"
+    half = F.pmod(F.col("vec_id"), F.lit(8)) == 0
+    new.filter(half).coalesce(1).write.parquet(str(src / "a"))
+    new.filter(~half).coalesce(1).write.parquet(str(src / "b"))
+    spark.sql("DROP TABLE IF EXISTS t_stream_ann_pq")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    qr = stream_ann_pq_probe(
+        stream, path, "t_stream_ann_pq",
+        k=3, n_probe=3, rerank=10, checkpoint=str(tmp_path / "ckpt_ann_pq"),
+    )
+    qr.awaitTermination()
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], round(r["cosine"], 9))
+        for r in spark.table("t_stream_ann_pq").collect()
+    }
+    assert got == expect
+    spark.sql("DROP TABLE IF EXISTS t_stream_ann_pq")
+
+
 def test_stream_lsh_dedup_matches_batch(spark, sf_dir, tmp_path):
     """Micro-batched LSH dedup against a persisted corpus index emits
     the same per-doc collision counts as the batch incremental dedup —
