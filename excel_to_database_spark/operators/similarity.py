@@ -527,7 +527,12 @@ def _ivf_nearest_cell(
     ``exact=True`` routes the three folds through decimal so the
     assignment itself is oracle-reproducible (the q125 discipline) —
     used by the persisted-index build, whose per-cell stats are
-    checked value-exact against SQL."""
+    checked value-exact against SQL.
+
+    The corpus side drives parallelism: a small-file parquet arrives
+    as one partition, which would serialize the per-vector fold work
+    (decimal folds especially) into a single task — spread it first."""
+    base = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
     if exact:
         dot = _dec_fold(
             F.zip_with(
