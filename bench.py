@@ -72,6 +72,7 @@ HEADLINE = [
     # split vector-index lifecycle: q146 is the amortizable BUILD
     # (runs first, persists the index), q145 the pure probe
     "q137_stream_typed_state",
+    "q149_stream_typed_list_state",
     "q147_char_substring_dedup",
     "q148_line_dedup",
     "q146_ivf_pq_index_build",

@@ -581,3 +581,47 @@ def q137_stream_typed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "max_value", F.col("last_ts_us"))
     )
+
+
+@query(
+    "q149_stream_typed_list_state",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seen,
+           list_slice(list(value ORDER BY value DESC), 1, 3) AS top_values
+    FROM events GROUP BY user_id
+    """,
+)
+def q149_stream_typed_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed LIST-state streaming fold: per-user running top-3 values
+    through ``transformWithStateInPandas`` list state (ListStatePut /
+    ListStateGet / iteration — the protocol family q137's value-state
+    fold doesn't touch), replayed availableNow; the oracle is the batch
+    top-3. top-k of a union is associative and order-independent, so
+    micro-batch slicing cannot change the answer; the final per-user
+    emission is selected by max n_seen (monotone per key)."""
+    from excel_to_database_spark.streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from excel_to_database_spark.streaming.tws import (
+        ship_protobuf_to_workers,
+        user_topk_tws,
+    )
+
+    ship_protobuf_to_workers(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_stream_to_memory(
+        spark, user_topk_tws(stream, k=3), "q149_tws", output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_seen", "top_values")
+    )

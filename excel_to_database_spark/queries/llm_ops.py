@@ -512,6 +512,11 @@ def q86_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_PQ_PARAMS = dict(n_lists=16, m=8, pq_k=32, dim=64)
 
+# bump when the build pipeline's OUTPUT changes (assignment exactness,
+# codebook pick, layout): the cache path carries it, so a stale index
+# from an older build can never be silently probed after an upgrade
+_IVF_PQ_INDEX_FORMAT = 2
+
 
 def _ivf_pq_index_path(sf_dir: str) -> str:
     """Deterministic on-disk home for the persisted IVF-PQ index of one
@@ -525,7 +530,10 @@ def _ivf_pq_index_path(sf_dir: str) -> str:
         pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         root = os.path.join(os.path.dirname(pkg), ".cache", "ivf_pq")
     p = _IVF_PQ_PARAMS
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-l{p['n_lists']}m{p['m']}k{p['pq_k']}"
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-v{_IVF_PQ_INDEX_FORMAT}-l{p['n_lists']}m{p['m']}k{p['pq_k']}"
+    )
     return os.path.join(root, tag)
 
 

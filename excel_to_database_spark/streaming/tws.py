@@ -28,6 +28,7 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -219,3 +220,58 @@ def user_stats_auto(events: DataFrame) -> DataFrame:
         )
         return user_stats_tws(events)
     return user_stats_applyinpandas(events)
+
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("top_values", ArrayType(DoubleType())),
+    ]
+)
+
+
+class UserTopKProcessor(StatefulProcessor):
+    """Per-user running top-k values through LIST state — exercises the
+    list-state half of the typed-state protocol (ListStatePut /
+    ListStateGet / value iteration), where :class:`UserStatsProcessor`
+    covers value state. top-k of a union is associative and
+    order-independent, so emissions are identical under any micro-batch
+    slicing; ``n_seen`` makes the final emission per key selectable."""
+
+    def __init__(self, k: int = 3):
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._vals = handle.getListState("vals", "v DOUBLE")
+        self._seen = handle.getValueState("seen", "n BIGINT")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        vals = [row[0] for row in self._vals.get()]
+        n = self._seen.get()[0] if self._seen.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+            vals.extend(float(x) for x in pdf["value"])
+        top = sorted(vals, reverse=True)[: self._k]
+        self._vals.put([(v,) for v in top])
+        self._seen.update((n,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_seen": [n], "top_values": [top]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_topk_tws(events: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming per-user top-k values via typed LIST state. Requires
+    ``tws_available()`` (the vendored protobuf runtime suffices) and
+    the RocksDB state store provider."""
+    return _prepared(events).groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTopKProcessor(k),
+        outputStructType=TOPK_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
