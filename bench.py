@@ -73,6 +73,7 @@ HEADLINE = [
     # (runs first, persists the index), q145 the pure probe
     "q137_stream_typed_state",
     "q149_stream_typed_list_state",
+    "q150_stream_typed_map_state",
     "q147_char_substring_dedup",
     "q148_line_dedup",
     "q146_ivf_pq_index_build",

@@ -625,3 +625,46 @@ def q149_stream_typed_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_seen", "top_values")
     )
+
+
+@query(
+    "q150_stream_typed_map_state",
+    """
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q150_stream_typed_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed MAP-state streaming fold: per-(user, event_type) running
+    counts through ``transformWithStateInPandas`` map state
+    (UpdateValue / GetValue / paginated KeyAndValuePair iteration —
+    completes the value/list/map state-primitive trilogy q137/q149
+    started), replayed availableNow; the oracle is the batch two-key
+    group-by. Counts are additive and each emission carries the full
+    map, so the final emission per pair — max count, monotone — is the
+    complete answer."""
+    from excel_to_database_spark.streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from excel_to_database_spark.streaming.tws import (
+        ship_protobuf_to_workers,
+        user_type_counts_tws,
+    )
+
+    ship_protobuf_to_workers(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_stream_to_memory(
+        spark, user_type_counts_tws(stream), "q150_tws", output_mode="update"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "n_events")
+    )

@@ -31,6 +31,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -272,6 +273,65 @@ def user_topk_tws(events: DataFrame, k: int = 3) -> DataFrame:
     return _prepared(events).groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserTopKProcessor(k),
         outputStructType=TOPK_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+TYPE_COUNTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+class UserTypeCountsProcessor(StatefulProcessor):
+    """Per-user per-event-type running counts through MAP state — the
+    third typed-state primitive (getMapState / UpdateValue / GetValue /
+    Iterator, whose paginated KeyAndValuePair responses are the one
+    protocol shape value- and list-state never produce). Counts are
+    additive, so emissions are micro-batch-order independent; every
+    batch re-emits the user's full map (Update mode), so the final
+    emission per (user, type) — max n_events, counts being monotone —
+    is the complete answer."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("counts", "t STRING", "n BIGINT")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            for t, c in pdf.groupby("event_type").size().items():
+                prev = self._counts.getValue((t,))
+                self._counts.updateValue((t,), ((prev[0] if prev else 0) + int(c),))
+        types, counts = [], []
+        for (t,), (n,) in self._counts.iterator():
+            types.append(t)
+            counts.append(n)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(types),
+                "event_type": types,
+                "n_events": counts,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-(user, event_type) counts via typed MAP state.
+    Input needs (user_id, event_type). Requires ``tws_available()``
+    and the RocksDB state store provider."""
+    return events.select("user_id", "event_type").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=UserTypeCountsProcessor(),
+        outputStructType=TYPE_COUNTS_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )

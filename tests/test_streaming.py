@@ -449,6 +449,62 @@ def test_typed_list_state_across_triggers(spark, sf_dir, tmp_path):
     assert out.count() > len(expect)
 
 
+def test_typed_map_state_across_triggers(spark, sf_dir, tmp_path):
+    """Typed MAP state across micro-batches: the second batch must
+    read back and increment the first batch's per-type counters
+    (GetValue on existing keys + full-map iteration through the
+    protocol), converging on the batch (user, type) counts."""
+    from excel_to_database_spark.streaming.ingest import run_stream_to_memory
+    from excel_to_database_spark.streaming.tws import (
+        ship_protobuf_to_workers,
+        user_type_counts_tws,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = tmp_path / "ev_tws_map"
+    half = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    events.filter(half).coalesce(1).write.parquet(str(src / "a"))
+    events.filter(~half).coalesce(1).write.parquet(str(src / "b"))
+
+    ship_protobuf_to_workers(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = run_stream_to_memory(
+        spark, user_type_counts_tws(stream), "t_tws_map", output_mode="update"
+    )
+    final = {
+        (r["user_id"], r["event_type"]): r["n_events"]
+        for r in out.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "event_type").orderBy(
+                    F.desc("n_events")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    expect = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == expect
+
+
 def test_stream_ann_pq_probe_matches_batch(spark, sf_dir, tmp_path):
     """Micro-batched ANN probing of the persisted IVF-PQ index — the
     compressed-index streaming path — emits the same top-k as a batch
