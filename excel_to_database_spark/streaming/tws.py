@@ -335,3 +335,71 @@ def user_type_counts_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+TIMER_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("kind", StringType()),  # 'data' | 'timer'
+        StructField("n", LongType()),
+    ]
+)
+
+
+class TimerMarkerProcessor(StatefulProcessor):
+    """Per-key processing-time TIMERS — the final typed-state protocol
+    family (RegisterTimer / ExpiryTimerRequest / StateResponseWithTimer,
+    whose repeated TimerInfo payload carries the protocol's one
+    proto3-optional field). Each batch of input registers an
+    immediately-expiring timer for the key; expired timers are
+    delivered at the START of the next micro-batch, where the expiry
+    handler emits a 'timer' marker row and evicts the key's state —
+    the state-TTL/session-timeout shape. Timer FIRING times are
+    wall-clock (not oracle-able); which keys fire by when is
+    deterministic under availableNow replay, which is what the test
+    asserts."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._seen = handle.getValueState("seen", "n BIGINT")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n = self._seen.get()[0] if self._seen.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._seen.update((n,))
+        # already-expired when the next batch starts
+        self._handle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + 1)
+        yield pd.DataFrame({"user_id": [key[0]], "kind": ["data"], "n": [n]})
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        n = self._seen.get()[0] if self._seen.exists() else 0
+        self._seen.clear()  # timer-driven state eviction
+        yield pd.DataFrame({"user_id": [key[0]], "kind": ["timer"], "n": [n]})
+
+    def close(self) -> None:
+        pass
+
+
+def user_timer_markers_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user timer markers via typed-state processing-time
+    timers (timeMode='ProcessingTime'). Requires ``tws_available()``
+    and the RocksDB state store provider.
+
+    Caveat (Spark behavior, not this operator's): pending
+    processing-time timers keep the query scheduling expiry-check
+    micro-batches, so an ``availableNow`` run does NOT self-terminate
+    after the data drains — callers poll for the fired markers they
+    need and ``stop()`` explicitly (see
+    tests/test_streaming.test_typed_state_timers_fire_across_triggers),
+    or run a continuous trigger in production."""
+    return events.select("user_id").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TimerMarkerProcessor(),
+        outputStructType=TIMER_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -505,6 +505,88 @@ def test_typed_map_state_across_triggers(spark, sf_dir, tmp_path):
     assert final == expect
 
 
+def test_typed_state_timers_fire_across_triggers(spark, sf_dir, tmp_path):
+    """Processing-time TIMERS through the typed-state protocol: timers
+    registered during batch 1 (expiry = now+1ms) must be delivered at
+    the start of batch 2, where the expiry handler emits a 'timer'
+    marker and evicts the key's state — so every user present in the
+    FIRST file gets exactly the timer treatment, and data rows exist
+    for every user. Firing wall-times are not asserted (not
+    deterministic); which keys fire by when is."""
+    import time
+
+    from excel_to_database_spark.streaming.tws import (
+        ship_protobuf_to_workers,
+        user_timer_markers_tws,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = tmp_path / "ev_tws_timer"
+    first_users = F.col("user_id") < 8
+    events.filter(first_users).coalesce(1).write.parquet(str(src / "a"))
+    events.filter(~first_users).coalesce(1).write.parquet(str(src / "b"))
+
+    ship_protobuf_to_workers(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    # timers keep the query scheduling empty expiry-check batches, so
+    # availableNow never self-terminates: poll until every user's timer
+    # has fired, then stop explicitly
+    q = (
+        user_timer_markers_tws(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws_timer")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    all_users = {r["user_id"] for r in events.select("user_id").distinct().collect()}
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            fired = {
+                r["user_id"]
+                for r in spark.table("t_tws_timer")
+                .filter(F.col("kind") == "timer")
+                .collect()
+            }
+            if fired == all_users:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    out = spark.table("t_tws_timer").collect()
+    data_users = {r["user_id"] for r in out if r["kind"] == "data"}
+    timer_users = {r["user_id"] for r in out if r["kind"] == "timer"}
+    assert data_users == all_users
+    assert timer_users == all_users  # every registration eventually fired
+    # each fired marker carries that key's pre-eviction count; a key
+    # fires once per registration, and the count is the total at the
+    # last data batch that touched the key
+    last_count = {}
+    for r in out:
+        if r["kind"] == "timer":
+            last_count[r["user_id"]] = max(
+                last_count.get(r["user_id"], 0), r["n"]
+            )
+    expect = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert last_count == expect
+
+
 def test_stream_ann_pq_probe_matches_batch(spark, sf_dir, tmp_path):
     """Micro-batched ANN probing of the persisted IVF-PQ index — the
     compressed-index streaming path — emits the same top-k as a batch
