@@ -76,6 +76,7 @@ HEADLINE = [
     "q150_stream_typed_map_state",
     "q147_char_substring_dedup",
     "q148_line_dedup",
+    "q151_fuzzy_edit1_join",
     "q146_ivf_pq_index_build",
     "q145_ann_ivf_pq",
 ]

@@ -796,3 +796,49 @@ def transitive_closure(
         visited = visited.unionByName(step)
         frontier = step
     return visited
+
+
+def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """Approximate string join at edit distance ≤ 1 (SymSpell
+    delete-variant blocking): returns (id_a, id_b, dist) for every
+    unordered row pair whose strings are within Levenshtein distance 1
+    — without an all-pairs scan.
+
+    Candidate completeness is the SymSpell delete-neighborhood
+    theorem: if lev(s, t) ≤ 1 then D(s) ∩ D(t) ≠ ∅ where
+    D(x) = {x} ∪ {x with one character deleted} — a substitution pair
+    shares the string with the differing position deleted, an
+    insert/delete pair has one side inside the other's D, equal
+    strings share themselves. Sharing a variant does NOT imply
+    lev ≤ 1 (e.g. 'ab'/'ba' share 'a'), so candidates are verified
+    with the real ``levenshtein`` — but only candidates, never the
+    n² cross product.
+
+    Plan shape: the variant index is Σ (len+1) rows per string (each
+    row one deletion position), candidates come from one equi-join on
+    the variant, verification touches only colliding pairs. This is
+    the fuzzy-join shape that survives corpus scale: index volume is
+    linear in total characters, and the join fans out only where
+    near-matches actually exist."""
+    s = F.col("s")
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                s.substr(i + 1, F.length(s)),
+            ),
+        ),
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    idx = base.select("id", "s", F.explode(variants).alias("v"))
+    a = idx.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"), "v")
+    b = idx.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), "v")
+    return (
+        a.join(b, "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("s_a", "s_b").alias("dist"))
+        .filter(F.col("dist") <= 1)
+        .distinct()
+    )

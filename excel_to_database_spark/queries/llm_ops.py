@@ -300,6 +300,27 @@ def q79_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q151_fuzzy_edit1_join",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q151_fuzzy_edit1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string self-join at edit distance ≤ 1 over customer
+    names (operators/dedup.edit1_pairs): SymSpell delete-variant
+    blocking generates candidates from one equi-join on the variant
+    index (linear in total characters), real levenshtein verifies —
+    never the n² cross product the oracle brute-forces."""
+    c = t(spark, sf_dir, "customer")
+    return D.edit1_pairs(c, "c_custkey", "c_name").select(
+        "id_a", "id_b", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
+@query(
     "q147_char_substring_dedup",
     """
     WITH norm AS (SELECT doc_id,

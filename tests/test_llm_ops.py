@@ -372,6 +372,34 @@ def test_ivf_index_persists_as_tables(spark, tmp_path):
     assert got == want
 
 
+def test_edit1_pairs_all_edit_classes(spark):
+    """SymSpell delete-variant fuzzy join: substitution, insertion,
+    deletion, and equal-string pairs are all found; a transposition
+    (shares a delete variant but distance 2) and an unrelated string
+    are not."""
+    rows = [
+        (1, "spark"),
+        (2, "spank"),   # substitution of 1
+        (3, "sparks"),  # insertion vs 1
+        (4, "spak"),    # deletion vs 1 (and dist 1 vs 2)
+        (5, "spark"),   # equal to 1
+        (6, "aspark"),  # insertion at front vs 1
+        (7, "ab"),
+        (8, "ba"),      # transposition: shares variants, dist 2 → out
+        (9, "zzzzz"),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in D.edit1_pairs(df, "id", "s").collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 5)] == 0 and got[(1, 6)] == 1
+    assert (2, 5) in got and got[(2, 5)] == 1  # spank vs spark (copy)
+    assert (7, 8) not in got
+    assert all(9 not in k for k in got)
+
+
 def test_line_dedup_keep_first(spark):
     """Keep-first line dedup: a line shared across docs survives only
     in the minimum (doc, pos) occurrence; repeated lines WITHIN a doc
