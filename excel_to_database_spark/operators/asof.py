@@ -95,3 +95,56 @@ def asof_join(
     return carried.filter(F.col("__is_left") == 1).select(
         *lcols, *[F.col("__c").getField(c).alias(c) for c in payload]
     )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-overlap SELF-join: (key, id_a, id_b) for every
+    unordered pair of same-key rows whose half-open intervals
+    [start, end) overlap — the interval-join member of the §2.4
+    range/as-of family. ``start``/``end`` are integer epoch units.
+
+    Scale shape (grid bucketing, the standard distributed interval
+    join): each interval explodes into the ``bucket_width``-wide grid
+    cells it touches (``⌈len/width⌉+1`` rows; choose width ≈ the
+    typical interval length so that is ~2), candidates come from an
+    equi-join on (key, bucket) — never a per-key cross product — the
+    true overlap predicate filters, and DISTINCT collapses pairs that
+    co-occur in several cells. A naive theta join is O(n²) per key and
+    is exactly what the SQL oracle brute-forces at test scale."""
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    w = int(bucket_width)
+    exploded = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("iid"),
+        s.alias("s"),
+        e.alias("e"),
+        # [s, e) touches buckets floor(s/w) .. floor((e-1)/w)
+        F.explode(
+            F.sequence(F.floor(s / w), F.floor((e - F.lit(1)) / w))
+        ).alias("b"),
+    )
+    a = exploded.select(
+        "k", "b", F.col("iid").alias("id_a"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    bb = exploded.select(
+        "k", "b", F.col("iid").alias("id_b"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    return (
+        a.join(bb, ["k", "b"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+        )
+        .select(F.col("k").alias(key), "id_a", "id_b")
+        .distinct()
+    )

@@ -77,6 +77,40 @@ def q61_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q152_interval_overlap_join",
+    """
+    WITH iv AS (SELECT o_custkey AS k, o_orderkey AS id,
+                       (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS s
+                FROM orders)
+    SELECT a.k AS o_custkey, a.id AS id_a, b.id AS id_b
+    FROM iv a JOIN iv b ON a.k = b.k AND a.id < b.id
+    WHERE a.s < b.s + 7 AND b.s < a.s + 7
+    """,
+)
+def q152_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join (operators/asof.interval_overlap_
+    pairs): per customer, order pairs whose 7-day windows
+    [orderdate, orderdate+7d) intersect. Candidates come from a
+    (key, grid-bucket) equi-join — each interval touches ≤2 one-week
+    cells — so pair volume scales with actual collisions; the oracle
+    brute-forces the per-key theta join. Epoch-day arithmetic keeps
+    both engines integer-exact."""
+    o = t(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("s"),
+    ).withColumn("e", F.col("s") + 7)
+    from excel_to_database_spark.operators.asof import interval_overlap_pairs
+
+    return interval_overlap_pairs(
+        iv, "o_custkey", "o_orderkey", "s", "e", bucket_width=7
+    )
+
+
+@query(
     "q62_range_self_join",
     """
     SELECT a.event_type,

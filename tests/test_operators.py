@@ -30,6 +30,31 @@ def test_asof_backward(spark):
     assert got == {"e1": 100, "e2": 300, "e3": None}
 
 
+def test_interval_overlap_pairs_semantics(spark):
+    """Half-open overlap: touching endpoints ([0,5) vs [5,9)) do NOT
+    pair; containment and partial overlap do; pairs never cross keys;
+    an interval spanning many grid buckets pairs each partner exactly
+    once (DISTINCT collapses multi-cell collisions)."""
+    from excel_to_database_spark.operators.asof import interval_overlap_pairs
+
+    rows = [
+        (1, 10, 0, 5),
+        (1, 11, 5, 9),     # touches 10 at t=5 → no overlap (half-open)
+        (1, 12, 3, 6),     # overlaps 10 and 11
+        (1, 13, 0, 100),   # spans many buckets; contains 10, 11, 12
+        (2, 20, 0, 5),     # other key: pairs with nobody above
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, s long, e long")
+    got = {
+        (r["k"], r["id_a"], r["id_b"])
+        for r in interval_overlap_pairs(df, "k", "id", "s", "e", bucket_width=4).collect()
+    }
+    assert got == {
+        (1, 10, 12), (1, 11, 12),
+        (1, 10, 13), (1, 11, 13), (1, 12, 13),
+    }
+
+
 def test_asof_strict_excludes_equal_ts(spark):
     left = spark.createDataFrame([(1, _ts("2024-01-01T12:00"), "e")], "key long, ts timestamp, name string")
     right = spark.createDataFrame(
