@@ -125,3 +125,49 @@ def merge_partials(
             "approx_distinct", F.hll_sketch_estimate("distinct_sketch")
         )
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    bucket_col: str,
+    value_cols: tuple[str, ...],
+    step: int,
+) -> DataFrame:
+    """Time-series gap fill (the TimescaleDB ``time_bucket_gapfill`` +
+    ``locf`` pattern): emit one row per key per ``step``-wide bucket
+    between that key's min and max observed buckets, carrying each
+    value column forward from the last observed row (LOCF).
+    ``is_observed`` marks real rows vs fills.
+
+    Plan: per-key bounds come from one map-side-combinable min/max
+    aggregation; the dense grid is a ``sequence`` explode of
+    (max-min)/step rows per key — generated, not shuffled; the fill is
+    one ordered window per key (``last(value, ignorenulls=True)``,
+    running frame). A key's grid size is its own time span, so a
+    sparse key never pays for a dense one, and no stage materializes
+    the global calendar."""
+    keys = list(key_cols)
+    bounds = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        ).alias(bucket_col),
+    )
+    joined = grid.join(df, keys + [bucket_col], "left").withColumn(
+        "is_observed", F.col(value_cols[0]).isNotNull()
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined
+    for v in value_cols:
+        out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    return out.select(*keys, bucket_col, *value_cols, "is_observed")

@@ -623,6 +623,53 @@ def q123_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q153_gapfill_locf",
+    """
+    WITH p AS (SELECT event_type,
+                      CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+                      COUNT(*) AS n_events,
+                      CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+               FROM events GROUP BY event_type, bucket_start),
+    b AS (SELECT event_type, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+          FROM p GROUP BY event_type),
+    g AS (SELECT b.event_type,
+                 UNNEST(generate_series(lo, hi, 3600)) AS bucket_start
+          FROM b)
+    SELECT g.event_type, g.bucket_start,
+           last_value(p.n_events IGNORE NULLS) OVER w AS n_events,
+           last_value(p.sum_value IGNORE NULLS) OVER w AS sum_value,
+           p.n_events IS NOT NULL AS is_observed
+    FROM g LEFT JOIN p USING (event_type, bucket_start)
+    WINDOW w AS (PARTITION BY g.event_type ORDER BY g.bucket_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q153_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + LOCF (operators/rollup.gapfill_locf —
+    the TimescaleDB time_bucket_gapfill/locf pattern): the hourly
+    per-event-type series becomes dense between each key's own min and
+    max hour, with counts and decimal-exact sums carried forward
+    across the generated gaps and ``is_observed`` flagging fills. The
+    oracle rebuilds the same dense grid with generate_series + an
+    IGNORE NULLS running window."""
+    from excel_to_database_spark.operators.rollup import gapfill_locf
+
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("bigint")
+        .alias("bucket_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+    return gapfill_locf(
+        hourly, ("event_type",), "bucket_start", ("n_events", "sum_value"), 3600
+    )
+
+
+@query(
     "q144_hypertable_rollup",
     """
     SELECT CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,

@@ -30,6 +30,31 @@ def test_asof_backward(spark):
     assert got == {"e1": 100, "e2": 300, "e3": None}
 
 
+def test_gapfill_locf_semantics(spark):
+    """Gap fill: missing buckets appear with is_observed=False and
+    values carried forward from the last real row; each key fills only
+    its own [min, max] span; leading rows are observed by construction
+    (the grid starts at the key's first real bucket)."""
+    from excel_to_database_spark.operators.rollup import gapfill_locf
+
+    rows = [
+        ("a", 0, 10), ("a", 30, 13),   # gap at 10, 20
+        ("b", 20, 7),                  # single bucket: no fills
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket long, n long")
+    got = {
+        (r["k"], r["bucket"]): (r["n"], r["is_observed"])
+        for r in gapfill_locf(df, ("k",), "bucket", ("n",), 10).collect()
+    }
+    assert got == {
+        ("a", 0): (10, True),
+        ("a", 10): (10, False),
+        ("a", 20): (10, False),
+        ("a", 30): (13, True),
+        ("b", 20): (7, True),
+    }
+
+
 def test_interval_overlap_pairs_semantics(spark):
     """Half-open overlap: touching endpoints ([0,5) vs [5,9)) do NOT
     pair; containment and partial overlap do; pairs never cross keys;
