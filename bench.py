@@ -77,6 +77,8 @@ HEADLINE = [
     "q147_char_substring_dedup",
     "q148_line_dedup",
     "q151_fuzzy_edit1_join",
+    "q152_interval_overlap_join",
+    "q153_gapfill_locf",
     "q146_ivf_pq_index_build",
     "q145_ann_ivf_pq",
 ]

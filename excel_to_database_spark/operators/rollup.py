@@ -171,3 +171,43 @@ def gapfill_locf(
     for v in value_cols:
         out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
     return out.select(*keys, bucket_col, *value_cols, "is_observed")
+
+
+def cumulative_distinct(
+    events: DataFrame,
+    ts: str = "ts",
+    id_col: str = "user_id",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Cumulative distinct-entity curve (the 'total users ever seen by
+    day D' dashboard line) from MERGEABLE sketches: per-bucket HLL
+    sketches union under an expanding window, so the curve reads from
+    |buckets| fixed-size sketch rows — never a rescan of raw data per
+    point, and never COUNT(DISTINCT) over an expanding frame (which no
+    engine supports and a self-join emulation pays |buckets|·|raw| for).
+
+    The expanding window is unpartitioned BY DESIGN: its input is one
+    row per bucket (365/year), pre-aggregated — driver-small at any
+    corpus size; the raw scan parallelism lives in the sketch
+    aggregation underneath. Returns (bucket_start, cum_distinct_est);
+    the estimate is a DataSketches HLL union (exactness-tolerance
+    testing is the caller's concern, see q154's flag pattern)."""
+    from pyspark.sql.window import Window
+
+    bucket = (
+        (F.floor(F.unix_timestamp(ts) / bucket_seconds) * bucket_seconds)
+        .cast("bigint")
+        .alias("bucket_start")
+    )
+    per_bucket = events.groupBy(bucket).agg(
+        F.hll_sketch_agg(id_col).alias("sk")
+    )
+    w = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket_start",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "cum_distinct_est"
+        ),
+    )

@@ -623,6 +623,75 @@ def q123_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q154_cumulative_distinct",
+    """
+    WITH fs AS (SELECT user_id,
+                       MIN(CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT))
+                           AS first_day
+                FROM events GROUP BY user_id),
+    newbie AS (SELECT first_day AS bucket_start, COUNT(*) AS n_new
+               FROM fs GROUP BY first_day),
+    days AS (SELECT DISTINCT CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT)
+                    AS bucket_start FROM events)
+    SELECT d.bucket_start,
+           CAST(SUM(coalesce(n.n_new, 0)) OVER (ORDER BY d.bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_exact,
+           CAST(1 AS INT) AS approx_ok
+    FROM days d LEFT JOIN newbie n ON n.bucket_start = d.bucket_start
+    """,
+)
+def q154_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-users curve from mergeable sketches
+    (operators/rollup.cumulative_distinct): per-day HLL sketches
+    union under an expanding window over |days| fixed-size rows —
+    never an expanding rescan of raw events. Exactness is pinned the
+    q144 way: the EXACT curve is computed by the first-seen-day trick
+    (each user counts once, at their first day; the cumulative sum of
+    first-seen counts IS the distinct total — SQL-able where
+    COUNT(DISTINCT) over an expanding frame is not), and ``approx_ok``
+    asserts the sketch estimate lands within 2% of it (HLL lgK=12
+    standard error is ~1.6%); the oracle pins the flag at 1."""
+    from excel_to_database_spark.operators.rollup import cumulative_distinct
+
+    e = t(spark, sf_dir, "events")
+    est = cumulative_distinct(e, "ts", "user_id", 86400)
+    day = (
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("bigint")
+        .alias("bucket_start")
+    )
+    fs = e.groupBy("user_id").agg(F.min(day).alias("bucket_start"))
+    newbie = fs.groupBy("bucket_start").agg(F.count(F.lit(1)).alias("n_new"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exact = (
+        est.select("bucket_start")
+        .join(newbie, "bucket_start", "left")
+        .select(
+            "bucket_start",
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_exact"),
+        )
+    )
+    return est.join(exact, "bucket_start").select(
+        "bucket_start",
+        "cum_exact",
+        (
+            F.abs(F.col("cum_distinct_est") - F.col("cum_exact"))
+            <= F.lit(0.02) * F.col("cum_exact")
+        )
+        .cast("int")
+        .alias("approx_ok"),
+    )
+
+
+@query(
     "q153_gapfill_locf",
     """
     WITH p AS (SELECT event_type,
