@@ -832,6 +832,9 @@ def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
         ),
     )
     base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    # variant generation is per-row len(s) substring builds — spread a
+    # small-file single-partition source before the explode
+    base = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
     idx = base.select("id", "s", F.explode(variants).alias("v"))
     a = idx.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"), "v")
     b = idx.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), "v")
