@@ -88,6 +88,35 @@ def test_ivf_pq_codebook_broadcasts(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_candidate_joins_never_cartesian(spark, sf_dir):
+    """The blocked candidate generators (delete-variant fuzzy join,
+    grid-bucketed interval join, window-index substring dedup) must
+    plan as hash equi-joins on their blocking keys — a cartesian or
+    nested-loop join here means the blocking stopped working and the
+    operator silently became O(n²)."""
+    for q in (
+        "q151_fuzzy_edit1_join",
+        "q152_interval_overlap_join",
+        "q147_char_substring_dedup",
+    ):
+        plan = _plan(spark, sf_dir, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+            "BroadcastHashJoin" in plan
+        ), q
+
+
+def test_gapfill_single_window_no_join_explosion(spark, sf_dir):
+    """Gap fill: one LEFT join of the generated grid against the
+    observed rows and one running window — no cartesian grid, no
+    per-key materialized calendar beyond the key's own span."""
+    plan = _plan(spark, sf_dir, "q153_gapfill_locf")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+    assert "Generate explode" in plan or "Generate" in plan  # sequence grid
+
+
 def test_ivf_pq_probe_plan_is_training_free(spark, sf_dir):
     """q145 searches the PERSISTED index: its plan must contain only
     parquet scans of the index tables + the search joins — never the
