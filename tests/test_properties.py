@@ -98,3 +98,82 @@ def test_list_to_matrix_preserves_cells(flat, n_cols):
     assert all(len(r) == n_cols for r in m[:-1])
 
 
+
+
+# --- minimal protobuf runtime wire-format properties (streaming/_pbshim) ---
+
+def _state_message_module():
+    from excel_to_database_spark.streaming.tws import ensure_protobuf
+
+    assert ensure_protobuf()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    return sm
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    payload=st.binary(max_size=300),
+    name=st.text(max_size=60),
+    schema=st.text(max_size=60),
+    code=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+)
+def test_pbshim_roundtrips_arbitrary_field_values(payload, name, schema, code):
+    """The vendored wire codec must round-trip arbitrary bytes
+    (including NULs and >0x7F), arbitrary unicode strings (multi-byte
+    UTF-8), and full-range int32 (negative statusCode encodes as a
+    10-byte varint) through nested messages and oneofs."""
+    sm = _state_message_module()
+    req = sm.StateRequest(
+        stateVariableRequest=sm.StateVariableRequest(
+            valueStateCall=sm.ValueStateCall(
+                stateName=name,
+                valueStateUpdate=sm.ValueStateUpdate(value=payload),
+            )
+        )
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    call = back.stateVariableRequest.valueStateCall
+    assert call.stateName == name
+    assert call.valueStateUpdate.value == payload
+    assert back.WhichOneof("method") == "stateVariableRequest"
+
+    resp = sm.StateResponse(statusCode=code, errorMessage=schema, value=payload)
+    r2 = sm.StateResponse()
+    r2.ParseFromString(resp.SerializeToString())
+    assert (r2.statusCode, r2.errorMessage, r2.value) == (code, schema, payload)
+
+
+@settings(max_examples=200, deadline=None)
+@given(values=st.lists(st.binary(max_size=100), max_size=20),
+       more=st.booleans())
+def test_pbshim_repeated_bytes_roundtrip(values, more):
+    """Repeated bytes fields (the list-state fetch payload) keep order,
+    count, and content — including empty elements and empty lists."""
+    sm = _state_message_module()
+    msg = sm.StateResponseWithListGet(
+        statusCode=0, value=values, requireNextFetch=more
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(msg.SerializeToString())
+    assert back.value == values
+    assert back.requireNextFetch is more
+
+
+@settings(max_examples=200, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.binary(max_size=50), st.binary(max_size=50)), max_size=15
+))
+def test_pbshim_repeated_message_roundtrip(pairs):
+    """Repeated sub-messages (the map-state KeyAndValuePair page) —
+    nested length-delimited framing round-trips every element."""
+    sm = _state_message_module()
+    msg = sm.StateResponseWithMapIterator(
+        statusCode=0,
+        kvPair=[sm.KeyAndValuePair(key=k, value=v) for k, v in pairs],
+        requireNextFetch=False,
+    )
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(msg.SerializeToString())
+    assert [(p.key, p.value) for p in back.kvPair] == pairs
