@@ -39,6 +39,10 @@ SLOPE_QUERIES = [
     "q112_recursive_closure",
     "q122_pagerank",
     "q125_semantic_dedup_blocked",
+    # round-6 blocked candidate generators — their slopes certify the
+    # blocking keeps working at 10x (a broken block would go n²)
+    "q147_char_substring_dedup",
+    "q151_fuzzy_edit1_join",
 ]
 
 
@@ -116,6 +120,27 @@ def build_scaled_dir(spark: SparkSession, sf_dir: str, factor: int = 10) -> str:
         (F.col("o_orderkey") + F.col("rep") * ostride).alias("o_orderkey"),
         (F.col("o_custkey") + F.col("rep") * cstride).alias("o_custkey"),
     ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    # customer (q151 fuzzy join): replica names get a doubled 2-digit
+    # replica tag ("0303"), so any two tags differ in ≥2 positions —
+    # intra-replica edit distances are preserved exactly (common
+    # suffix), cross-replica pairs stay ≥2 away and can't create an
+    # artificial factor²-sized output
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    ckstride = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    tag = F.when(
+        F.col("rep") > 0,
+        F.concat(
+            F.lpad(F.col("rep").cast("string"), 2, "0"),
+            F.lpad(F.col("rep").cast("string"), 2, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    _rep(cust, factor).select(
+        (F.col("c_custkey") + F.col("rep") * ckstride).alias("c_custkey"),
+        F.concat(F.col("c_name"), tag).alias("c_name"),
+    ).write.mode("overwrite").parquet(f"{out}/customer.parquet")
     return out
 
 
