@@ -79,6 +79,7 @@ HEADLINE = [
     "q151_fuzzy_edit1_join",
     "q152_interval_overlap_join",
     "q153_gapfill_locf",
+    "q155_gopher_quality_rules",
     "q146_ivf_pq_index_build",
     "q145_ann_ivf_pq",
 ]

@@ -514,3 +514,74 @@ def line_dedup(df, id_col: str, text_col: str):
             ),
         ).alias("clean_text"),
     )
+
+
+def gopher_quality_flags(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+):
+    """The Gopher document-quality rules (Rae et al. 2021 — the public
+    heuristic filter set reimplemented across Dolma/RedPajama-class
+    pipelines), each rule as an inspectable column plus the combined
+    ``passes`` flag:
+
+      1. word count in [min_words, max_words]
+      2. mean word length in [min_mean_word_len, max_mean_word_len]
+      3. symbol-to-word ratio ('#' chars + '...' runs) ≤ max_symbol_ratio
+      4. fraction of lines starting with a bullet (-, *, •) ≤ max_bullet_ratio
+      5. fraction of lines ending with '...' ≤ max_ellipsis_ratio
+      6. fraction of words containing an alphabetic char ≥ min_alpha_ratio
+
+    Expression-only (no Python row path); every ratio is an
+    integer-count ÷ integer-count double, so the SQL oracle reproduces
+    each value bit-for-bit. Returns (id, n_words, mean_word_len,
+    symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_ratio, passes)."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    mwl = total_len.cast("double") / n_words
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    n_ell_end = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+    bullet_ratio = n_bullet.cast("double") / n_lines
+    ellipsis_ratio = n_ell_end.cast("double") / n_lines
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike(r"[a-z]")))
+    alpha_ratio = n_alpha.cast("double") / n_words
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        passes.alias("passes"),
+    )

@@ -300,6 +300,91 @@ def q79_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q155_gopher_quality_rules",
+    """
+    WITH multi AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || '- bullet one' || chr(10) || '- bullet two'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN chr(10) || 'trailing teaser...' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' ### ## #' ELSE '' END AS t
+        FROM documents
+    ),
+    m AS (SELECT doc_id, t,
+                 string_split_regex(lower(trim(t)), '\\s+') AS w,
+                 string_split(t, chr(10)) AS ls
+          FROM multi)
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_words,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+               AS mean_word_len,
+           CAST((length(t) - length(replace(t, '#', '')))
+                + (length(t) - length(replace(t, '...', ''))) / 3 AS DOUBLE)
+               / len(w) AS symbol_ratio,
+           CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))
+                AS DOUBLE) / len(ls) AS bullet_ratio,
+           CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '\\.\\.\\.$')))
+                AS DOUBLE) / len(ls) AS ellipsis_ratio,
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                AS DOUBLE) / len(w) AS alpha_ratio,
+           (len(w) BETWEEN 5 AND 100000)
+           AND (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+                BETWEEN 3.0 AND 10.0)
+           AND (CAST((length(t) - length(replace(t, '#', '')))
+                     + (length(t) - length(replace(t, '...', ''))) / 3 AS DOUBLE)
+                / len(w) <= 0.1)
+           AND (CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))
+                     AS DOUBLE) / len(ls) <= 0.5)
+           AND (CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '\\.\\.\\.$')))
+                     AS DOUBLE) / len(ls) <= 0.3)
+           AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                     AS DOUBLE) / len(w) >= 0.8) AS passes
+    FROM m
+    """,
+)
+def q155_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filters (operators/text.gopher_quality_
+    flags) over a deterministically mutated corpus: every 3rd doc gains
+    bullet lines, every 5th an ellipsis-terminated teaser, every 7th a
+    symbol burst — so each rule trips on a known doc subset and every
+    inspectable ratio (integer-count ÷ integer-count doubles) is
+    oracle-exact, not just the combined flag."""
+    d = t(spark, sf_dir, "documents")
+    mutated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\n- bullet one\n- bullet two")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\ntrailing teaser...")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ### ## #")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    out = T.gopher_quality_flags(
+        mutated, "doc_id", "t",
+        min_words=5, max_bullet_ratio=0.5,
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        "alpha_ratio",
+        "passes",
+    )
+
+
+@query(
     "q151_fuzzy_edit1_join",
     """
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -372,6 +372,34 @@ def test_ivf_index_persists_as_tables(spark, tmp_path):
     assert got == want
 
 
+def test_gopher_rules_trip_individually(spark):
+    """Each Gopher rule must trip on a doc built to violate exactly
+    that rule, while a clean doc passes."""
+    rows = [
+        (1, "this is a perfectly reasonable document with plain words here"),
+        (2, "short"),                                    # too few words
+        (3, "aa " * 30),                                 # mean word len < 3
+        (4, "word " * 20 + "# # # # # # # # # #"),       # symbol soup
+        (5, "intro words here\n" + "\n".join("- b" for _ in range(9))),  # bullets
+        (6, "some words\nmore...\nyet more...\nagain..."),  # ellipsis lines
+        (7, "words " * 5 + "1 2 3 4 5 6 7 8 9 10 11 12"),  # non-alpha words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    out = {
+        r["doc"]: r
+        for r in T.gopher_quality_flags(
+            df, "doc_id", "t", min_words=6, max_bullet_ratio=0.5
+        ).collect()
+    }
+    assert out[1]["passes"] is True
+    assert out[2]["n_words"] < 6 and out[2]["passes"] is False
+    assert out[3]["mean_word_len"] < 3 and out[3]["passes"] is False
+    assert out[4]["symbol_ratio"] > 0.1 and out[4]["passes"] is False
+    assert out[5]["bullet_ratio"] > 0.5 and out[5]["passes"] is False
+    assert out[6]["ellipsis_ratio"] > 0.3 and out[6]["passes"] is False
+    assert out[7]["alpha_ratio"] < 0.8 and out[7]["passes"] is False
+
+
 def test_edit1_pairs_all_edit_classes(spark):
     """SymSpell delete-variant fuzzy join: substitution, insertion,
     deletion, and equal-string pairs are all found; a transposition
