@@ -585,3 +585,56 @@ def gopher_quality_flags(
         alpha_ratio.alias("alpha_ratio"),
         passes.alias("passes"),
     )
+
+
+def ngram_repetition_stats(df, id_col: str, text_col: str, n: int = 2):
+    """The Gopher n-gram repetition signals: per document, the
+    character coverage of the single most frequent word ``n``-gram
+    (``top_gram_frac`` — Rae et al.'s "fraction of characters
+    contained in the most frequent n-gram", used at n=2..4) and the
+    coverage of ALL n-grams occurring more than once
+    (``dup_gram_frac``, the duplicate-n-gram form used at n=5..10).
+    Coverage is count × gram-length ÷ normalized-text length — the
+    standard multiset approximation, identical in both engines.
+
+    Plan: grams WITH multiplicity (position transform, no distinct) →
+    one (doc, gram) count aggregation → per-doc argmax by
+    (count DESC, gram ASC) inside the same hash aggregation as the
+    duplicate sum — map-side combinable, no window over gram groups.
+    Returns (doc, top_gram, top_gram_frac, dup_gram_frac)."""
+    from excel_to_database_spark.operators.dedup import normalized_text
+
+    staged = df.select(
+        F.col(id_col).alias("doc"),
+        normalized_text(F.col(text_col)).alias("t"),
+    ).withColumn("w", F.split(F.col("t"), " "))
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    exploded = staged.select(
+        "doc", F.length("t").alias("n_chars"), F.explode(grams).alias("g")
+    )
+    counts = exploded.groupBy("doc", "n_chars", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc").agg(
+        # argmax by count, ties to the lexicographically smallest gram:
+        # max of (c, NEGATED gram) isn't expressible on strings, so use
+        # min of (-c, gram)
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("g"))).alias("b"),
+        F.first("n_chars").alias("n_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(0)
+        ).alias("dup_chars"),
+    ).select(
+        "doc",
+        F.col("b.g").alias("top_gram"),
+        ((-F.col("b.nc")) * F.length("b.g")).cast("double")
+        / F.col("n_chars"),
+        F.col("dup_chars").cast("double") / F.col("n_chars"),
+    ).toDF("doc", "top_gram", "top_gram_frac", "dup_gram_frac")

@@ -300,6 +300,49 @@ def q79_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q156_ngram_repetition",
+    """
+    WITH norm AS (SELECT doc_id,
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                  FROM documents),
+    sp AS (SELECT doc_id, length(t) AS n_chars, string_split(t, ' ') AS w
+           FROM norm),
+    g AS (SELECT doc_id, n_chars,
+                 UNNEST([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+          FROM sp WHERE len(w) >= 2),
+    counts AS (SELECT doc_id, n_chars, gram, COUNT(*) AS c
+               FROM g GROUP BY doc_id, n_chars, gram),
+    top AS (SELECT doc_id, gram, c FROM (
+              SELECT doc_id, gram, c,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, gram ASC) AS rn
+              FROM counts) WHERE rn = 1)
+    SELECT c.doc_id,
+           t.gram AS top_gram,
+           CAST(t.c * length(t.gram) AS DOUBLE) / ANY_VALUE(c.n_chars)
+               AS top_gram_frac,
+           CAST(SUM(CASE WHEN c.c > 1 THEN c.c * length(c.gram) ELSE 0 END)
+                AS DOUBLE) / ANY_VALUE(c.n_chars) AS dup_gram_frac
+    FROM counts c JOIN top t ON t.doc_id = c.doc_id
+    GROUP BY c.doc_id, t.gram, t.c
+    """,
+)
+def q156_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition signals at n=2 (operators/text.
+    ngram_repetition_stats): character coverage of the most frequent
+    bigram (ties to the lexicographically smallest) and of all
+    repeated bigrams. Coverage ratios are integer-count × length ÷
+    length doubles — oracle-exact, including the argmax pick."""
+    d = t(spark, sf_dir, "documents")
+    return T.ngram_repetition_stats(d, "doc_id", "text", n=2).select(
+        F.col("doc").alias("doc_id"),
+        "top_gram",
+        "top_gram_frac",
+        "dup_gram_frac",
+    )
+
+
+@query(
     "q155_gopher_quality_rules",
     """
     WITH multi AS (
