@@ -277,6 +277,9 @@ def stream_rollup(
     out_table: str,
     bucket_seconds: int = 3600,
     checkpoint: str = "/tmp/etds_rollup_ckpt",
+    compact_every: int | None = None,
+    coarse_seconds: int = 86400,
+    keep_recent_seconds: int = 86400,
 ):
     """Continuously-maintained hypertable partials (the streaming form
     of operators/rollup): each micro-batch appends ITS OWN time-bucket
@@ -287,16 +290,43 @@ def stream_rollup(
     a merge of partials is itself a partial (same-bucket rows from
     different batches collapse at read time, HLL unions being
     order-insensitive). No Spark streaming state at all — the partial
-    table IS the state."""
-    from excel_to_database_spark.operators.rollup import time_bucket_partials
+    table IS the state.
+
+    ``compact_every=N`` runs the hypertable maintenance job inline
+    every N micro-batches (the Timescale background-job shape):
+    buckets older than ``keep_recent_seconds`` behind the table's max
+    bucket collapse into ``coarse_seconds``-wide rows via
+    ``rollup.compact_partials`` — answers at ≥ coarse width are
+    bit-identical (merge of partials is a partial), row counts stay
+    proportional to retained detail, and the compacted region is
+    always strictly behind the ingest frontier so replay-dedup of the
+    in-flight batch can never collide."""
+    from excel_to_database_spark.operators.rollup import (
+        compact_partials,
+        time_bucket_partials,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
         out = time_bucket_partials(batch_df, bucket_seconds).withColumn(
             "__batch_id", F.lit(batch_id)
         )
-        _write_batch_keyed(batch_df.sparkSession, out, out_table)
+        _write_batch_keyed(spark, out, out_table)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            frontier = (
+                spark.table(out_table)
+                .agg(F.max("bucket_start"))
+                .collect()[0][0]
+            )
+            if frontier is not None:
+                compact_partials(
+                    spark,
+                    out_table,
+                    before_bucket=int(frontier) - keep_recent_seconds,
+                    coarse_seconds=coarse_seconds,
+                )
 
     return (
         events.writeStream.foreachBatch(sink)

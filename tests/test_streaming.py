@@ -274,6 +274,56 @@ def test_stream_rollup_matches_batch(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_stream_rollup")
 
 
+def test_stream_rollup_inline_compaction(spark, sf_dir, tmp_path):
+    """stream_rollup(compact_every=2): the maintenance job runs inside
+    the sink every 2nd micro-batch, collapsing buckets behind the
+    ingest frontier to daily rows — daily answers match the
+    uncompacted batch rollup exactly, and the old region really is
+    compacted (daily-aligned rows with __batch_id=-1 present)."""
+    from excel_to_database_spark.operators.rollup import (
+        merge_partials,
+        time_bucket_partials,
+    )
+    from excel_to_database_spark.streaming.ingest import stream_rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = tmp_path / "ev_maint"
+    third = F.pmod(F.col("event_id"), F.lit(3))
+    for i in range(3):
+        events.filter(third == i).coalesce(1).write.parquet(str(src / f"p{i}"))
+
+    spark.sql("DROP TABLE IF EXISTS t_maint_rollup")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = stream_rollup(
+        stream, "t_maint_rollup", checkpoint=str(tmp_path / "ck_maint"),
+        compact_every=2, keep_recent_seconds=86400,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["approx_distinct"])
+        for r in merge_partials(
+            spark.table("t_maint_rollup").drop("__batch_id"), 86400
+        ).collect()
+    }
+    want = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["approx_distinct"])
+        for r in merge_partials(time_bucket_partials(events), 86400).collect()
+    }
+    assert got == want
+    assert (
+        spark.table("t_maint_rollup").filter(F.col("__batch_id") == -1).count() > 0
+    )
+    spark.sql("DROP TABLE IF EXISTS t_maint_rollup")
+
+
 def test_compact_partials_preserves_answers_and_retention(spark, sf_dir, tmp_path):
     """Hypertable maintenance: after N micro-batches the hourly partial
     table compacts (old buckets → daily rows, __batch_id = -1) with
