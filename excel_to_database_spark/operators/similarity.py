@@ -1358,3 +1358,100 @@ def ivf_pq_index_append(
         "n_lists int, m int, pq_k int, dim int, w int, n_vectors bigint",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     return n_new
+
+
+def whiten_embeddings(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PCA-whiten an embedding column (the SemDeDup/retrieval
+    preprocessing step: decorrelate dimensions and equalize variance so
+    cosine stops being dominated by a few high-variance axes).
+
+    Scale split: the corpus-sized work — mean and covariance — is two
+    map-side-combinable aggregations (the covariance accumulates
+    dim·(dim+1)/2 scalar partial sums via one posexplode² expression,
+    never a vector shuffle); the dim×dim eigendecomposition runs on the
+    DRIVER (64×64 — microseconds, independent of corpus size), and the
+    resulting whitening matrix W = Λ^{-1/2}·Vᵀ ships back as a
+    broadcast literal folded into one ``transform`` expression per row.
+    This is the canonical big-data/small-model split: no stage touches
+    more than O(dim²) driver-side state.
+
+    Deterministic for a fixed corpus (aggregation sums are
+    order-independent doubles up to ulp; eigh is deterministic for a
+    given matrix); whitened outputs are float64 arrays. Verified by
+    property (whitened covariance ≈ identity) in tests, not by SQL
+    oracle — eigendecomposition is genuinely non-SQL-expressible."""
+    import numpy as _np
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if dim is None:
+        dim = len(base.select("v").first()[0])
+
+    stats = (
+        base.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = stats[0]["n"]
+    mean = _np.zeros(dim)
+    for r in stats:
+        mean[r["i"]] = r["s"] / r["n"]
+
+    # second moments: one exploded pair expression per row → (i, j, x·y)
+    # partial sums; only the upper triangle is shuffled
+    pairs = base.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(dim - 1)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.get("v", i).cast("double")
+                                * F.get("v", j).cast("double")
+                            ).alias("xy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    moments = pairs.groupBy("i", "j").agg(F.sum("xy").alias("s")).collect()
+    cov = _np.zeros((dim, dim))
+    for r in moments:
+        m2 = r["s"] / n - mean[r["i"]] * mean[r["j"]]
+        cov[r["i"], r["j"]] = m2
+        cov[r["j"], r["i"]] = m2
+
+    vals, vecs = _np.linalg.eigh(cov)
+    w_mat = vecs @ _np.diag(1.0 / _np.sqrt(_np.maximum(vals, eps))) @ vecs.T
+
+    # fold mean-subtraction + projection into one expression tree:
+    # out[k] = Σ_i (v[i] - mean[i]) · W[i][k]
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with("v", mean_lit, lambda x, m: x.cast("double") - m)
+    staged = base.withColumn("c", centered)
+    out_col = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "c",
+                    F.array(*[F.lit(float(w_mat[i][k])) for i in range(dim)]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for k in range(dim)
+        ]
+    )
+    return staged.select("id", out_col.alias("white_vec"))

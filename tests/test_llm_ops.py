@@ -372,6 +372,26 @@ def test_ivf_index_persists_as_tables(spark, tmp_path):
     assert got == want
 
 
+def test_whiten_embeddings_identity_covariance(spark):
+    """PCA whitening: the whitened corpus must have (near-)identity
+    covariance — diagonal ≈ 1, off-diagonal ≈ 0 — and the transform
+    must be deterministic across invocations."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    out = S.whiten_embeddings(emb, "vec_id", "embedding", dim=64)
+    rows = sorted(out.collect(), key=lambda r: r["id"])
+    X = np.array([r["white_vec"] for r in rows])
+    C = np.cov(X, rowvar=False, bias=True)
+    assert np.allclose(np.diag(C), 1.0, atol=1e-6)
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() < 1e-6
+    rows2 = sorted(out.collect(), key=lambda r: r["id"])
+    assert [r["white_vec"] for r in rows2] == [r["white_vec"] for r in rows]
+
+
 def test_gopher_rules_trip_individually(spark):
     """Each Gopher rule must trip on a doc built to violate exactly
     that rule, while a clean doc passes."""
