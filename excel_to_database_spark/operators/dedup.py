@@ -845,3 +845,79 @@ def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .distinct()
     )
+
+
+def build_lsh_text_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+) -> None:
+    """Persist the text-dedup LSH index on disk — the text twin of the
+    IVF-PQ index lifecycle (similarity.build_ivf_pq_index): banded
+    minhash signatures land as one parquet table under
+    ``<path>/bands`` plus a 1-row meta table, so the index survives
+    sessions and every later batch/stream probes it by equi-join
+    instead of re-shingling the corpus. The hash family is stateless
+    (md5 rotations), so appends need NO trained artifacts — only the
+    parameters recorded in meta, which append/probe re-read to stay
+    consistent with the build."""
+    sig = minhash_signatures(shingles(docs, id_col, text_col, n), num_hashes)
+    _banded(sig, bands, rows).write.mode("overwrite").parquet(f"{path}/bands")
+    spark = docs.sparkSession
+    n_docs = spark.read.parquet(f"{path}/bands").select("doc").distinct().count()
+    spark.createDataFrame(
+        [(n, num_hashes, bands, rows, n_docs)],
+        "n int, num_hashes int, bands int, rows int, n_docs bigint",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def lsh_text_index_append(
+    spark, path: str, new_docs: DataFrame, id_col: str, text_col: str
+) -> int:
+    """Incremental maintenance: shingle + sign the new batch with the
+    parameters recorded in the index meta and append its band rows —
+    |batch|-proportional, no corpus rescan. Returns docs appended."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    sig = minhash_signatures(
+        shingles(new_docs, id_col, text_col, int(meta["n"])),
+        int(meta["num_hashes"]),
+    )
+    _banded(sig, int(meta["bands"]), int(meta["rows"])).write.mode(
+        "append"
+    ).parquet(f"{path}/bands")
+    n_new = new_docs.select(id_col).distinct().count()
+    spark.createDataFrame(
+        [
+            (
+                int(meta["n"]),
+                int(meta["num_hashes"]),
+                int(meta["bands"]),
+                int(meta["rows"]),
+                int(meta["n_docs"]) + n_new,
+            )
+        ],
+        "n int, num_hashes int, bands int, rows int, n_docs bigint",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return n_new
+
+
+def lsh_text_index_probe(
+    spark, path: str, probe_docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Probe the persisted index with a batch of documents: bands the
+    probe side with the INDEX's own parameters and equi-joins —
+    (doc_new, doc_corpus) distinct candidates, cost ∝ |batch|."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    sig = minhash_signatures(
+        shingles(probe_docs, id_col, text_col, int(meta["n"])),
+        int(meta["num_hashes"]),
+    )
+    index = spark.read.parquet(f"{path}/bands")
+    return lsh_matches_against_index(
+        sig, index, int(meta["bands"]), int(meta["rows"])
+    )

@@ -372,6 +372,41 @@ def test_ivf_index_persists_as_tables(spark, tmp_path):
     assert got == want
 
 
+def test_lsh_text_index_lifecycle(spark, tmp_path, sf_dir):
+    """Persisted text-dedup index: build → append a batch (parameters
+    re-read from meta, no retraining) → probe finds an appended near
+    duplicate of a corpus doc; meta tracks the doc total."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    path = str(tmp_path / "lsh_idx")
+    D.build_lsh_text_index(corpus, "doc_id", "text", path)
+
+    # appended batch: held-out docs + an exact copy of corpus doc 7
+    dup = corpus.filter(F.col("doc_id") == 7).select(
+        F.lit(9000).cast("long").alias("doc_id"), "text"
+    )
+    batch = (
+        docs.filter(F.col("doc_id") >= 400)
+        .select("doc_id", "text")
+        .unionByName(dup)
+    )
+    n = D.lsh_text_index_append(spark, path, batch, "doc_id", "text")
+    assert n == batch.count()
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta["n_docs"] == 400 + n
+
+    probe = spark.createDataFrame(
+        [(1, corpus.filter(F.col("doc_id") == 7).first()["text"])],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_corpus"]
+        for r in D.lsh_text_index_probe(spark, path, probe, "doc_id", "text")
+        .collect()
+    }
+    assert 7 in hits and 9000 in hits  # original AND appended copy found
+
+
 def test_whiten_embeddings_identity_covariance(spark):
     """PCA whitening: the whitened corpus must have (near-)identity
     covariance — diagonal ≈ 1, off-diagonal ≈ 0 — and the transform
