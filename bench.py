@@ -235,7 +235,14 @@ def main() -> None:
         for q, sl in out["scale_slope"]["slope"].items():
             print(f"# slope {q}: {sl}x at {factor}x rows", file=sys.stderr)
 
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # the driver captures only the tail of stdout; a long result line
+    # can scroll its head out of the capture window, so the same JSON
+    # is also written to disk for loss-free parsing
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_result.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

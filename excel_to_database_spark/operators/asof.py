@@ -117,17 +117,27 @@ def interval_overlap_pairs(
     equi-join on (key, bucket) — never a per-key cross product — the
     true overlap predicate filters, and DISTINCT collapses pairs that
     co-occur in several cells. A naive theta join is O(n²) per key and
-    is exactly what the SQL oracle brute-forces at test scale."""
+    is exactly what the SQL oracle brute-forces at test scale.
+
+    Empty/inverted intervals (end ≤ start) are dropped up front: under
+    half-open semantics they overlap nothing, but without the filter
+    the naive bucket sequence floor(s/w)..floor((e-1)/w) would run
+    DESCENDING (generating phantom buckets) and the overlap predicate
+    s_a < e_b AND s_b < e_a can still hold for an empty interval
+    sitting inside a non-empty one. The ``greatest`` guard on the
+    sequence upper bound is belt-and-braces: it keeps the sequence
+    non-descending even if the filter is later relaxed."""
     s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
     w = int(bucket_width)
-    exploded = df.select(
+    lo = F.floor(s / w)
+    exploded = df.filter(e > s).select(
         F.col(key).alias("k"),
         F.col(id_col).alias("iid"),
         s.alias("s"),
         e.alias("e"),
         # [s, e) touches buckets floor(s/w) .. floor((e-1)/w)
         F.explode(
-            F.sequence(F.floor(s / w), F.floor((e - F.lit(1)) / w))
+            F.sequence(lo, F.greatest(lo, F.floor((e - F.lit(1)) / w)))
         ).alias("b"),
     )
     a = exploded.select(

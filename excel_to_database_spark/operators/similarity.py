@@ -135,15 +135,32 @@ def cosine_pairs(
     it. Pairs are generated once in canonical (a < b) orientation.
     Returns (vec_a, vec_b, cosine).
 
-    Scale routing: above ``route_above`` input rows (one bounded count
-    aggregate to decide) the call routes to the SemDeDup cell-blocked
-    path (``semantic_dedup_blocked`` with ``route_n_lists`` cells, the
-    q125 plan) under the same (vec_a, vec_b, cosine) contract, so no
-    user silently pays O(|D|²) flops at corpus scale — the documented
-    trade is recall on pairs whose members quantize into different
-    cells. Pass ``route_above=None`` to force the exact all-pairs
-    evaluation at any size."""
-    if route_above is not None and emb.count() > route_above:
+    Scale routing: above ``route_above`` input rows the call routes to
+    the SemDeDup cell-blocked path (``semantic_dedup_blocked`` with
+    ``route_n_lists`` cells, the q125 plan) under the same
+    (vec_a, vec_b, cosine) contract, so no user silently pays O(|D|²)
+    flops at corpus scale — the documented trade is recall on pairs
+    whose members quantize into different cells. The routing is NOT
+    silent: taking the approximate path emits a ``RuntimeWarning``
+    naming the recall trade, and the size probe is a BOUNDED count
+    (``limit(route_above + 1).count()``) so deciding never pays a full
+    corpus scan. Pass ``route_above=None`` to force the exact
+    all-pairs evaluation at any size."""
+    if (
+        route_above is not None
+        and emb.limit(route_above + 1).count() > route_above
+    ):
+        import warnings
+
+        warnings.warn(
+            f"cosine_pairs: input exceeds route_above={route_above} rows; "
+            "routing to the cell-blocked approximate path "
+            "(semantic_dedup_blocked) — pairs whose members quantize into "
+            "different cells are not scored. Pass route_above=None to "
+            "force the exact all-pairs evaluation.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return semantic_dedup_blocked(
             emb, id_col, vec_col, n_lists=route_n_lists, threshold=threshold
         ).select("vec_a", "vec_b", "cosine")

@@ -688,11 +688,19 @@ def _ivf_pq_index_path(sf_dir: str) -> str:
 
 def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the embeddings IVF-PQ index iff its meta table is absent —
-    the build-once half of the lifecycle. Returns the index path."""
-    import os
+    the build-once half of the lifecycle. Returns the index path.
+
+    Existence is probed THROUGH Spark (read ``path/meta``, catch the
+    path-not-found AnalysisException), not os.path.exists: the path may
+    be an HDFS/S3 URI via SPARK_GRAFT_INDEX_DIR, where a local-fs stat
+    is always False and would silently rebuild (and overwrite) the
+    persisted index on every query invocation."""
+    from pyspark.errors import AnalysisException
 
     path = _ivf_pq_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "meta")):
+    try:
+        spark.read.parquet(f"{path}/meta").schema
+    except AnalysisException:
         e = t(spark, sf_dir, "embeddings")
         S.build_ivf_pq_index(
             e, "vec_id", "embedding", path, **_IVF_PQ_PARAMS

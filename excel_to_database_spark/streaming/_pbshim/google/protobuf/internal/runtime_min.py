@@ -310,6 +310,41 @@ def parse_file_descriptor(blob: bytes) -> FileDescriptor:
 # ---------------------------------------------------------------------------
 
 
+class _NotifyingList(list):
+    """Repeated-field container that cascades set-tracking to lazily
+    vivified ancestor messages on CONTENT mutation (append through a
+    chain of unset sub-messages must surface on the wire, exactly like
+    a scalar write)."""
+
+    def __init__(self, owner, items=()):
+        super().__init__(items)
+        self._owner = owner
+
+    def _note(self):
+        self._owner._notify_set()
+
+    def append(self, item):
+        super().append(item)
+        self._note()
+
+    def extend(self, items):
+        super().extend(items)
+        self._note()
+
+    def insert(self, i, item):
+        super().insert(i, item)
+        self._note()
+
+    def __setitem__(self, i, item):
+        super().__setitem__(i, item)
+        self._note()
+
+    def __iadd__(self, items):
+        super().extend(items)
+        self._note()
+        return self
+
+
 class Message:
     """Base of all shim messages: explicit set-tracking (``_values``),
     canonical field-number serialization order, proto3 parse
@@ -334,10 +369,42 @@ class Message:
         if f.number in vals:
             return vals[f.number]
         if f.is_repeated:
-            return vals.setdefault(f.number, [])
+            # empty list ≡ absent on the wire, so caching it in
+            # _values is presence-neutral; the notifying list makes a
+            # later in-place append cascade set-tracking up the chain
+            return vals.setdefault(f.number, _NotifyingList(self))
         if f.type == T_MESSAGE:
-            return _class_for(f.message_type)()  # read-only default
+            # lazy vivification matching real protobuf mutation
+            # semantics: the sub-message created on first access is
+            # CACHED and carries a parent link, so the common idioms
+            # ``msg.sub.field = x`` / ``msg.sub.CopyFrom(...)`` mutate
+            # state serialization will see (a fresh unattached
+            # instance here would silently drop such writes) — but a
+            # mere READ does not mark presence: _values (what
+            # HasField/WhichOneof/SerializeToString consult) is only
+            # updated when the child is actually written, via
+            # ``_notify_set`` cascading up the parent chain.
+            lazy = self.__dict__.setdefault("_lazy", {})
+            if f.number not in lazy:
+                inst = _class_for(f.message_type)()
+                inst.__dict__["_pl"] = (self, f.number)
+                lazy[f.number] = inst
+            return lazy[f.number]
         return f.default()
+
+    def _notify_set(self):
+        """A write happened to this message: if it is a lazily
+        vivified child not yet in its parent's _values, attach it
+        (and recurse — the write may need to surface through several
+        lazy ancestors)."""
+        pl = self.__dict__.get("_pl")
+        if pl is None:
+            return
+        parent, num = pl
+        pv = object.__getattribute__(parent, "_values")
+        if pv.get(num) is not self:
+            pv[num] = self
+            parent._notify_set()
 
     def __setattr__(self, name, value):
         d = type(self).DESCRIPTOR
@@ -347,6 +414,7 @@ class Message:
         if f.is_repeated and not isinstance(value, list):
             value = list(value)
         self._values[f.number] = value
+        self._notify_set()
 
     def HasField(self, name):  # noqa: N802 (protobuf API casing)
         f = type(self).DESCRIPTOR.fields_by_name[name]
@@ -367,6 +435,7 @@ class Message:
     def CopyFrom(self, other):  # noqa: N802
         self._values.clear()
         self.ParseFromString(other.SerializeToString())
+        self._notify_set()
 
     # -- serialization ----------------------------------------------------
     def SerializeToString(self) -> bytes:  # noqa: N802
@@ -384,7 +453,16 @@ class Message:
 
     def ParseFromString(self, data: bytes) -> int:  # noqa: N802
         self._values.clear()
+        # detach previously vivified children: their state belongs to
+        # the pre-parse value, and a held reference mutated later must
+        # not resurface inside the freshly parsed message
+        lazy = self.__dict__.get("_lazy")
+        if lazy:
+            for child in lazy.values():
+                child.__dict__.pop("_pl", None)
+            lazy.clear()
         self._merge(bytes(data))
+        self._notify_set()
         return len(data)
 
     def _merge(self, buf: bytes) -> None:

@@ -53,9 +53,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
@@ -93,7 +95,9 @@ def main() -> int:
             continue
         print(f"ok   {name}: {len(srows)} rows, exact match")
 
-    print(f"\n{len(failures)} failures / {len(queries)} queries")
+    print(
+        f"\n{len(failures)} failures / {n_run} run ({len(queries)} registered)"
+    )
     return 1 if failures else 0
 
 

@@ -177,3 +177,41 @@ def test_pbshim_repeated_message_roundtrip(pairs):
     back = sm.StateResponseWithMapIterator()
     back.ParseFromString(msg.SerializeToString())
     assert [(p.key, p.value) for p in back.kvPair] == pairs
+
+
+def test_pbshim_submessage_vivifies_on_write_not_read():
+    """Real-protobuf mutation semantics: ``msg.sub.field = x`` through
+    a chain of unset sub-messages must be visible to serialization
+    (lazy vivification with parent-notify), while a mere READ of an
+    unset sub-message must NOT mark it present (HasField/WhichOneof/
+    wire bytes unchanged)."""
+    sm = _state_message_module()
+
+    # read-only access: no presence, no wire bytes
+    req = sm.StateRequest()
+    _ = req.stateVariableRequest.valueStateCall.stateName
+    assert not req.HasField("stateVariableRequest")
+    assert req.WhichOneof("method") is None
+    assert req.SerializeToString() == b""
+
+    # write through two lazy levels: surfaces on the wire
+    req2 = sm.StateRequest()
+    req2.stateVariableRequest.valueStateCall.stateName = "s1"
+    assert req2.HasField("stateVariableRequest")
+    assert req2.WhichOneof("method") == "stateVariableRequest"
+    back = sm.StateRequest()
+    back.ParseFromString(req2.SerializeToString())
+    assert back.stateVariableRequest.valueStateCall.stateName == "s1"
+
+    # repeated append through a lazy chain surfaces too
+    it = sm.StateResponseWithMapIterator()
+    it.kvPair.append(sm.KeyAndValuePair(key=b"k", value=b"v"))
+    back2 = sm.StateResponseWithMapIterator()
+    back2.ParseFromString(it.SerializeToString())
+    assert [(p.key, p.value) for p in back2.kvPair] == [(b"k", b"v")]
+
+    # CopyFrom into a lazily obtained sub-message attaches it
+    req3 = sm.StateRequest()
+    req3.stateVariableRequest.CopyFrom(req2.stateVariableRequest)
+    assert req3.HasField("stateVariableRequest")
+    assert req3.SerializeToString() == req2.SerializeToString()
