@@ -414,7 +414,12 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+def lsh_candidates(
+    sig: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates.
     Bucket join only touches colliding docs — never all pairs.
 
@@ -424,16 +429,59 @@ def lsh_candidates(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
     The banded frame itself feeds both self-join sides, so it is
     persisted (``bands`` rows per doc — the LSH index you'd
     materialize at corpus scale) instead of re-aggregating the
-    signatures per side."""
+    signatures per side.
+
+    Hot-bucket guard (the band-join sibling of ``jaccard_pairs``'
+    hot-shingle guard): a bucket of d docs fans the self-join out to
+    d² rows in ONE join key, so a boilerplate-heavy corpus (masses of
+    near-identical documents landing in the same band bucket) turns
+    the candidate join quadratic. Buckets larger than ``max_bucket``
+    therefore leave the pair join and emit a STAR instead — every
+    member paired with the bucket's min-doc representative (d−1 rows,
+    linear). Documented semantics of the cap: within a hot bucket,
+    pair-level recall degrades from clique to star, but connectivity
+    is preserved exactly — ``connected_components`` over the verified
+    output yields the same clusters, which is the decision the pairs
+    exist to feed. When no bucket exceeds the cap (probed with one
+    aggregation over the cached band index — the common case, and
+    true for every testdata scale) the plan and output are
+    byte-identical to the unguarded join. ``max_bucket=None`` disables
+    the guard."""
     banded = pin(_banded(sig, bands, rows))
-    x = banded.select(F.col("doc").alias("doc_a"), "band", "sig")
-    y = banded.select(F.col("doc").alias("doc_b"), "band", "sig")
-    return (
-        x.join(y, ["band", "sig"])
+    any_hot = False
+    if max_bucket is not None:
+        bsize = banded.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        any_hot = not bsize.filter(F.col("bn") > max_bucket).isEmpty()
+    if not any_hot:
+        x = banded.select(F.col("doc").alias("doc_a"), "band", "sig")
+        y = banded.select(F.col("doc").alias("doc_b"), "band", "sig")
+        return (
+            x.join(y, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    flagged = banded.join(bsize, ["band", "sig"])
+    cold = flagged.filter(F.col("bn") <= max_bucket)
+    hot = flagged.filter(F.col("bn") > max_bucket).select("doc", "band", "sig")
+    cold_pairs = (
+        cold.select(F.col("doc").alias("doc_a"), "band", "sig")
+        .join(
+            cold.select(F.col("doc").alias("doc_b"), "band", "sig"),
+            ["band", "sig"],
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    reps = hot.groupBy("band", "sig").agg(F.min("doc").alias("rep"))
+    star_pairs = (
+        hot.join(reps, ["band", "sig"])
+        .filter(F.col("doc") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
+    )
+    return cold_pairs.unionByName(star_pairs).distinct()
 
 
 def _banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -505,14 +553,28 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → band → bucket-join →
     exact-Jaccard verify. Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    # the shingle explode and the 16 string-min signature aggregates
+    # (a SortAggregate — min over var-length strings has no
+    # hash-aggregate form) are Σ-chars work hiding behind a SMALL doc
+    # row count: inherited from a few-file parquet scan they run
+    # near-serially, which measured as the whole q76 scale slope.
+    # Spread the docs first so explode + map-side partial mins
+    # parallelize (same discipline as char_span_pairs).
+    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # shingles feed three consumers (signatures, candidate join, verify
     # join) — persist once instead of re-exploding per consumer;
     # MEMORY_AND_DISK so the cache degrades gracefully at corpus scale
-    sh = pin(shingles(df, id_col, text_col, n))
-    cand = lsh_candidates(minhash_signatures(sh, num_hashes), bands, num_hashes // bands)
+    sh = pin(shingles(docs, id_col, text_col, n))
+    cand = lsh_candidates(
+        minhash_signatures(sh, num_hashes),
+        bands,
+        num_hashes // bands,
+        max_bucket=max_bucket,
+    )
     return verify_jaccard(cand, sh, threshold)
 
 
@@ -866,6 +928,9 @@ def build_lsh_text_index(
     (md5 rotations), so appends need NO trained artifacts — only the
     parameters recorded in meta, which append/probe re-read to stay
     consistent with the build."""
+    # corpus-scale build: spread docs before the Σ-chars shingle
+    # explode + string-min SortAggregate (see minhash_lsh_dedup)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sig = minhash_signatures(shingles(docs, id_col, text_col, n), num_hashes)
     _banded(sig, bands, rows).write.mode("overwrite").parquet(f"{path}/bands")
     spark = docs.sparkSession

@@ -54,6 +54,44 @@ def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     assert out[0]["jaccard"] > 0.85
 
 
+def test_lsh_hot_bucket_guard(spark):
+    """Pathological boilerplate corpus: many identical documents all
+    land in ONE band bucket per band. The hot-bucket guard must (a)
+    keep candidate volume LINEAR in bucket size (star, not clique),
+    (b) preserve cluster connectivity exactly, and (c) leave output
+    byte-identical to the unguarded join when no bucket exceeds the
+    cap."""
+    n_same = 30
+    rows = [(i, "exactly the same boilerplate disclaimer text repeated "
+                "across every document in this synthetic corpus")
+            for i in range(n_same)]
+    rows += [(100, "a genuinely different document about spark plans"),
+             (101, "a genuinely different document about spark plans")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.pin(D.shingles(df, "doc_id", "text", 3))
+    sig = D.minhash_signatures(sh, 16)
+
+    # guard triggered: star candidates — n-1 pairs for the hot clique,
+    # all anchored at the min doc, plus the untouched cold pair
+    cand = D.lsh_candidates(sig, 4, 4, max_bucket=8).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in cand}
+    assert got == {(0, i) for i in range(1, n_same)} | {(100, 101)}
+
+    # connectivity through verify: one cluster holding all 30 docs
+    verified = D.verify_jaccard(
+        D.lsh_candidates(sig, 4, 4, max_bucket=8), sh, 0.6
+    )
+    cc = {r["doc"]: r["cluster"] for r in D.connected_components(verified).collect()}
+    assert {cc[i] for i in range(n_same)} == {0}
+
+    # cap not exceeded → identical to the unguarded plan
+    a = {(r["doc_a"], r["doc_b"])
+         for r in D.lsh_candidates(sig, 4, 4, max_bucket=1024).collect()}
+    b = {(r["doc_a"], r["doc_b"])
+         for r in D.lsh_candidates(sig, 4, 4, max_bucket=None).collect()}
+    assert a == b
+
+
 def test_simhash_near_dup(docs):
     fp = D.simhash_fingerprints(docs, "doc_id", "text")
     pairs = D.simhash_pairs(fp, max_distance=4).collect()
