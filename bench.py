@@ -75,6 +75,7 @@ HEADLINE = [
     "q149_stream_typed_list_state",
     "q150_stream_typed_map_state",
     "q147_char_substring_dedup",
+    "q157_char_span_dedup",
     "q148_line_dedup",
     "q151_fuzzy_edit1_join",
     "q152_interval_overlap_join",

@@ -89,6 +89,43 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> Data
     return staged.select("doc", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+def char_span_dedup(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 50
+) -> DataFrame:
+    """Character-exact substring dedup, SURVIVOR form — the operator a
+    100 TB pipeline actually runs (``char_span_pairs`` is the
+    forensic pair-level view): docs whose normalized texts share any
+    ≥ ``min_len``-char substring are transitively clustered, and the
+    minimum doc id of each cluster is kept (the q148 keep-first
+    discipline at window granularity). Returns (doc, cluster, keep)
+    for every doc participating in at least one shared window.
+
+    Scale shape — LINEAR where the pair view is quadratic: a window
+    shared by d docs contributes d−1 STAR edges (each doc joined to
+    the window's min-doc representative) instead of d² pairs, so edge
+    volume is bounded by the window index itself (Σ chars), never by
+    duplication density. Star edges connect exactly the same
+    components as the full clique — every co-occurring doc reaches the
+    representative through its window — so the cluster labels (and
+    hence the survivors) are IDENTICAL to what clique pairs would
+    produce, which is what the SQL oracle verifies."""
+    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    g = char_shingles(docs, id_col, text_col, n=min_len).select(
+        "doc", F.md5("shingle").alias("h")
+    )
+    reps = g.groupBy("h").agg(F.min("doc").alias("rep"))
+    edges = (
+        g.join(reps, "h")
+        .filter(F.col("doc") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
+        .distinct()
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        "doc", "cluster", (F.col("doc") == F.col("cluster")).alias("keep")
+    )
+
+
 def _split_by_docfreq(sh: DataFrame, max_df: int):
     """Partition the inverted index by shingle document-frequency:
     returns (cold, hot, any_hot) where cold/hot are (doc, shingle)

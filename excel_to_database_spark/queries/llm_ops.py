@@ -473,6 +473,40 @@ def q147_char_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.char_span_pairs(d, "doc_id", "text", min_len=50)
 
 
+@query(
+    "q157_char_span_dedup",
+    """
+    WITH RECURSIVE norm AS (SELECT doc_id,
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                  FROM documents),
+    g AS (SELECT DISTINCT doc_id, md5(substring(t, i, 50)) AS h
+          FROM norm CROSS JOIN UNNEST(range(1, len(t) - 48)) AS s(i)
+          WHERE len(t) >= 50),
+    p AS (SELECT a.doc_id AS da, b.doc_id AS db
+          FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+    sym AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    labels AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+               FROM reach GROUP BY src)
+    SELECT doc, cluster, doc = cluster AS keep FROM labels
+    """,
+)
+def q157_char_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVOR form of character-substring dedup — q147's pair view
+    collapsed to keep-first clusters (operators/dedup.char_span_dedup).
+    The Spark side builds LINEAR star edges (window-representative →
+    doc) and min-label connected components; the oracle brute-forces
+    the full CLIQUE pair graph and the same transitive closure, so the
+    exact match certifies star-edge connectivity ≡ clique connectivity
+    — the claim that makes the survivor path scale."""
+    d = t(spark, sf_dir, "documents")
+    return D.char_span_dedup(d, "doc_id", "text", min_len=50)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

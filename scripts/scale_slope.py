@@ -41,7 +41,12 @@ SLOPE_QUERIES = [
     "q125_semantic_dedup_blocked",
     # round-6 blocked candidate generators — their slopes certify the
     # blocking keeps working at 10x (a broken block would go n²)
-    "q147_char_substring_dedup",
+    # q157 replaced q147 here in round 7: the survivor/cluster output
+    # is the operator a pipeline runs at scale (star edges, linear in
+    # the window index); q147's pair-level contract is inherently
+    # quadratic in duplication density and stays registered for
+    # forensics only
+    "q157_char_span_dedup",
     "q151_fuzzy_edit1_join",
 ]
 

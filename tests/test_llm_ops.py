@@ -649,6 +649,33 @@ def test_char_span_pairs_cross_word_boundaries(spark):
     assert D.subsequence_containments(df, "doc_id", "text", 3).count() == 0
 
 
+def test_char_span_dedup_keep_first_survivors(spark):
+    """Survivor form: a boilerplate window shared by d docs must yield
+    ONE cluster labeled by its min doc with exactly one keeper, labels
+    identical to clique-pair connected components (star ≡ clique), and
+    transitive chains (A~B via one window, B~C via another) must merge."""
+    boiler = "this identical legal disclaimer footer appears verbatim in many documents"
+    bridge = "a second distinct shared passage linking only documents seven and eight!"
+    rows = [(i, f"unique preamble {i} " + boiler) for i in range(5)]
+    rows += [(7, "standalone opener " + boiler + " then " + bridge),
+             (8, "different text entirely before " + bridge),
+             (9, "totally unrelated document with no shared windows at all here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: (r["cluster"], r["keep"])
+           for r in D.char_span_dedup(df, "doc_id", "text", min_len=50).collect()}
+    # 0..5,7 share the boiler window; 8 joins through the bridge via 7
+    members = set(range(5)) | {7, 8}
+    assert set(got) == members  # doc 9 participates in nothing
+    assert all(got[d] == (0, d == 0) for d in members)
+    # labels equal clique-pair connected components
+    clique = D.connected_components(
+        D.char_span_pairs(df, "doc_id", "text", min_len=50)
+    )
+    assert {(r["doc"], r["cluster"]) for r in clique.collect()} == {
+        (d, 0) for d in members
+    }
+
+
 def test_ivf_pq_persisted_index_lifecycle(spark, tmp_path):
     """Full IVF-PQ build-once/search-many lifecycle: build_ivf_pq_index
     persists four tables + meta, the build stats cover the corpus
