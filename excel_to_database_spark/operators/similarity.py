@@ -1388,15 +1388,27 @@ def whiten_embeddings(
     preprocessing step: decorrelate dimensions and equalize variance so
     cosine stops being dominated by a few high-variance axes).
 
-    Scale split: the corpus-sized work — mean and covariance — is two
-    map-side-combinable aggregations (the covariance accumulates
-    dim·(dim+1)/2 scalar partial sums via one posexplode² expression,
-    never a vector shuffle); the dim×dim eigendecomposition runs on the
-    DRIVER (64×64 — microseconds, independent of corpus size), and the
-    resulting whitening matrix W = Λ^{-1/2}·Vᵀ ships back as a
-    broadcast literal folded into one ``transform`` expression per row.
-    This is the canonical big-data/small-model split: no stage touches
-    more than O(dim²) driver-side state.
+    Scale split: the corpus-sized work — mean and covariance — is ONE
+    ``mapInPandas`` pass that accumulates a per-PARTITION Gram partial
+    (count, Σx, XᵀX as numpy float64) and emits it as dim·(dim+1)/2 +
+    dim + 1 scalar (i, j, value) rows per partition; one groupBy-sum
+    exchange reduces the partials and only O(dim²) scalars ever reach
+    the driver. (The previous formulation exploded the dim² struct
+    pairs PER ROW — correct, but at dim=1024 each row materialized
+    ~524k structs before partial aggregation; the partition-level
+    accumulation shuffles the same dim² partials with zero per-row
+    blowup.) The dim×dim eigendecomposition runs on the DRIVER
+    (microseconds, independent of corpus size), and the whitening
+    matrix W = V·Λ^{-1/2}·Vᵀ ships back broadcast. This is the
+    canonical big-data/small-model split: no stage touches more than
+    O(dim²) driver-side state, and per-task memory is bounded by one
+    Arrow batch + one dim² float64 accumulator.
+
+    Projection: for small dims (≤ 64) the matmul folds into a
+    whole-stage-codegen expression tree (JVM-side, no Python); above
+    that the literal tree itself would hold dim² constants, so the
+    projection runs as the same Arrow-batched numpy matmul that
+    computed the Gram — one vectorized pass either way.
 
     Deterministic for a fixed corpus (aggregation sums are
     order-independent doubles up to ulp; eigh is deterministic for a
@@ -1404,71 +1416,91 @@ def whiten_embeddings(
     property (whitened covariance ≈ identity) in tests, not by SQL
     oracle — eigendecomposition is genuinely non-SQL-expressible."""
     import numpy as _np
+    import pandas as _pd
 
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if dim is None:
         dim = len(base.select("v").first()[0])
+    d = int(dim)
+    iu0, iu1 = _np.triu_indices(d)
 
-    stats = (
-        base.select(F.posexplode("v").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+    def gram_partials(batches):
+        n = 0
+        s = _np.zeros(d)
+        g = _np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.vstack(pdf["v"].to_numpy()).astype(_np.float64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n == 0:
+            return
+        # rows: (-1,-1,count) ∪ (i,-1,Σx_i) ∪ (i,j,Σ x_i·x_j) i ≤ j
+        i_idx = _np.concatenate(([-1], _np.arange(d), iu0)).astype("int32")
+        j_idx = _np.concatenate(([-1], _np.full(d, -1), iu1)).astype("int32")
+        vals = _np.concatenate(([float(n)], s, g[iu0, iu1]))
+        yield _pd.DataFrame({"i": i_idx, "j": j_idx, "x": vals})
+
+    reduced = (
+        base.mapInPandas(gram_partials, "i int, j int, x double")
+        .groupBy("i", "j")
+        .agg(F.sum("x").alias("s"))
         .collect()
     )
-    n = stats[0]["n"]
-    mean = _np.zeros(dim)
-    for r in stats:
-        mean[r["i"]] = r["s"] / r["n"]
-
-    # second moments: one exploded pair expression per row → (i, j, x·y)
-    # partial sums; only the upper triangle is shuffled
-    pairs = base.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(dim - 1)),
-                        lambda j: F.struct(
-                            i.alias("i"),
-                            j.alias("j"),
-                            (
-                                F.get("v", i).cast("double")
-                                * F.get("v", j).cast("double")
-                            ).alias("xy"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.xy")
-    moments = pairs.groupBy("i", "j").agg(F.sum("xy").alias("s")).collect()
-    cov = _np.zeros((dim, dim))
-    for r in moments:
-        m2 = r["s"] / n - mean[r["i"]] * mean[r["j"]]
-        cov[r["i"], r["j"]] = m2
-        cov[r["j"], r["i"]] = m2
+    n = 0.0
+    mean = _np.zeros(d)
+    raw = _np.zeros((d, d))
+    for r in reduced:
+        if r["i"] == -1:
+            n = r["s"]
+        elif r["j"] == -1:
+            mean[r["i"]] = r["s"]
+        else:
+            raw[r["i"], r["j"]] = r["s"]
+            raw[r["j"], r["i"]] = r["s"]
+    mean /= n
+    cov = raw / n - _np.outer(mean, mean)
 
     vals, vecs = _np.linalg.eigh(cov)
     w_mat = vecs @ _np.diag(1.0 / _np.sqrt(_np.maximum(vals, eps))) @ vecs.T
 
-    # fold mean-subtraction + projection into one expression tree:
-    # out[k] = Σ_i (v[i] - mean[i]) · W[i][k]
-    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
-    centered = F.zip_with("v", mean_lit, lambda x, m: x.cast("double") - m)
-    staged = base.withColumn("c", centered)
-    out_col = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    "c",
-                    F.array(*[F.lit(float(w_mat[i][k])) for i in range(dim)]),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    if d <= 64:
+        # fold mean-subtraction + projection into one expression tree:
+        # out[k] = Σ_i (v[i] - mean[i]) · W[i][k]
+        mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+        centered = F.zip_with("v", mean_lit, lambda x, m: x.cast("double") - m)
+        staged = base.withColumn("c", centered)
+        out_col = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        "c",
+                        F.array(*[F.lit(float(w_mat[i][k])) for i in range(d)]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for k in range(d)
+            ]
+        )
+        return staged.select("id", out_col.alias("white_vec"))
+
+    mean_c, w_c = mean.copy(), w_mat.copy()
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.vstack(pdf["v"].to_numpy()).astype(_np.float64)
+            out = (x - mean_c) @ w_c
+            yield _pd.DataFrame(
+                {"id": pdf["id"], "white_vec": list(map(list, out))}
             )
-            for k in range(dim)
-        ]
+
+    id_type = dict(base.dtypes)["id"]
+    return base.mapInPandas(
+        project, f"id {id_type}, white_vec array<double>"
     )
-    return staged.select("id", out_col.alias("white_vec"))

@@ -465,6 +465,29 @@ def test_whiten_embeddings_identity_covariance(spark):
     assert [r["white_vec"] for r in rows2] == [r["white_vec"] for r in rows]
 
 
+def test_whiten_embeddings_high_dim(spark):
+    """dim ≥ 256 exercises the partition-level Gram accumulation and
+    the numpy projection path (the literal expression tree is only
+    taken at dim ≤ 64): whitened covariance must still be identity on
+    a deliberately correlated high-dim corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d, n = 256, 500
+    mix = np.eye(d) + 0.3 * rng.standard_normal((d, d))
+    X = rng.standard_normal((n, d)) @ mix + 5.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    out = S.whiten_embeddings(df, "vec_id", "embedding", dim=d)
+    rows = sorted(out.collect(), key=lambda r: r["id"])
+    W = np.array([r["white_vec"] for r in rows])
+    C = np.cov(W, rowvar=False, bias=True)
+    assert np.allclose(np.diag(C), 1.0, atol=1e-6)
+    assert np.abs(C - np.diag(np.diag(C))).max() < 1e-6
+
+
 def test_gopher_rules_trip_individually(spark):
     """Each Gopher rule must trip on a doc built to violate exactly
     that rule, while a clean doc passes."""
