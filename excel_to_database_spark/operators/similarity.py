@@ -1241,6 +1241,15 @@ def build_ivf_pq_index(
         [(n_lists, m, pq_k, dim, w, n_vectors)],
         "n_lists int, m int, pq_k int, dim int, w int, n_vectors bigint",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    # drift baseline: the build's own mean assignment distance. A
+    # rebuild overwrites the whole health history, resetting the
+    # baseline to the retrained quantizer — exactly the "rebuild
+    # restores health" contract ivf_pq_index_health documents.
+    base_dist = _mean_assign_dist(persisted, spark.read.parquet(f"{path}/cents"))
+    spark.createDataFrame(
+        [(0, "build", n_vectors, base_dist)],
+        "seq int, event string, n bigint, mean_dist double",
+    ).write.mode("overwrite").parquet(f"{path}/health")
     return (
         persisted.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -1316,7 +1325,14 @@ def ivf_pq_index_append(
     broadcast join against the m·pq_k codebook + two parquet appends —
     |batch|-proportional, never corpus-proportional. Returns the
     number of vectors appended. Duplicate ids are the caller's
-    contract (same as any append-only table)."""
+    contract (same as any append-only table).
+
+    Drift accounting: each append also records its batch's mean
+    assignment distance in the index's ``health`` table (one scalar
+    aggregate over the batch — no corpus re-scan), so
+    ``ivf_pq_index_health`` can compare appended batches against the
+    build-time baseline and recommend a retrain when the frozen
+    quantizer stops fitting the data."""
     idx = load_ivf_pq_index(spark, path)
     m = int(idx.meta["m"])
     w = int(idx.meta["w"])
@@ -1356,11 +1372,21 @@ def ivf_pq_index_append(
         .select(F.col("id").alias("nid"), "codes")
     )
 
+    assigned_new = pin(assigned_new)
     assigned_new.write.mode("append").parquet(f"{path}/assigned")
     codes_new.write.mode("append").parquet(f"{path}/codes")
     n_new = spark.read.parquet(f"{path}/assigned").count() - int(
         idx.meta["n_vectors"]
     )
+    batch_dist = _mean_assign_dist(assigned_new, idx.cents)
+    try:
+        seq = spark.read.parquet(f"{path}/health").count()
+    except Exception:
+        seq = 1  # pre-health index: first append starts the history
+    spark.createDataFrame(
+        [(int(seq), "append", int(n_new), batch_dist)],
+        "seq int, event string, n bigint, mean_dist double",
+    ).write.mode("append").parquet(f"{path}/health")
     spark.createDataFrame(
         [
             (
@@ -1375,6 +1401,78 @@ def ivf_pq_index_append(
         "n_lists int, m int, pq_k int, dim int, w int, n_vectors bigint",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     return n_new
+
+
+def _mean_assign_dist(assigned: DataFrame, cents: DataFrame) -> float:
+    """Mean cosine DISTANCE (1 − cosine) between vectors and their
+    assigned centroids — the scalar that tracks how well the frozen
+    coarse quantizer still fits the data. One broadcast join + one
+    aggregate; double folds (monitoring statistic, not an
+    oracle-checked value)."""
+    dot = F.aggregate(
+        F.zip_with(
+            "v", "cv", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate(
+        F.transform("v", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform("cv", lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        assigned.join(F.broadcast(cents), "cell")
+        .select((F.lit(1.0) - dot / (F.sqrt(nv) * F.sqrt(nc))).alias("d"))
+        .agg(F.avg("d"))
+        .collect()[0][0]
+    )
+    return float(row) if row is not None else 0.0
+
+
+def ivf_pq_index_health(
+    spark, path: str, rebuild_ratio: float = 1.25
+) -> dict:
+    """Drift report for a persisted IVF-PQ index — the maintenance
+    decision ``ivf_pq_index_append`` deliberately does not make
+    (appends assign to FROZEN centroids; the standard IVF contract
+    handles quantizer drift by periodic rebuild, and this function is
+    the trigger).
+
+    Reads the driver-small ``health`` table (one row per build/append
+    event) and compares the latest appended batch's mean assignment
+    distance against the build-time baseline. ``rebuild_recommended``
+    is True when latest/baseline > ``rebuild_ratio`` (default 1.25 —
+    appended data sits ≥25% farther from its centroids than the
+    training distribution did, the point where probe recall measurably
+    decays and a retrain amortizes). Rebuilding via
+    ``build_ivf_pq_index`` overwrites the history and resets the
+    baseline. Purely observational: probes never read this table, so
+    instrumentation cannot change search results."""
+    h = sorted(
+        spark.read.parquet(f"{path}/health").collect(),
+        key=lambda r: r["seq"],
+    )
+    baseline = next(
+        (r["mean_dist"] for r in h if r["event"] == "build"),
+        h[0]["mean_dist"],
+    )
+    appends = [r for r in h if r["event"] == "append"]
+    latest = appends[-1]["mean_dist"] if appends else baseline
+    ratio = (latest / baseline) if baseline > 0 else float("inf")
+    return {
+        "baseline_mean_dist": baseline,
+        "latest_mean_dist": latest,
+        "drift_ratio": ratio,
+        "n_appends": len(appends),
+        "n_appended_vectors": int(sum(r["n"] for r in appends)),
+        "rebuild_recommended": ratio > rebuild_ratio,
+    }
 
 
 def whiten_embeddings(

@@ -772,6 +772,96 @@ def test_ivf_pq_index_append_incremental(spark, tmp_path):
     assert {r["rank"] for r in got2} == {1, 2}
 
 
+def test_ivf_pq_index_health_drift(spark, tmp_path):
+    """Drift lifecycle: progressively distribution-shifted appends must
+    degrade index health MONOTONICALLY (rising mean assignment
+    distance vs the build baseline) until the rebuild trigger fires; a
+    rebuild on the full corpus restores health; and on a healthy index
+    the probe results are identical before and after health
+    instrumentation runs (it is purely observational)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "drift_idx")
+    S.build_ivf_pq_index(corpus, "vec_id", "embedding", path, n_lists=8, m=8, pq_k=16)
+
+    h0 = S.ivf_pq_index_health(spark, path)
+    assert h0["n_appends"] == 0 and not h0["rebuild_recommended"]
+    base_probe = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.ann_ivf_pq_probe(
+            S.load_ivf_pq_index(spark, path), k=3, n_probe=4,
+            query_filter=F.col("id") < 5,
+        ).collect()
+    )
+
+    # the health read itself is observational: probing again after it
+    # returns identical results on the untouched index
+    assert base_probe == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.ann_ivf_pq_probe(
+            S.load_ivf_pq_index(spark, path), k=3, n_probe=4,
+            query_filter=F.col("id") < 5,
+        ).collect()
+    )
+
+    # shifted batches with EXACTLY controlled assignment distance:
+    # v = cosθ·ĉ₀ + sinθ·û with û orthogonal to every centroid (and to
+    # the probe queries), so max-cosine over centroids is cosθ and the
+    # batch's mean assignment distance is exactly 1 − cosθ
+    import numpy as np
+
+    cents = {r["cell"]: np.array(r["cv"], dtype=np.float64)
+             for r in spark.read.parquet(f"{path}/cents").collect()}
+    C = np.stack([v / np.linalg.norm(v) for v in cents.values()])
+    Q = np.stack([
+        np.array(r["embedding"], dtype=np.float64)
+        for r in corpus.filter(F.col("vec_id") < 5).collect()
+    ])
+    basis = np.linalg.qr(np.vstack([C, Q]).T)[0].T
+    rng = np.random.default_rng(11)
+    u = rng.standard_normal(C.shape[1])
+    u -= basis.T @ (basis @ u)
+    u /= np.linalg.norm(u)
+    c0 = C[0]
+    dists = []
+    for step, cos_t in enumerate((0.12, 0.06, 0.0), start=1):
+        v = cos_t * c0 + np.sqrt(1 - cos_t**2) * u
+        batch = spark.createDataFrame(
+            [(10_000 * step + i, [float(x) for x in v]) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+        S.ivf_pq_index_append(spark, path, batch, "vec_id", "embedding")
+        h = S.ivf_pq_index_health(spark, path)
+        dists.append(h["latest_mean_dist"])
+        assert h["n_appends"] == step
+        assert h["latest_mean_dist"] == pytest.approx(1 - cos_t, abs=1e-3)
+    assert dists == sorted(dists)  # monotone degradation
+    assert dists[0] > h0["baseline_mean_dist"]
+    assert S.ivf_pq_index_health(spark, path, rebuild_ratio=1.1)[
+        "rebuild_recommended"
+    ]
+
+    # appended alien vectors are (near-)orthogonal to the probe
+    # queries by construction: original rank-1 neighbors still win
+    after = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_ivf_pq_probe(
+            S.load_ivf_pq_index(spark, path), k=3, n_probe=4,
+            query_filter=F.col("id") < 5,
+        ).collect() if r["rank"] == 1
+    }
+    assert after == {(q, n) for (q, rk, n) in base_probe if rk == 1}
+
+    # rebuild on everything currently indexed restores health
+    full = spark.read.parquet(f"{path}/assigned").select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    S.build_ivf_pq_index(full, "vec_id", "embedding", path, n_lists=8, m=8, pq_k=16)
+    h2 = S.ivf_pq_index_health(spark, path)
+    assert h2["n_appends"] == 0 and not h2["rebuild_recommended"]
+    assert h2["drift_ratio"] == 1.0
+
+
 def test_ivf_pq_probe_external_queries(spark, tmp_path):
     """A probe with an EXTERNAL query set (the streaming micro-batch
     shape: vectors not in the index) returns k ranked neighbors per
