@@ -60,6 +60,7 @@ def compact_partials(
     coarse_seconds: int = 86400,
     keys: tuple[str, ...] = ("event_type",),
     drop_before: int | None = None,
+    exclude_batch: int | None = None,
 ) -> None:
     """Hypertable maintenance: rewrite the partial TABLE so buckets
     older than ``before_bucket`` collapse into ``coarse_seconds``-wide
@@ -75,18 +76,31 @@ def compact_partials(
     Compacted rows carry ``__batch_id = -1`` (never a real micro-batch
     id), so the streaming sink's replay-dedup delete can never collide
     with them; only compact buckets old enough that their source
-    batches are committed (in practice: anything before the stream's
-    watermark). The rewrite goes through the same temp-table staging
-    as the CDC merge path (sync/merge._rewrite_via_temp) — never
-    reading and overwriting the same files in one job."""
+    batches are committed. ``exclude_batch`` pins one micro-batch's
+    rows verbatim regardless of age — the streaming sink passes its
+    IN-FLIGHT batch id so rows left by a crashed prior attempt of the
+    same batch are never folded before the replay's partition
+    overwrite replaces them (the exactly-once guarantee for late
+    events older than the compaction horizon). The rewrite goes
+    through the same temp-table staging as the CDC merge path
+    (sync/merge._rewrite_via_temp) — never reading and overwriting the
+    same files in one job."""
     from excel_to_database_spark.sync.merge import _rewrite_via_temp
 
     df = spark.table(table)
     cols = df.columns
-    old = df.filter(F.col("bucket_start") < before_bucket)
+    protected = (
+        F.lit(False)
+        if exclude_batch is None
+        else F.col("__batch_id") == exclude_batch
+    )
+    old = df.filter((F.col("bucket_start") < before_bucket) & ~protected)
     if drop_before is not None:
         old = old.filter(F.col("bucket_start") >= drop_before)
-    keep = df.filter(F.col("bucket_start") >= before_bucket)
+    # protected rows survive verbatim at any age (their replay will
+    # overwrite them); unprotected rows older than drop_before appear
+    # in neither frame — retention
+    keep = df.filter((F.col("bucket_start") >= before_bucket) | protected)
     compacted = (
         merge_partials(old, coarse_seconds, keys)
         .drop("approx_distinct")

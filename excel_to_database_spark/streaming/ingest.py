@@ -298,9 +298,12 @@ def stream_rollup(
     bucket collapse into ``coarse_seconds``-wide rows via
     ``rollup.compact_partials`` — answers at ≥ coarse width are
     bit-identical (merge of partials is a partial), row counts stay
-    proportional to retained detail, and the compacted region is
-    always strictly behind the ingest frontier so replay-dedup of the
-    in-flight batch can never collide."""
+    proportional to retained detail, and compaction touches ONLY the
+    already-committed region: it runs before the batch's own write and
+    pins the in-flight batch id (``exclude_batch``), so a
+    crash-replay's partition overwrite can never re-insert rows that
+    compaction already folded into ``__batch_id=-1`` — exactly-once
+    holds even for late events older than the retention horizon."""
     from excel_to_database_spark.operators.rollup import (
         compact_partials,
         time_bucket_partials,
@@ -310,13 +313,22 @@ def stream_rollup(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        out = time_bucket_partials(batch_df, bucket_seconds).withColumn(
-            "__batch_id", F.lit(batch_id)
-        )
-        _write_batch_keyed(spark, out, out_table)
-        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        # compaction runs BEFORE this batch's write, over the already-
+        # committed region only: rows of batch N itself (including
+        # leftovers of a crashed prior attempt of N, pinned via
+        # exclude_batch) are never folded into __batch_id=-1, so the
+        # replay's dynamic partition overwrite can never re-insert
+        # rows compaction already absorbed — exactly-once holds even
+        # for late events bucketed behind the retention horizon.
+        if (
+            compact_every
+            and batch_id > 0
+            and batch_id % compact_every == 0
+            and spark.catalog.tableExists(out_table)
+        ):
             frontier = (
                 spark.table(out_table)
+                .filter(F.col("__batch_id") != batch_id)
                 .agg(F.max("bucket_start"))
                 .collect()[0][0]
             )
@@ -326,7 +338,12 @@ def stream_rollup(
                     out_table,
                     before_bucket=int(frontier) - keep_recent_seconds,
                     coarse_seconds=coarse_seconds,
+                    exclude_batch=batch_id,
                 )
+        out = time_bucket_partials(batch_df, bucket_seconds).withColumn(
+            "__batch_id", F.lit(batch_id)
+        )
+        _write_batch_keyed(spark, out, out_table)
 
     return (
         events.writeStream.foreachBatch(sink)

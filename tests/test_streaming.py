@@ -324,6 +324,88 @@ def test_stream_rollup_inline_compaction(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_maint_rollup")
 
 
+def test_stream_rollup_compaction_spares_inflight_batch(spark, sf_dir, tmp_path):
+    """Exactly-once under crash-replay: a LATE event (bucketed far
+    behind the retention horizon) arriving in the same micro-batch
+    that triggers inline compaction must NOT be folded into the
+    __batch_id=-1 region — its commit is not durable yet, and a replay
+    of that batch re-runs the dynamic partition overwrite. The late
+    bucket must stay under its own batch id, and re-writing the
+    batch's partials (the replay) must leave merged answers
+    unchanged."""
+    import time as _time
+
+    from excel_to_database_spark.operators.rollup import (
+        merge_partials,
+        time_bucket_partials,
+    )
+    from excel_to_database_spark.streaming.ingest import (
+        _write_batch_keyed,
+        stream_rollup,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    late = events.limit(1).select(
+        F.lit(999999).cast("long").alias("event_id"),
+        F.lit("2023-06-01 00:30:00").cast("timestamp").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("late_type").alias("event_type"),
+        F.lit(2.5).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    src = tmp_path / "ev_late"
+    half = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    events.filter(half).coalesce(1).write.parquet(str(src / "p0"))
+    _time.sleep(1.2)  # distinct mtimes pin micro-batch order
+    events.filter(~half).unionByName(late).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_late_rollup")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = stream_rollup(
+        stream, "t_late_rollup", checkpoint=str(tmp_path / "ck_late"),
+        compact_every=1, keep_recent_seconds=3600,
+    )
+    q.awaitTermination()
+
+    all_events = events.unionByName(late)
+    late_bucket = 1685579400 - (1685579400 % 3600)  # 2023-06-01 00:00 UTC
+    tbl = spark.table("t_late_rollup")
+    late_rows = tbl.filter(F.col("bucket_start") == late_bucket).collect()
+    assert late_rows and all(r["__batch_id"] == 1 for r in late_rows)
+
+    def merged():
+        return {
+            (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in merge_partials(
+                spark.table("t_late_rollup").drop("__batch_id"), 86400
+            ).collect()
+        }
+
+    want = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in merge_partials(time_bucket_partials(all_events), 86400).collect()
+    }
+    assert merged() == want
+
+    # crash-replay of the compacting batch: identical partition
+    # overwrite → answers unchanged (no double count)
+    replay = time_bucket_partials(
+        events.filter(~half).unionByName(late)
+    ).withColumn("__batch_id", F.lit(1))
+    _write_batch_keyed(spark, replay, "t_late_rollup")
+    assert merged() == want
+    spark.sql("DROP TABLE IF EXISTS t_late_rollup")
+
+
 def test_compact_partials_preserves_answers_and_retention(spark, sf_dir, tmp_path):
     """Hypertable maintenance: after N micro-batches the hourly partial
     table compacts (old buckets → daily rows, __batch_id = -1) with
