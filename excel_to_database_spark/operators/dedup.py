@@ -1023,3 +1023,137 @@ def lsh_text_index_probe(
     return lsh_matches_against_index(
         sig, index, int(meta["bands"]), int(meta["rows"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally maintained duplicate-cluster labels
+# ---------------------------------------------------------------------------
+
+
+class _UnionFind:
+    """Driver-side union-find with path compression; canonical root is
+    the MINIMUM member label, matching connected_components' min-label
+    contract so incremental and batch labels agree exactly."""
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != x:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        self.parent[hi] = lo
+
+
+def dedup_cluster_update(
+    spark, path: str, new_ids: DataFrame, pairs: DataFrame
+) -> None:
+    """Incrementally maintain persisted duplicate-cluster labels — the
+    q100 connected-components contract without ever recomputing from
+    scratch: each batch appends its docs and merges components touched
+    by its pairs. State layout under ``path``:
+
+      * ``labels`` — (doc, label): one APPEND-ONLY row per doc, the
+        component label resolved at insert time;
+      * ``canon``  — (label, canon): the flattened union-find forest
+        (one row per label that has LOST a merge — bounded by the
+        number of historical cluster merges, never by corpus size).
+
+    Per-batch cost: one distributed join resolving the pair endpoints'
+    labels (new docs default to themselves), a driver-side union-find
+    over the DISTINCT LABEL pairs (the component-merge frontier — the
+    same driver-small scale as connected_components' per-round change
+    counts), an overwrite of the small canon table, and a
+    |batch|-row append to labels. A later merge of two grown clusters
+    rewrites ONE canon row, not the clusters' member rows — labels
+    resolve through canon at read time (``dedup_cluster_labels``),
+    which is what keeps maintenance batch-proportional at 100 TB.
+
+    ``new_ids``: one-column frame of this batch's doc ids. ``pairs``:
+    (doc_a, doc_b) duplicate pairs with at least one endpoint in the
+    batch (new↔new and new↔corpus)."""
+    from pyspark.errors import AnalysisException
+
+    uf = _UnionFind()
+    try:
+        for r in spark.read.parquet(f"{path}/canon").collect():
+            uf.parent[r["label"]] = r["canon"]
+    except AnalysisException:
+        pass
+    try:
+        labels = spark.read.parquet(f"{path}/labels")
+    except AnalysisException:
+        labels = None
+
+    new0 = new_ids.toDF("doc").select(
+        "doc", F.col("doc").alias("label")
+    )
+    lab = new0 if labels is None else labels.unionByName(new0)
+    la = lab.select(F.col("doc").alias("doc_a"), F.col("label").alias("la"))
+    lb = lab.select(F.col("doc").alias("doc_b"), F.col("label").alias("lb"))
+    lpairs = (
+        pairs.select("doc_a", "doc_b")
+        .join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select("la", "lb")
+        .filter(F.col("la") != F.col("lb"))
+        .distinct()
+        .collect()
+    )
+    for r in lpairs:
+        uf.union(r["la"], r["lb"])
+
+    flat = [(x, uf.find(x)) for x in list(uf.parent)]
+    flat = [(x, c) for x, c in flat if x != c]
+    if flat:
+        # safe direct overwrite: `flat` lives in driver memory, so the
+        # write never reads the files it replaces
+        spark.createDataFrame(flat, "label long, canon long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/canon")
+
+    # resolve the batch's own labels through the merged forest before
+    # appending (insert-time resolution; later merges go through
+    # canon). Distributed: the flattened forest is driver-small and
+    # broadcasts; the batch itself never collects.
+    forest = spark.createDataFrame(
+        flat or [], "label long, canon long"
+    )
+    (
+        new0.select("doc", F.col("doc").alias("label"))
+        .join(F.broadcast(forest), "label", "left")
+        .select("doc", F.coalesce("canon", "label").alias("label"))
+        .write.mode("append")
+        .parquet(f"{path}/labels")
+    )
+
+
+def dedup_cluster_labels(spark, path: str) -> DataFrame:
+    """Current cluster label per doc: labels resolved through the
+    flattened canon forest (one broadcast join — canon holds one row
+    per historical merge, driver-small next to the corpus). The
+    per-doc min aggregation collapses duplicate rows a replayed
+    micro-batch may have appended (foreachBatch is at-least-once):
+    both copies resolve through canon to the same canonical label, so
+    the min is exact, not a tie-break."""
+    from pyspark.errors import AnalysisException
+
+    labels = spark.read.parquet(f"{path}/labels")
+    try:
+        canon = spark.read.parquet(f"{path}/canon")
+        labels = labels.join(F.broadcast(canon), "label", "left").select(
+            "doc", F.coalesce("canon", "label").alias("cluster")
+        )
+    except AnalysisException:
+        labels = labels.select("doc", F.col("label").alias("cluster"))
+    return labels.groupBy("doc").agg(F.min("cluster").alias("cluster"))

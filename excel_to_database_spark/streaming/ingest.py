@@ -410,6 +410,85 @@ def stream_lsh_dedup(
     )
 
 
+def stream_dedup_clusters(
+    new_docs: DataFrame,
+    index_path: str,
+    labels_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    checkpoint: str = "/tmp/etds_dedup_clusters_ckpt",
+):
+    """Continuously-maintained duplicate-CLUSTER labels — the q100
+    connected-components contract kept incrementally current as
+    documents stream in, never recomputed from scratch. Per
+    micro-batch:
+
+      1. sign + band the batch with the persisted text-LSH index's own
+         parameters (the index is created from the first batch);
+      2. candidate pairs = batch bands probed against the CORPUS index
+         (new↔corpus) plus the in-batch band join (new↔new) — together
+         exactly the collisions a from-scratch run over the full
+         corpus would produce, which is what makes stream ≡ batch;
+      3. ``dedup_cluster_update``: a driver-small union-find over the
+         touched component labels merges clusters through the
+         persisted canon forest, and the batch's docs append to the
+         label table;
+      4. the batch's bands append to the index.
+
+    State story at 100 TB: no Spark streaming state — the band index
+    and the (labels, canon) tables ARE the state, all maintained with
+    |batch|-proportional work. ``dedup_cluster_labels(labels_path)``
+    reads the current labels at any time; its per-doc min-aggregation
+    also makes a replayed batch's duplicate label rows collapse, so
+    label reads stay correct under foreachBatch's at-least-once
+    delivery."""
+    from pyspark.errors import AnalysisException
+
+    from excel_to_database_spark.operators import dedup as D
+
+    rows = num_hashes // bands
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sig = D.minhash_signatures(
+            D.shingles(batch_df, id_col, text_col, n), num_hashes
+        )
+        within = D.lsh_candidates(sig, bands, rows)
+        try:
+            index = spark.read.parquet(f"{index_path}/bands")
+            vs_corpus = D.lsh_matches_against_index(
+                sig, index, bands, rows
+            ).select(
+                F.col("doc_new").alias("doc_a"),
+                F.col("doc_corpus").alias("doc_b"),
+            )
+            pairs = within.unionByName(vs_corpus)
+            D.lsh_text_index_append(
+                spark, index_path, batch_df, id_col, text_col
+            )
+        except AnalysisException:
+            pairs = within
+            D.build_lsh_text_index(
+                batch_df, id_col, text_col, index_path,
+                n=n, num_hashes=num_hashes, bands=bands, rows=rows,
+            )
+        D.dedup_cluster_update(
+            spark, labels_path, batch_df.select(id_col), pairs
+        )
+
+    return (
+        new_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

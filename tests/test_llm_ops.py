@@ -882,6 +882,45 @@ def test_ivf_pq_probe_external_queries(spark, tmp_path):
         assert sorted(ranks) == [1, 2, 3]
 
 
+def test_dedup_cluster_update_bridges_without_rewrite(spark, tmp_path):
+    """Incremental cluster maintenance: a later doc bridging two
+    existing clusters must merge them through ONE canon row — member
+    label rows are never rewritten, yet every member resolves to the
+    merged minimum label."""
+    path = str(tmp_path / "clusters")
+
+    def ids(*xs):
+        return spark.createDataFrame([(x,) for x in xs], "doc long")
+
+    def prs(*ps):
+        return spark.createDataFrame(list(ps), "doc_a long, doc_b long")
+
+    D.dedup_cluster_update(spark, path, ids(1, 2, 10, 11), prs((1, 2), (10, 11)))
+    got = {r["doc"]: r["cluster"]
+           for r in D.dedup_cluster_labels(spark, path).collect()}
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10}
+
+    # doc 5 bridges both clusters; min label 1 wins everywhere
+    D.dedup_cluster_update(spark, path, ids(5), prs((5, 2), (5, 11)))
+    got = {r["doc"]: r["cluster"]
+           for r in D.dedup_cluster_labels(spark, path).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 10: 1, 11: 1}
+    # the 10-cluster's member rows were NOT rewritten: the merge lives
+    # in the canon forest
+    raw = {r["doc"]: r["label"]
+           for r in spark.read.parquet(f"{path}/labels").collect()}
+    assert raw[11] == 10
+    canon = {r["label"]: r["canon"]
+             for r in spark.read.parquet(f"{path}/canon").collect()}
+    assert canon[10] == 1
+
+    # singleton batch: no pairs, own label
+    D.dedup_cluster_update(spark, path, ids(99), prs())
+    got = {r["doc"]: r["cluster"]
+           for r in D.dedup_cluster_labels(spark, path).collect()}
+    assert got[99] == 99
+
+
 def test_char_shingles_pipeline(spark, docs):
     sh = D.char_shingles(docs, "doc_id", "text", n=5)
     rows = sh.filter(F.col("doc") == 1).collect()

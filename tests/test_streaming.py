@@ -406,6 +406,57 @@ def test_stream_rollup_compaction_spares_inflight_batch(spark, sf_dir, tmp_path)
     spark.sql("DROP TABLE IF EXISTS t_late_rollup")
 
 
+def test_stream_dedup_clusters_matches_batch(spark, sf_dir, tmp_path):
+    """Two micro-batches of documents through stream_dedup_clusters
+    must yield EXACTLY the labels a from-scratch batch
+    connected_components over the full corpus's LSH collision graph
+    produces — the incremental canon-forest maintenance is
+    semantics-free."""
+    import time as _time
+
+    from excel_to_database_spark.operators import dedup as D
+    from excel_to_database_spark.streaming.ingest import stream_dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "docs_split"
+    half = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    docs.filter(half).coalesce(1).write.parquet(str(src / "p0"))
+    _time.sleep(1.2)  # distinct mtimes pin micro-batch order
+    docs.filter(~half).coalesce(1).write.parquet(str(src / "p1"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = stream_dedup_clusters(
+        stream,
+        index_path=str(tmp_path / "band_idx"),
+        labels_path=str(tmp_path / "labels"),
+        checkpoint=str(tmp_path / "ck_cl"),
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc"]: r["cluster"]
+        for r in D.dedup_cluster_labels(spark, str(tmp_path / "labels")).collect()
+    }
+    # batch reference: CC over the SAME collision graph built from
+    # scratch on the full corpus
+    sig = D.minhash_signatures(D.shingles(docs, "doc_id", "text", 3), 16)
+    want = {
+        r["doc"]: r["cluster"]
+        for r in D.connected_components(D.lsh_candidates(sig, 4, 4)).collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(got) == all_ids  # every doc labeled
+    for d in all_ids:
+        assert got[d] == want.get(d, d)  # CC label, or singleton self
+
+
 def test_compact_partials_preserves_answers_and_retention(spark, sf_dir, tmp_path):
     """Hypertable maintenance: after N micro-batches the hourly partial
     table compacts (old buckets → daily rows, __batch_id = -1) with
