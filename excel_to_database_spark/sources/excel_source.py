@@ -56,12 +56,18 @@ def read_excel(
     bug_compat_1900: bool = False,
     sanitize: bool = True,
     keep_time: bool = False,
+    times: bool = False,
     columns: list[str] | None = None,
 ) -> DataFrame:
     """Read one sheet (by name; default first) from ``path`` — a file,
     glob, or directory of .xlsx files sharing a header — as an
     all-string DataFrame. ``keep_time`` renders date-styled cells with
     their time-of-day (engine extension; the reference drops it).
+    ``times`` additionally decodes TIME-of-day numFmts (builtin ids
+    18-21/45-47 and custom h/s codes) as ``HH:MM:SS`` — a documented
+    divergence from the reference, which skips times entirely
+    (xlsparser.js:52); off by default for byte-parity. Combine with
+    ``promote_temporal_columns`` for typed Date/Timestamp output.
 
     ``columns`` is column pruning pushed INTO the decoder: only the
     named (post-sanitize) columns have their cells value-decoded —
@@ -99,7 +105,9 @@ def read_excel(
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                rdr = WorkbookReader(bytes(row["content"]), bug_compat_1900, keep_time)
+                rdr = WorkbookReader(
+                    bytes(row["content"]), bug_compat_1900, keep_time, times
+                )
                 matrix = rdr.read_sheet(sheet_name, visible_only, want_cols=want_raw)
                 body = [
                     [padded[p] for p in positions]
@@ -112,3 +120,68 @@ def read_excel(
 
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.xlsx").load(path)
     return files.select("content").mapInPandas(decode, schema=out_schema)
+
+
+def promote_temporal_columns(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Opt-in typed promotion over the all-string Excel read: string
+    columns whose every non-empty value is a rendered date
+    (``YYYY-MM-DD`` → DateType), datetime (``YYYY-MM-DD HH:MM:SS`` →
+    TimestampType) or time-of-day (``HH:MM:SS`` → TimestampType on
+    1970-01-01) are cast; mixed or free-text columns stay strings.
+    This is the Date/Timestamp surface the reference never offers (it
+    emits display strings and skips times, xlsparser.js:52) — kept OUT
+    of read_excel's default path so default output stays byte-parity.
+
+    One aggregate pass classifies ALL candidate columns together
+    (per-column match counts vs non-empty counts — no per-column
+    jobs); the casts themselves are plain Catalyst expressions, so
+    pushdown/pruning on the promoted frame behave like any typed
+    source."""
+    from pyspark.sql import functions as F
+
+    date_re = r"^\d{4}-\d{2}-\d{2}$"
+    dt_re = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$"
+    time_re = r"^\d{2}:\d{2}:\d{2}$"
+    cand = [
+        c for c in (columns if columns is not None else df.columns)
+        if dict(df.dtypes).get(c) == "string"
+    ]
+    if not cand:
+        return df
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    aggs = []
+    for c in cand:
+        col, ne = F.col(c), F.col(c) != ""
+        aggs += [
+            cnt(ne & col.isNotNull()).alias(f"{c}__n"),
+            cnt(col.rlike(date_re)).alias(f"{c}__d"),
+            cnt(col.rlike(dt_re)).alias(f"{c}__dt"),
+            cnt(col.rlike(time_re)).alias(f"{c}__t"),
+        ]
+    stats = df.agg(*aggs).collect()[0]
+
+    out = []
+    for c in df.columns:
+        if c not in cand or stats[f"{c}__n"] == 0:
+            out.append(F.col(c))
+            continue
+        n = stats[f"{c}__n"]
+        empty_as_null = F.when(F.col(c) == "", None).otherwise(F.col(c))
+        if stats[f"{c}__d"] == n:
+            out.append(F.to_date(empty_as_null).alias(c))
+        elif stats[f"{c}__dt"] == n:
+            out.append(F.to_timestamp(empty_as_null).alias(c))
+        elif stats[f"{c}__t"] == n:
+            out.append(
+                F.to_timestamp(
+                    F.concat(F.lit("1970-01-01 "), empty_as_null)
+                ).alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    return df.select(*out)

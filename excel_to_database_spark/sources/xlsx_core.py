@@ -42,6 +42,13 @@ _PKG_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 # matching the reference (xlsparser.js:52).
 _BUILTIN_DATE_NUMFMT = {14, 15, 16, 17, 22, 30}
 
+# Built-in TIME-of-day format ids (ECMA-376 §18.8.30: h:mm AM/PM,
+# h:mm:ss AM/PM, h:mm, h:mm:ss, mm:ss, [h]:mm:ss, mmss.0). The
+# reference explicitly skips times (xlsparser.js:52); the opt-in
+# ``times=True`` reader mode serves them anyway — a documented
+# divergence, off by default for byte-parity.
+_BUILTIN_TIME_NUMFMT = {18, 19, 20, 21, 45, 46, 47}
+
 _EPOCH_1900 = _dt.date(1899, 12, 30)  # Excel serial 1 == 1900-01-01
 
 
@@ -58,6 +65,29 @@ def is_date_format(fmt_code: str) -> bool:
     """Custom-format date classifier: any unescaped m/d/y remaining after
     literal sections are stripped (reference rule, xlsparser.js:62-77)."""
     return bool(re.search(r"[mdyMDY]", _strip_literal_sections(fmt_code)))
+
+
+def is_time_format(fmt_code: str) -> bool:
+    """Custom-format TIME-ONLY classifier (``times=True`` mode):
+    unescaped h or s with no unescaped d/y. A code with both time and
+    d/y tokens is a DATETIME and stays with the date classifier ('m'
+    alone is ambiguous — month vs minute — and resolves to date for
+    reference parity, e.g. custom 'h:mm' is time only because h wins
+    over the ambiguous m)."""
+    stripped = _strip_literal_sections(fmt_code)
+    return bool(re.search(r"[hsHS]", stripped)) and not re.search(
+        r"[dyDY]", stripped
+    )
+
+
+def serial_to_time_str(serial: float) -> str:
+    """Fraction-of-day of an Excel serial → ``HH:MM:SS`` (the time-of-
+    day the cell displays; any whole-day part is discarded, as Excel's
+    h:mm formats do)."""
+    secs = min(round((serial - int(serial)) * 86400), 86399)
+    h, rem = divmod(int(secs), 3600)
+    m, s = divmod(rem, 60)
+    return f"{h:02d}:{m:02d}:{s:02d}"
 
 
 def a1_to_rowcol(ref: str) -> tuple[int, int]:
@@ -135,13 +165,19 @@ class WorkbookReader:
     """Decode one .xlsx byte payload into ``{sheet_name: matrix}``."""
 
     def __init__(
-        self, data: bytes, bug_compat_1900: bool = False, keep_time: bool = False
+        self,
+        data: bytes,
+        bug_compat_1900: bool = False,
+        keep_time: bool = False,
+        times: bool = False,
     ):
         self._zip = zipfile.ZipFile(io.BytesIO(data))
         self.bug_compat_1900 = bug_compat_1900
         self.keep_time = keep_time
+        self.times = times
         self._shared = self._read_shared_strings()
         self._date_styles = self._read_date_styles()
+        self._time_styles = self._read_time_styles() if times else set()
         self.sheet_paths = self._read_sheet_paths()
 
     # -- package parts ------------------------------------------------
@@ -180,6 +216,31 @@ class WorkbookReader:
             if fmt_id in _BUILTIN_DATE_NUMFMT or fmt_id in custom_date_fmts:
                 date_styles.add(i)
         return date_styles
+
+    def _read_time_styles(self) -> set[int]:
+        """Indices into cellXfs whose numFmt means 'time of day'
+        (``times=True`` mode only; the reference skips times,
+        xlsparser.js:52). Time classification wins over the m-ambiguity
+        in is_date_format, so a custom 'h:mm' renders as time here
+        while remaining a date in parity mode."""
+        raw = self._read("xl/styles.xml")
+        if raw is None:
+            return set()
+        root = ET.fromstring(raw)
+        custom_time_fmts = {
+            int(nf.get("numFmtId"))
+            for nf in root.iter(f"{_MAIN_NS}numFmt")
+            if is_time_format(nf.get("formatCode", ""))
+        }
+        time_styles: set[int] = set()
+        cell_xfs = root.find(f"{_MAIN_NS}cellXfs")
+        if cell_xfs is None:
+            return set()
+        for i, xf in enumerate(cell_xfs.findall(f"{_MAIN_NS}xf")):
+            fmt_id = int(xf.get("numFmtId", "0"))
+            if fmt_id in _BUILTIN_TIME_NUMFMT or fmt_id in custom_time_fmts:
+                time_styles.add(i)
+        return time_styles
 
     def _read_sheet_paths(self) -> dict[str, str]:
         """sheet name → zip path, resolved through workbook rels
@@ -301,7 +362,12 @@ class WorkbookReader:
                 text = _cell_text(c, self._shared)
                 if text and c.get("t", "n") == "n":
                     style = int(c.get("s", "-1"))
-                    if style in self._date_styles:
+                    if style in self._time_styles:
+                        try:
+                            text = serial_to_time_str(float(text))
+                        except ValueError:
+                            pass
+                    elif style in self._date_styles:
                         try:
                             text = serial_to_iso(
                                 float(text), self.bug_compat_1900, self.keep_time

@@ -26,16 +26,22 @@ _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 
 # styles: xf 0 = general, xf 1 = builtin date (numFmtId 14),
 # xf 2 = custom date format (numFmtId 164 "dd/mm/yyyy"),
-# xf 3 = custom NON-date format with quoted literal 'd' ("0.0 \"days\"")
+# xf 3 = custom NON-date format with quoted literal 'd' ("0.0 \"days\""),
+# xf 4 = builtin time (numFmtId 21 "h:mm:ss"),
+# xf 5 = custom time (numFmtId 166 "hh:mm:ss"),
+# xf 6 = builtin datetime (numFmtId 22 "m/d/yy h:mm")
 _STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-<numFmts count="2">
+<numFmts count="3">
 <numFmt numFmtId="164" formatCode="dd/mm/yyyy"/>
 <numFmt numFmtId="165" formatCode="0.0&quot;days&quot;"/>
+<numFmt numFmtId="166" formatCode="hh:mm:ss"/>
 </numFmts>
-<cellXfs count="4">
+<cellXfs count="7">
 <xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/>
 <xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/>
+<xf numFmtId="21" applyNumberFormat="1"/><xf numFmtId="166" applyNumberFormat="1"/>
+<xf numFmtId="22" applyNumberFormat="1"/>
 </cellXfs>
 </styleSheet>"""
 

@@ -182,6 +182,72 @@ def test_read_excel_keep_time(spark, tmp_path):
     assert timed == "2021-01-01 12:00:00"
 
 
+def test_time_of_day_promotion(spark, tmp_path):
+    """Opt-in ``times=True``: builtin (21) and custom (hh:mm:ss) time
+    numFmts decode the serial's day-fraction as HH:MM:SS, while
+    DEFAULT mode keeps the reference's behavior (times skipped,
+    xlsparser.js:52 — raw serial text). Date and datetime cells are
+    untouched by the flag; promote_temporal_columns then yields typed
+    Date/Timestamp columns. Divergence note: this surface exists only
+    behind the flag — default output stays byte-parity with the
+    reference."""
+    from excel_to_database_spark.sources.excel_source import (
+        promote_temporal_columns,
+    )
+    from excel_to_database_spark.sources.xlsx_core import (
+        is_time_format,
+        serial_to_time_str,
+    )
+
+    assert is_time_format("hh:mm:ss") and is_time_format("h:mm")
+    assert is_time_format("mm:ss")  # seconds present → time
+    assert not is_time_format("dd/mm/yyyy h:mm")  # datetime → date rule
+    assert not is_time_format('0.0"s"')  # literal s
+    assert serial_to_time_str(0.75) == "18:00:00"
+    assert serial_to_time_str(44197.5208333333) == "12:30:00"
+
+    wb = build_xlsx(
+        {"S": [["d", "t1", "t2", "dt"],
+               [44197, 0.75, 44197.5208333333, 44197.25]]},
+        date_styles={("S", 1, 0): 1, ("S", 1, 1): 4,
+                     ("S", 1, 2): 5, ("S", 1, 3): 6},
+    )
+    p = tmp_path / "tod.xlsx"
+    p.write_bytes(wb)
+
+    # default: parity — time-styled serials pass through as numbers
+    plain = read_excel(spark, str(p)).collect()[0]
+    assert plain["d"] == "2021-01-01"
+    assert plain["t1"] == "0.75"
+    assert plain["dt"] == "2021-01-01"
+
+    timed = read_excel(spark, str(p), times=True)
+    row = timed.collect()[0]
+    assert row["d"] == "2021-01-01"
+    assert row["t1"] == "18:00:00"
+    assert row["t2"] == "12:30:00"
+    assert row["dt"] == "2021-01-01"  # datetime style: date rule, no keep_time
+
+    typed = promote_temporal_columns(timed)
+    types = dict(typed.dtypes)
+    assert types == {"d": "date", "t1": "timestamp", "t2": "timestamp",
+                     "dt": "date"}
+    trow = typed.collect()[0]
+    assert str(trow["d"]) == "2021-01-01"
+    assert str(trow["t1"]) == "1970-01-01 18:00:00"
+
+    # datetime strings (the keep_time rendering) promote to timestamp;
+    # mixed/free-text columns stay strings; empties become NULL
+    mixed = spark.createDataFrame(
+        [("2021-01-01 06:00:00", "x", ""), ("", "2021-01-01", "07:00:00")],
+        "a string, b string, c string",
+    )
+    ptypes = dict(promote_temporal_columns(mixed).dtypes)
+    assert ptypes == {"a": "timestamp", "b": "string", "c": "timestamp"}
+    vals = promote_temporal_columns(mixed).collect()
+    assert vals[0]["a"] is not None and vals[1]["a"] is None
+
+
 def test_read_sheet_column_pruning(monkeypatch):
     """want_cols decodes only the wanted cells: positions are stable,
     pruned cells surface as '', and their values are never decoded."""
