@@ -217,6 +217,64 @@ def q76_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q158_incremental_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_sql_minhash()},
+    sym AS (SELECT da AS src, db AS dst FROM cand
+            UNION SELECT db, da FROM cand),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    labels AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+               FROM reach GROUP BY src)
+    SELECT d.doc_id AS doc, COALESCE(l.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN labels l ON l.doc = d.doc_id
+    """,
+)
+def q158_incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY maintained duplicate-cluster labels
+    (operators/dedup.dedup_cluster_update / dedup_cluster_labels): the
+    corpus arrives as two batches; each batch contributes its in-batch
+    LSH band collisions plus its collisions against the already-
+    ingested half, and cluster merges flow through the persisted
+    driver-small canon forest — members are never relabeled. The
+    oracle recomputes connected components of the FULL corpus's band-
+    collision graph from scratch (recursive CTE), so the exact match
+    certifies incremental ≡ from-scratch, the property that lets a
+    100 TB pipeline keep labels current without corpus-wide reruns."""
+    import shutil
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="etds_q158_")
+    try:
+        prev_sig = None
+        for k in (0, 1):
+            batch = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == k)
+            sig = D.minhash_signatures(
+                D.pin(D.shingles(batch, "doc_id", "text", 3)), 16
+            )
+            pairs = D.lsh_candidates(sig, 4, 4)
+            if prev_sig is not None:
+                between = D.lsh_matches_between(sig, prev_sig, 4, 4).select(
+                    F.col("doc_new").alias("doc_a"),
+                    F.col("doc_corpus").alias("doc_b"),
+                )
+                pairs = pairs.unionByName(between)
+            D.dedup_cluster_update(spark, path, batch.select("doc_id"), pairs)
+            prev_sig = sig
+        rows = [
+            (r["doc"], r["cluster"])
+            for r in D.dedup_cluster_labels(spark, path).collect()
+        ]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc long, cluster long")
+
+
 def _sql_simhash() -> str:
     votes = ", ".join(
         f"SUM((((strpos('0123456789abcdef', substring(md5(w), {1 + j // 4}, 1)) - 1)"
