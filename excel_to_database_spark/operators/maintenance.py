@@ -1,0 +1,106 @@
+"""Small-file maintenance for append-maintained parquet state.
+
+Every incremental lifecycle in the engine appends one parquet file (or
+few) per batch — IVF-PQ ``assigned``/``codes``, the text-LSH ``bands``
+index, the dedup-cluster ``labels`` table. At streaming cadence that is
+thousands of tiny files per day: list/open overhead starts to dominate
+probe latency long before data volume does (the classic small-files
+problem). These helpers rewrite a directory into a bounded number of
+files with CONTENT IDENTICAL to the pre-compaction read — probes,
+labels, and health statistics are unchanged by construction, which the
+tests assert.
+
+The rewrite is write-new → atomic-ish swap via the Hadoop FileSystem
+API (works for local paths and HDFS/S3A URIs alike — never a Python
+``os`` call on what may be a remote URI), so a reader never sees a
+half-written directory: it sees the old directory until the rename.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _n_files(spark: SparkSession, path: str) -> int:
+    """Data-file count via the filesystem listing — NOT
+    ``input_file_name()``: if any live plan has the directory cached,
+    the cache manager serves the fresh read from the InMemoryRelation,
+    where input_file_name is empty and the distinct-count collapses
+    to 1."""
+    fs, hpath, _ = _fs(spark, path)
+    return sum(
+        1
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> dict:
+    """Rewrite one parquet directory into ``target_files`` files.
+    Returns {"files_before", "files_after", "rows"}; a directory
+    already at or under the target is left untouched (no-op, zero
+    writes)."""
+    before = _n_files(spark, path)
+    rows = spark.read.parquet(path).count()
+    if before <= target_files:
+        return {"files_before": before, "files_after": before, "rows": rows}
+    tmp = f"{path}__compact_tmp"
+    spark.read.parquet(path).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    fs, dst, jvm = _fs(spark, path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(dst, True)
+    fs.rename(src, dst)
+    # drop any cached plans still pointing at the replaced files so a
+    # later cache-miss recompute can't chase deleted paths
+    spark.catalog.refreshByPath(path)
+    return {
+        "files_before": before,
+        "files_after": _n_files(spark, path),
+        "rows": rows,
+    }
+
+
+def ivf_pq_index_compact(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> dict:
+    """Fold an IVF-PQ index's append-grown ``assigned`` and ``codes``
+    tables back to ``target_files`` parquet files each (the
+    amortized-maintenance sibling of ``ivf_pq_index_append``). Probe
+    results and ``ivf_pq_index_health`` are content-unchanged."""
+    return {
+        "assigned": compact_parquet_dir(spark, f"{path}/assigned", target_files),
+        "codes": compact_parquet_dir(spark, f"{path}/codes", target_files),
+    }
+
+
+def lsh_text_index_compact(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> dict:
+    """Fold the text-LSH index's append-grown ``bands`` table back to
+    ``target_files`` files; probes are content-unchanged."""
+    return {
+        "bands": compact_parquet_dir(spark, f"{path}/bands", target_files)
+    }
+
+
+def dedup_cluster_compact(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> dict:
+    """Fold the incremental dedup-cluster ``labels`` table back to
+    ``target_files`` files (``canon`` is already single-file by
+    construction); ``dedup_cluster_labels`` output is unchanged."""
+    return {
+        "labels": compact_parquet_dir(spark, f"{path}/labels", target_files)
+    }

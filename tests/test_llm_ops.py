@@ -862,6 +862,91 @@ def test_ivf_pq_index_health_drift(spark, tmp_path):
     assert h2["drift_ratio"] == 1.0
 
 
+def test_index_and_state_compaction(spark, tmp_path):
+    """Small-file maintenance: after several appends the IVF-PQ
+    assigned/codes tables, the text-LSH bands table, and the cluster
+    labels table fold back to one file each with CONTENT-IDENTICAL
+    reads — probe results, health statistics, and cluster labels
+    unchanged."""
+    from excel_to_database_spark.operators import maintenance as M
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "cmp_idx")
+    S.build_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 200), "vec_id", "embedding",
+        path, n_lists=8, m=8, pq_k=16,
+    )
+    for lo in (200, 250, 300):
+        S.ivf_pq_index_append(
+            spark, path,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)),
+            "vec_id", "embedding",
+        )
+    before_probe = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.ann_ivf_pq_probe(
+            S.load_ivf_pq_index(spark, path), k=3, n_probe=4,
+            query_filter=F.col("id") < 5,
+        ).collect()
+    )
+    before_health = S.ivf_pq_index_health(spark, path)
+    stats = M.ivf_pq_index_compact(spark, path)
+    assert stats["assigned"]["files_before"] > stats["assigned"]["files_after"] == 1
+    assert stats["codes"]["files_after"] == 1
+    after_probe = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.ann_ivf_pq_probe(
+            S.load_ivf_pq_index(spark, path), k=3, n_probe=4,
+            query_filter=F.col("id") < 5,
+        ).collect()
+    )
+    assert after_probe == before_probe
+    assert S.ivf_pq_index_health(spark, path) == before_health
+    # idempotent no-op at the target
+    again = M.ivf_pq_index_compact(spark, path)
+    assert again["assigned"]["files_before"] == 1
+
+    # text index + cluster labels
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tpath = str(tmp_path / "cmp_txt")
+    D.build_lsh_text_index(
+        docs.filter(F.col("doc_id") < 200), "doc_id", "text", tpath
+    )
+    for lo in (200, 300):
+        D.lsh_text_index_append(
+            spark, tpath,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)),
+            "doc_id", "text",
+        )
+    probe_docs = docs.filter(F.col("doc_id") >= 400)
+    want_hits = {
+        (r["doc_new"], r["doc_corpus"])
+        for r in D.lsh_text_index_probe(
+            spark, tpath, probe_docs, "doc_id", "text"
+        ).collect()
+    }
+    assert M.lsh_text_index_compact(spark, tpath)["bands"]["files_after"] == 1
+    got_hits = {
+        (r["doc_new"], r["doc_corpus"])
+        for r in D.lsh_text_index_probe(
+            spark, tpath, probe_docs, "doc_id", "text"
+        ).collect()
+    }
+    assert got_hits == want_hits
+
+    cpath = str(tmp_path / "cmp_cl")
+    ids = lambda *xs: spark.createDataFrame([(x,) for x in xs], "doc long")
+    prs = lambda *ps: spark.createDataFrame(list(ps), "doc_a long, doc_b long")
+    D.dedup_cluster_update(spark, cpath, ids(1, 2), prs((1, 2)))
+    D.dedup_cluster_update(spark, cpath, ids(3), prs((3, 2)))
+    want = {(r["doc"], r["cluster"])
+            for r in D.dedup_cluster_labels(spark, cpath).collect()}
+    assert M.dedup_cluster_compact(spark, cpath)["labels"]["files_after"] == 1
+    got = {(r["doc"], r["cluster"])
+           for r in D.dedup_cluster_labels(spark, cpath).collect()}
+    assert got == want == {(1, 1), (2, 1), (3, 1)}
+
+
 def test_ivf_pq_probe_external_queries(spark, tmp_path):
     """A probe with an EXTERNAL query set (the streaming micro-batch
     shape: vectors not in the index) returns k ranked neighbors per
