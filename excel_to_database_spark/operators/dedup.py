@@ -110,6 +110,13 @@ def char_span_dedup(
     hence the survivors) are IDENTICAL to what clique pairs would
     produce, which is what the SQL oracle verifies."""
     docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # the window index feeds two consumers (representative agg + edge
+    # join) and is deliberately NOT persisted: re-running the
+    # explode+digest Generate per consumer measures ~3× cheaper than
+    # materializing the Σ-chars index into the block manager (the
+    # digest rows are wide and cache-hostile; the explode is
+    # CPU-cheap), and the join side's exchange is reused by AQE where
+    # partitionings line up
     g = char_shingles(docs, id_col, text_col, n=min_len).select(
         "doc", F.md5("shingle").alias("h")
     )
