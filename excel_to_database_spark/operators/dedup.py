@@ -1088,7 +1088,15 @@ def dedup_cluster_update(
 
     ``new_ids``: one-column frame of this batch's doc ids. ``pairs``:
     (doc_a, doc_b) duplicate pairs with at least one endpoint in the
-    batch (new↔new and new↔corpus)."""
+    batch (new↔new and new↔corpus).
+
+    Operational boundary: the driver frontier is the DISTINCT label
+    pairs of one batch — fine for streaming/incremental cadence, but a
+    corpus-sized FIRST batch would push the whole duplicate graph
+    through it. Seed that case with the distributed batch path instead
+    (``connected_components``, the q100 plan), write its (doc, label)
+    output as the initial ``labels`` table, and maintain incrementally
+    from there."""
     from pyspark.errors import AnalysisException
 
     uf = _UnionFind()
