@@ -387,6 +387,85 @@ def group_sample(df, group_col: str, key_col: str, k: int, salt: str = "gs"):
     )
 
 
+def bigram_lm_fluency(
+    df, id_col: str, text_col: str, log_space: bool = False
+):
+    """Corpus-trained bigram language-model fluency score per document
+    — the CCNet/KenLM-style quality filter shape with the corpus as
+    its own training set: P(w2|w1) = (c(w1,w2) + ½) / (c(w1·) + ½·V)
+    (add-½ smoothing over vocabulary V), scored over every bigram
+    OCCURRENCE. Low scores flag disfluent/noisy text whose word
+    transitions the corpus has never seen.
+
+    Returns (doc, n_bigrams, mean_prob); ``log_space=True`` adds the
+    classic ``cross_entropy`` (−mean log₂ P) and ``perplexity``
+    (2^H) columns for production filtering.
+
+    Cross-engine determinism (the oracle-exactness discipline):
+    smoothed probabilities are the single IEEE division
+    (2·c2+1)/(2·c1+V) of exactly-representable integers — bit-equal in
+    any IEEE engine — then the per-doc mean routes through a
+    decimal(30,12) sum (order-independent) and one final double
+    division. The log-space columns are double transcendentals
+    (production-only; not oracle-checked — libm log2 is not guaranteed
+    correctly rounded across engines).
+
+    Scale shape: the LM is two hash aggregates (bigram counts, then
+    prefix counts from the bigram table — never a second corpus pass);
+    probabilities attach per distinct BIGRAM TYPE before the one join
+    back to occurrences, so per-occurrence work is a single equi-join
+    probe. Vocabulary size joins as a broadcast 1-row frame (no
+    driver-side action)."""
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.struct(
+                F.get(w, i).alias("w1"), F.get(w, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array())
+    staged = df.select(
+        F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w")
+    )
+    bg = staged.select("doc", F.explode(grams).alias("b")).select(
+        "doc", "b.w1", "b.w2"
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vdf = (
+        staged.select(F.explode(w).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    lm = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.lit(2) * F.col("c2") + 1).cast("double")
+                / (F.lit(2) * F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    scored = bg.join(lm, ["w1", "w2"])
+    aggs = [
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.col("p").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_prob"),
+    ]
+    if log_space:
+        aggs.append((-F.avg(F.log2("p"))).alias("cross_entropy"))
+    out = scored.groupBy("doc").agg(*aggs)
+    if log_space:
+        out = out.withColumn("perplexity", F.pow(F.lit(2.0), "cross_entropy"))
+    return out
+
+
 def bigram_novelty(df, id_col: str, text_col: str):
     """Per-document bigram novelty: of the doc's distinct word
     bigrams, the fraction that occur in NO other document — the

@@ -1769,6 +1769,46 @@ def q141_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q159_bigram_lm_fluency",
+    """
+    WITH ws AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+    bg AS (SELECT doc_id AS doc, w[i] AS w1, w[i+1] AS w2
+           FROM ws CROSS JOIN UNNEST(range(1, len(w))) AS s(i)
+           WHERE len(w) >= 2),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT UNNEST(w) AS tok FROM ws)),
+    terms AS (SELECT bg.doc,
+                     CAST(CAST(2 * c2.c2 + 1 AS DOUBLE)
+                          / CAST(2 * c1.c1 + v.v AS DOUBLE)
+                          AS DECIMAL(30,12)) AS p
+              FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+              CROSS JOIN v)
+    SELECT doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_prob
+    FROM terms GROUP BY doc
+    """,
+)
+def q159_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency per document — the CCNet-style
+    perplexity-filter shape (operators/text.bigram_lm_fluency) with
+    add-½ smoothing over the corpus vocabulary. The smoothed
+    probability is one IEEE division of exact integers and the per-doc
+    mean routes through a decimal sum, so even this 'statistical'
+    score is value-exact against the SQL oracle; the log-space
+    perplexity columns are the production variant (libm transcendental
+    — deliberately outside the oracle contract, same split as
+    tfidf_top_terms' ln-IDF)."""
+    d = t(spark, sf_dir, "documents")
+    return T.bigram_lm_fluency(d, "doc_id", "text").withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
+@query(
     "q142_boilerplate_line_removal",
     """
     WITH multi AS (

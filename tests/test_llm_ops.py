@@ -1381,6 +1381,36 @@ def test_remove_boilerplate_lines(spark):
     assert out[4]["n_removed"] == 0
 
 
+def test_bigram_lm_fluency(spark):
+    """Corpus-trained bigram LM: a doc repeating the corpus's dominant
+    transitions must score more fluent (higher mean probability, lower
+    perplexity) than a doc of one-off transitions; hand-checked
+    smoothed probability on a tiny corpus; docs with <2 words drop."""
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "the cat sat"),
+        (4, "qq zz yy"),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r
+           for r in T.bigram_lm_fluency(df, "doc_id", "text",
+                                        log_space=True).collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 5 has no bigrams
+    # V = 8 distinct tokens; c("the cat")=3, c1("the")=3
+    # → P(cat|the) = (2·3+1)/(2·3+8) = 7/14 = 0.5
+    # c("cat sat")=2, c1("cat")=3 → (2·2+1)/(2·3+8) = 5/14
+    import pytest as _pt
+    assert out[1]["mean_prob"] == _pt.approx((0.5 + 5 / 14) / 2, abs=1e-9)
+    assert out[1]["mean_prob"] > out[4]["mean_prob"]
+    assert out[1]["perplexity"] < out[4]["perplexity"]
+    assert out[1]["cross_entropy"] == _pt.approx(
+        -(0.5 * ( __import__("math").log2(0.5) + __import__("math").log2(5/14))),
+        abs=1e-9,
+    )
+
+
 def test_bigram_novelty_counts(spark):
     rows = [
         (1, "alpha beta gamma"),
