@@ -62,6 +62,7 @@ HEADLINE = [
     # sampling + n-gram text-quality family
     "q140_per_group_sample",
     "q141_bigram_novelty",
+    "q159_bigram_lm_fluency",
     # round-5 additions: boilerplate-line removal, streaming sessions,
     # hypertable rollup, compressed vector index
     "q142_boilerplate_line_removal",

@@ -179,6 +179,36 @@ def test_pbshim_repeated_message_roundtrip(pairs):
     assert [(p.key, p.value) for p in back.kvPair] == pairs
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), max_size=60
+    )
+)
+def test_union_find_matches_naive_closure(edges):
+    """The driver-side union-find behind incremental dedup clusters
+    (operators/dedup._UnionFind) must produce min-label components
+    identical to a naive transitive closure, for any union order."""
+    from excel_to_database_spark.operators.dedup import _UnionFind
+
+    uf = _UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+
+    # naive reference: propagate min labels to fixpoint
+    nodes = {n for e in edges for n in e}
+    label = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    assert {n: uf.find(n) for n in nodes} == label
+
+
 def test_pbshim_submessage_vivifies_on_write_not_read():
     """Real-protobuf mutation semantics: ``msg.sub.field = x`` through
     a chain of unset sub-messages must be visible to serialization
