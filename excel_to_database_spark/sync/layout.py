@@ -116,3 +116,64 @@ def files_overlapping_box(path: str, box: dict[str, tuple]) -> tuple[int, int]:
         if overlaps:
             n_overlap += 1
     return n_overlap, len(files)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    target_bytes: int = 256 * 1024 * 1024,
+    bytes_col: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """Export a corpus as SIZE-BOUNDED, DETERMINISTICALLY-ORDERED
+    shards — the layout a training run consumes (fixed shard
+    byte-budget for loader memory, a total order over shards +
+    within-shard rows so every epoch and every re-export sees the same
+    sequence, and shard count ∝ corpus size for read parallelism).
+
+    Sizing is planned from ONE aggregate (row count + total payload
+    bytes — map-side combinable, no sampling, so the plan is
+    deterministic for a fixed corpus): rows-per-shard =
+    target_bytes / avg-row-bytes. ``bytes_col`` names the dominant
+    payload column (defaults to the first string/binary column);
+    parquet compression makes on-disk shards smaller than the budget —
+    the bound is on RAW payload, the number the training loader's
+    memory actually sees.
+
+    Layout = ``repartitionByRange(n_shards, order_col)`` (balanced
+    contiguous key ranges — also tight min/max stats per shard for
+    predicate skipping; the range boundaries come from Spark's SEEDED
+    range-partitioner sampling, deterministic for a fixed input
+    layout) + ``sortWithinPartitions(order_col)``.
+    Returns {"n_shards", "rows", "payload_bytes"}."""
+    if bytes_col is None:
+        bytes_col = next(
+            (c for c, t in df.dtypes if t in ("string", "binary")),
+            None,
+        )
+    size_expr = (
+        F.lit(64)
+        if bytes_col is None
+        else F.coalesce(F.length(F.col(bytes_col)), F.lit(0)) + 64
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(size_expr).cast("bigint").alias("b"),
+    ).collect()[0]
+    rows, payload = int(stats["n"]), int(stats["b"] or 0)
+    if rows == 0:
+        df.write.mode(mode).format(fmt).save(path)
+        return {"n_shards": 0, "rows": 0, "payload_bytes": 0}
+    rows_per_shard = max(1, int(target_bytes // max(1, payload // rows)))
+    n_shards = max(1, -(-rows // rows_per_shard))
+    (
+        df.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode(mode)
+        .format(fmt)
+        .option("maxRecordsPerFile", rows_per_shard)
+        .save(path)
+    )
+    return {"n_shards": n_shards, "rows": rows, "payload_bytes": payload}

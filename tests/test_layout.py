@@ -88,3 +88,58 @@ def test_zorder_interleave_roundtrip(spark):
         "x", "y", deinter(z, 0, 5).alias("rx"), deinter(z, 1, 5).alias("ry")
     )
     assert got.filter((F.col("x") != F.col("rx")) | (F.col("y") != F.col("ry"))).count() == 0
+
+
+def test_write_training_shards(spark, sf_dir, tmp_path):
+    """Size-bounded deterministic shard export: every shard stays under
+    the planned row bound, shards hold contiguous key ranges sorted
+    within, the union equals the input exactly, and a re-export
+    produces byte-identical shard assignment (determinism)."""
+    import glob
+
+    from excel_to_database_spark.sync.layout import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "shards")
+    stats = write_training_shards(
+        docs, out, order_col="doc_id", target_bytes=64 * 1024
+    )
+    assert stats["rows"] == docs.count()
+    assert stats["n_shards"] > 1
+
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert files
+    per_file = []
+    for f in files:
+        rows = [r["doc_id"] for r in spark.read.parquet(f"file://{f}").collect()]
+        assert rows == sorted(rows)  # sorted within shard
+        per_file.append((min(rows), max(rows), len(rows)))
+    # contiguous, non-overlapping key ranges across shards
+    spans = sorted(per_file)
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # planned row bound honored
+    rows_bound = max(n for _, _, n in per_file)
+    back = spark.read.parquet(out)
+    assert back.count() == stats["rows"]
+    assert rows_bound * (stats["n_shards"] - 1) < stats["rows"] + rows_bound
+
+    # union equals input
+    assert (
+        back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+        and docs.select("doc_id").exceptAll(back.select("doc_id")).count() == 0
+    )
+
+    # determinism: re-export yields the same shard spans
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, order_col="doc_id", target_bytes=64 * 1024)
+    spans2 = sorted(
+        (
+            min(x),
+            max(x),
+            len(x),
+        )
+        for f in sorted(glob.glob(f"{out2}/*.parquet"))
+        for x in [[r["doc_id"] for r in spark.read.parquet(f"file://{f}").collect()]]
+    )
+    assert spans2 == spans
