@@ -1571,9 +1571,8 @@ def q115_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q125_semantic_dedup_blocked",
-    """
+# shared by q125 (pairs) and q160 (survivor clusters over the pairs)
+_SQL_SEMANTIC_PAIRS = """
     WITH dims AS (SELECT DISTINCT UNNEST(generate_series(1, len(embedding))) AS i
                   FROM embeddings),
     vn AS (SELECT vec_id,
@@ -1607,7 +1606,12 @@ def q115_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            d.dot / (SQRT(va.n2) * SQRT(vb.n2)) AS cosine
     FROM dots d JOIN vn va ON va.vec_id = d.qid JOIN vn vb ON vb.vec_id = d.nid
     WHERE d.dot / (SQRT(va.n2) * SQRT(vb.n2)) >= 0.35
-    """,
+    """
+
+
+@query(
+    "q125_semantic_dedup_blocked",
+    _SQL_SEMANTIC_PAIRS,
 )
 def q125_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style blocked embedding near-dup: IVF-quantize into 8
@@ -1620,6 +1624,48 @@ def q125_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     return S.semantic_dedup_blocked(
         e, "vec_id", "embedding", n_lists=8, threshold=0.35
+    )
+
+
+@query(
+    "q160_semantic_dedup_survivors",
+    f"""
+    WITH RECURSIVE p AS ({_SQL_SEMANTIC_PAIRS}),
+    sym AS (SELECT vec_a AS src, vec_b AS dst FROM p
+            UNION SELECT vec_b, vec_a FROM p),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    labels AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+               FROM reach GROUP BY src)
+    SELECT e.vec_id AS doc,
+           COALESCE(l.cluster, e.vec_id) AS cluster,
+           COALESCE(l.cluster, e.vec_id) = e.vec_id AS keep
+    FROM embeddings e LEFT JOIN labels l ON l.doc = e.vec_id
+    """,
+)
+def q160_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup taken to its DECISION: the q125 blocked near-dup pairs
+    transitively clustered (min-label connected components) and
+    collapsed to keep-first survivors — (doc, cluster, keep) for every
+    vector, singletons keeping themselves. The q157 discipline in the
+    embedding domain: what a 100 TB pipeline actually executes is the
+    survivor set, not the pair list. Pair generation stays blocked
+    (never all-pairs); the closure runs on the pair graph only, and
+    every label is oracle-exact (recursive CTE over the same
+    decimal-exact pairs)."""
+    e = t(spark, sf_dir, "embeddings")
+    pairs = S.semantic_dedup_blocked(
+        e, "vec_id", "embedding", n_lists=8, threshold=0.35
+    ).select("vec_a", "vec_b")
+    cc = D.connected_components(pairs, a="vec_a", b="vec_b")
+    return (
+        e.select(F.col("vec_id").alias("doc"))
+        .join(cc, "doc", "left")
+        .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
+        .withColumn("keep", F.col("doc") == F.col("cluster"))
     )
 
 
