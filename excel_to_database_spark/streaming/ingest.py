@@ -459,6 +459,11 @@ def stream_dedup_clusters(
             D.shingles(batch_df, id_col, text_col, n), num_hashes
         )
         within = D.lsh_candidates(sig, bands, rows)
+        # label update runs BEFORE the index append, so the corpus
+        # probe provably never sees this batch's own bands (a lazy
+        # parquet read may or may not re-list appended files — the
+        # explicit ordering removes the ambiguity; in-batch pairs come
+        # from the dedicated band join above)
         try:
             index = spark.read.parquet(f"{index_path}/bands")
             vs_corpus = D.lsh_matches_against_index(
@@ -468,18 +473,21 @@ def stream_dedup_clusters(
                 F.col("doc_corpus").alias("doc_b"),
             )
             pairs = within.unionByName(vs_corpus)
-            D.lsh_text_index_append(
-                spark, index_path, batch_df, id_col, text_col
-            )
         except AnalysisException:
-            pairs = within
+            pairs = None
+        D.dedup_cluster_update(
+            spark, labels_path, batch_df.select(id_col),
+            pairs if pairs is not None else within,
+        )
+        if pairs is None:
             D.build_lsh_text_index(
                 batch_df, id_col, text_col, index_path,
                 n=n, num_hashes=num_hashes, bands=bands, rows=rows,
             )
-        D.dedup_cluster_update(
-            spark, labels_path, batch_df.select(id_col), pairs
-        )
+        else:
+            D.lsh_text_index_append(
+                spark, index_path, batch_df, id_col, text_col
+            )
 
     return (
         new_docs.writeStream.foreachBatch(sink)
