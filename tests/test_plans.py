@@ -141,3 +141,21 @@ def test_ivf_pq_probe_plan_is_training_free(spark, sf_dir):
     )
     # the build's returned stats scan the freshly persisted assignment
     assert _ivf_pq_index_path(sf_dir) in build_plan
+
+
+def test_bigram_lm_no_cartesian_q159(spark, sf_dir):
+    """The bigram LM attaches probabilities per bigram TYPE via an
+    equi-join; the only nested-loop join allowed is the broadcast of
+    the 1-row vocabulary frame — a CartesianProduct would mean the LM
+    join degenerated to all-pairs."""
+    plan = _plan(spark, sf_dir, "q159_bigram_lm_fluency")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row V frame only
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_char_span_survivor_no_cartesian_q157(spark, sf_dir):
+    """Survivor-form substring dedup: star edges come from one
+    equi-join on the window digest — never a pair blow-up join."""
+    plan = _plan(spark, sf_dir, "q157_char_span_dedup")
+    assert "CartesianProduct" not in plan
