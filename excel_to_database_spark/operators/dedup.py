@@ -554,7 +554,15 @@ def lsh_matches_against_index(
     sig_new: DataFrame, index: DataFrame, bands: int = 4, rows: int = 4
 ) -> DataFrame:
     """Band only the NEW side and probe a pre-banded corpus index (see
-    ``band_index``): (doc_new, doc_corpus) distinct candidate pairs."""
+    ``band_index``): (doc_new, doc_corpus) distinct candidate pairs.
+
+    Cost is ∝ |batch| + collision volume. On a boilerplate-heavy
+    corpus a hot index bucket multiplies every colliding batch doc by
+    the bucket's corpus population — run ``exact_dedup`` before
+    indexing (identical docs are the usual cause of oversized
+    buckets), or cluster-level screening via ``stream_dedup_clusters``
+    whose in-batch side carries the ``lsh_candidates`` hot-bucket
+    guard."""
     x = _banded(sig_new, bands, rows).select(
         F.col("doc").alias("doc_new"), "band", "sig"
     )
