@@ -48,6 +48,9 @@ SLOPE_QUERIES = [
     # forensics only
     "q157_char_span_dedup",
     "q151_fuzzy_edit1_join",
+    # round-7: corpus-trained bigram LM — two hash aggregates + one
+    # type-level join; its slope certifies the LM stays agg-shaped
+    "q159_bigram_lm_fluency",
 ]
 
 
