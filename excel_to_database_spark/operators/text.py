@@ -426,7 +426,12 @@ def bigram_lm_fluency(
             ),
         ),
     ).otherwise(F.array())
-    staged = df.select(
+    # Σ-words explode hides behind a small doc row count — spread the
+    # docs first so the bigram Generate parallelizes (the
+    # minhash_lsh_dedup discipline; a few-file parquet would otherwise
+    # run it near-serially)
+    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    staged = docs.select(
         F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w")
     )
     bg = staged.select("doc", F.explode(grams).alias("b")).select(
