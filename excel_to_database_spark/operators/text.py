@@ -24,6 +24,18 @@ STOPWORDS = {
 _LANG_ORDER = ["en", "fr", "de", "es"]
 
 
+def spread(df):
+    """Spread a document frame across the cluster before a Σ-chars /
+    Σ-words explode: a small-file parquet (testdata ships ONE file per
+    table) arrives as one partition, silently serializing every
+    per-doc Generate until the first shuffle. One cheap doc-row
+    shuffle buys full parallelism for the explode — the
+    minhash_lsh_dedup / char_span_pairs discipline, shared here by all
+    explode-heavy text operators. Results are unaffected (everything
+    downstream aggregates or joins)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def words(text: Column) -> Column:
     """Whitespace tokens of lower-cased text."""
     return F.split(F.lower(F.trim(text)), r"\s+")
@@ -217,7 +229,7 @@ def tfidf_top_terms(
     from pyspark.sql import DataFrame as _DF  # noqa: F401
     from pyspark.sql.window import Window
 
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -426,12 +438,7 @@ def bigram_lm_fluency(
             ),
         ),
     ).otherwise(F.array())
-    # Σ-words explode hides behind a small doc row count — spread the
-    # docs first so the bigram Generate parallelizes (the
-    # minhash_lsh_dedup discipline; a few-file parquet would otherwise
-    # run it near-serially)
-    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    staged = docs.select(
+    staged = spread(df).select(
         F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w")
     )
     bg = staged.select("doc", F.explode(grams).alias("b")).select(
@@ -488,7 +495,8 @@ def bigram_novelty(df, id_col: str, text_col: str):
         ),
     ).otherwise(F.array())
     bg = (
-        df.select(F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w"))
+        spread(df)
+        .select(F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w"))
         .select("doc", F.explode(F.array_distinct(grams)).alias("bigram"))
     )
     # rows are already distinct per (doc, bigram) — array_distinct
@@ -523,7 +531,7 @@ def remove_boilerplate_lines(df, id_col: str, text_col: str, min_doc_freq: int =
     only repeated lines matter) → ordered re-aggregation per doc. The
     reconstruction sorts each doc's surviving (pos, line) pairs inside
     a per-doc aggregate — array_sort of collected structs, no window."""
-    lines = df.select(
+    lines = spread(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("line_norm", F.trim(F.col("line")))
@@ -572,7 +580,7 @@ def line_dedup(df, id_col: str, text_col: str):
     ordered per-doc re-aggregation. Whitespace-only lines are document
     structure, not content — always kept, and excluded from the argmin
     so the empty-string group can never skew a partition."""
-    lines = df.select(
+    lines = spread(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("line_norm", F.trim(F.col("line")))
@@ -688,7 +696,7 @@ def ngram_repetition_stats(df, id_col: str, text_col: str, n: int = 2):
     Returns (doc, top_gram, top_gram_frac, dup_gram_frac)."""
     from excel_to_database_spark.operators.dedup import normalized_text
 
-    staged = df.select(
+    staged = spread(df).select(
         F.col(id_col).alias("doc"),
         normalized_text(F.col(text_col)).alias("t"),
     ).withColumn("w", F.split(F.col("t"), " "))
