@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from excel_to_database_spark.operators.caching import pin
-from excel_to_database_spark.operators.text import words
+from excel_to_database_spark.operators.text import spread, words
 
 def normalized_text(text):
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
@@ -57,7 +57,9 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     higher-order-function lambdas, so referencing ``words(text)``
     directly would re-split the text on every array access (measured
     ~10× slower at sf0.1)."""
-    staged = df.select(F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w"))
+    staged = spread(df).select(
+        F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w")
+    )
     w = F.col("w")
     grams = F.when(
         F.size(w) >= n,
@@ -75,7 +77,7 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> Data
     and agglutinative scripts). Same output contract as ``shingles``,
     so every downstream stage (jaccard_pairs, minhash, LSH) composes
     unchanged."""
-    staged = df.select(
+    staged = spread(df).select(
         F.col(id_col).alias("doc"), normalized_text(F.col(text_col)).alias("t")
     )
     t_col = F.col("t")
@@ -109,15 +111,14 @@ def char_span_dedup(
     representative through its window — so the cluster labels (and
     hence the survivors) are IDENTICAL to what clique pairs would
     produce, which is what the SQL oracle verifies."""
-    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # the window index feeds two consumers (representative agg + edge
     # join) and is deliberately NOT persisted: re-running the
     # explode+digest Generate per consumer measures ~3× cheaper than
     # materializing the Σ-chars index into the block manager (the
     # digest rows are wide and cache-hostile; the explode is
     # CPU-cheap), and the join side's exchange is reused by AQE where
-    # partitionings line up
-    g = char_shingles(docs, id_col, text_col, n=min_len).select(
+    # partitionings line up. char_shingles spreads the docs itself.
+    g = char_shingles(df, id_col, text_col, n=min_len).select(
         "doc", F.md5("shingle").alias("h")
     )
     reps = g.groupBy("h").agg(F.min("doc").alias("rep"))
@@ -414,8 +415,7 @@ def char_span_pairs(
     # the window explode is Σ-chars work hiding behind a small doc
     # row count — a single-partition parquet would serialize it into
     # one task; spread the docs first so explode+digest parallelize
-    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    g = char_shingles(docs, id_col, text_col, n=min_len).select(
+    g = char_shingles(df, id_col, text_col, n=min_len).select(
         "doc", F.md5("shingle").alias("h")
     )
     a = g.select(F.col("doc").alias("doc_a"), "h")
@@ -609,18 +609,15 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → band → bucket-join →
     exact-Jaccard verify. Returns (doc_a, doc_b, jaccard ≥ threshold)."""
-    # the shingle explode and the 16 string-min signature aggregates
-    # (a SortAggregate — min over var-length strings has no
-    # hash-aggregate form) are Σ-chars work hiding behind a SMALL doc
-    # row count: inherited from a few-file parquet scan they run
-    # near-serially, which measured as the whole q76 scale slope.
-    # Spread the docs first so explode + map-side partial mins
-    # parallelize (same discipline as char_span_pairs).
-    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # shingles feed three consumers (signatures, candidate join, verify
     # join) — persist once instead of re-exploding per consumer;
-    # MEMORY_AND_DISK so the cache degrades gracefully at corpus scale
-    sh = pin(shingles(docs, id_col, text_col, n))
+    # MEMORY_AND_DISK so the cache degrades gracefully at corpus scale.
+    # (shingles() itself spreads the docs, so the Σ-chars explode and
+    # the 16 string-min signature aggregates — a SortAggregate, no
+    # hash-agg form for var-length strings — parallelize even off a
+    # few-file parquet scan; that serialization measured as the whole
+    # q76 scale slope before the spread.)
+    sh = pin(shingles(df, id_col, text_col, n))
     cand = lsh_candidates(
         minhash_signatures(sh, num_hashes),
         bands,
@@ -676,7 +673,7 @@ def simhash_fingerprints(
     """SimHash over distinct words: bit j of md5(word) votes ±1;
     fingerprint bit j = (vote sum > 0). 32 bits by default — enough to
     separate a shared-vocabulary corpus."""
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
     )
@@ -980,9 +977,6 @@ def build_lsh_text_index(
     (md5 rotations), so appends need NO trained artifacts — only the
     parameters recorded in meta, which append/probe re-read to stay
     consistent with the build."""
-    # corpus-scale build: spread docs before the Σ-chars shingle
-    # explode + string-min SortAggregate (see minhash_lsh_dedup)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sig = minhash_signatures(shingles(docs, id_col, text_col, n), num_hashes)
     _banded(sig, bands, rows).write.mode("overwrite").parquet(f"{path}/bands")
     spark = docs.sparkSession
