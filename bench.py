@@ -237,14 +237,19 @@ def main() -> None:
         for q, sl in out["scale_slope"]["slope"].items():
             print(f"# slope {q}: {sl}x at {factor}x rows", file=sys.stderr)
 
-    line = json.dumps(out)
-    # the driver captures only the tail of stdout; a long result line
-    # can scroll its head out of the capture window, so the same JSON
-    # is also written to disk for loss-free parsing
+    # the driver captures only the TAIL of stdout and parses the JSON
+    # line out of it; round 7 showed the full line (with scale_slope,
+    # ~4k chars) overflows that window and loses its head, so the
+    # printed line is a compact variant that fits the window while the
+    # full result (including scale_slope) is written to disk.
+    full_line = json.dumps(out)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_result.json"), "w") as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(full_line + "\n")
+    compact = {k: v for k, v in out.items() if k != "scale_slope"}
+    if "scale_slope" in out:
+        compact["scale_slope_file"] = "bench_result.json"
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

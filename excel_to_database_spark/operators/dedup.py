@@ -482,30 +482,55 @@ def lsh_candidates(
     the candidate join quadratic. Buckets larger than ``max_bucket``
     therefore leave the pair join and emit a STAR instead — every
     member paired with the bucket's min-doc representative (d−1 rows,
-    linear). Documented semantics of the cap: within a hot bucket,
-    pair-level recall degrades from clique to star, but connectivity
-    is preserved exactly — ``connected_components`` over the verified
-    output yields the same clusters, which is the decision the pairs
-    exist to feed. When no bucket exceeds the cap (probed with one
-    aggregation over the cached band index — the common case, and
-    true for every testdata scale) the plan and output are
-    byte-identical to the unguarded join. ``max_bucket=None`` disables
-    the guard."""
+    linear). Documented semantics of the cap, precisely: within a hot
+    bucket, pair-level recall degrades from clique to star, and
+    connectivity is preserved exactly on the CANDIDATE graph
+    (pre-verification) — a downstream Jaccard verify can DROP star
+    edges whose representative happens to be dissimilar, losing those
+    members' verified connectivity. ``minhash_lsh_dedup`` restores
+    verified connectivity exactly with a residual failed×bucket verify
+    round; callers verifying ``lsh_candidates`` output themselves
+    should do the same (or pass ``max_bucket=None``). When no bucket
+    exceeds the cap (probed with one aggregation over the cached band
+    index — the common case, and true for every testdata scale) the
+    plan and output are byte-identical to the unguarded join.
+    ``max_bucket=None`` disables the guard."""
     banded = pin(_banded(sig, bands, rows))
-    any_hot = False
+    cold_pairs, hot = _cold_hot_split(banded, max_bucket)
+    if hot is None:
+        return cold_pairs.distinct()
+    star = _star_edges(hot)
+    return (
+        cold_pairs.unionByName(
+            star.select(
+                F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b")
+            )
+        ).distinct()
+    )
+
+
+def _cold_hot_split(
+    banded: DataFrame, max_bucket: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split the banded index into cold-bucket candidate pairs and hot
+    bucket members. Returns (cold_pairs, hot) where ``hot`` is None
+    when no bucket exceeds the cap — in that case ``cold_pairs`` is
+    byte-identical to the unguarded self-join."""
     if max_bucket is not None:
         bsize = banded.groupBy("band", "sig").agg(
             F.count(F.lit(1)).alias("bn")
         )
         any_hot = not bsize.filter(F.col("bn") > max_bucket).isEmpty()
+    else:
+        any_hot = False
     if not any_hot:
         x = banded.select(F.col("doc").alias("doc_a"), "band", "sig")
         y = banded.select(F.col("doc").alias("doc_b"), "band", "sig")
         return (
             x.join(y, ["band", "sig"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+            .select("doc_a", "doc_b"),
+            None,
         )
     flagged = banded.join(bsize, ["band", "sig"])
     cold = flagged.filter(F.col("bn") <= max_bucket)
@@ -519,13 +544,18 @@ def lsh_candidates(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
+    return cold_pairs, hot
+
+
+def _star_edges(hot: DataFrame) -> DataFrame:
+    """Per hot bucket: every member paired with the bucket's min-doc
+    representative — (band, sig, rep, doc), d−1 rows per bucket."""
     reps = hot.groupBy("band", "sig").agg(F.min("doc").alias("rep"))
-    star_pairs = (
+    return (
         hot.join(reps, ["band", "sig"])
         .filter(F.col("doc") != F.col("rep"))
-        .select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
+        .select("band", "sig", "rep", "doc")
     )
-    return cold_pairs.unionByName(star_pairs).distinct()
 
 
 def _banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -608,7 +638,24 @@ def minhash_lsh_dedup(
     max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → band → bucket-join →
-    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard ≥ threshold).
+
+    Hot-bucket semantics under ``max_bucket``: the candidate star
+    alone is not enough after verification — if a hot bucket's min-doc
+    representative fails the Jaccard check against members that are
+    mutual near-dups, their verified connectivity would be silently
+    lost. So when star edges fail verification, a RESIDUAL round pairs
+    each failed member against every member of its bucket and verifies
+    those. That restores verified connectivity EXACTLY: for any true
+    edge (x, y) in the would-be clique graph, either both endpoints
+    pass the representative (connected through it) or one failed and
+    the (x, y) pair is in the residual join. Cost is |failed| ×
+    bucket-size per bucket — linear when verification mostly succeeds
+    (the boilerplate case that makes buckets hot in the first place)
+    and degrading toward the unguarded quadratic only when most of a
+    hot bucket fails verification, i.e. signature collision without
+    similarity, rare at ≥4 rows per band; running ``exact_dedup``
+    first removes the usual cause entirely."""
     # shingles feed three consumers (signatures, candidate join, verify
     # join) — persist once instead of re-exploding per consumer;
     # MEMORY_AND_DISK so the cache degrades gracefully at corpus scale.
@@ -618,13 +665,43 @@ def minhash_lsh_dedup(
     # few-file parquet scan; that serialization measured as the whole
     # q76 scale slope before the spread.)
     sh = pin(shingles(df, id_col, text_col, n))
-    cand = lsh_candidates(
-        minhash_signatures(sh, num_hashes),
-        bands,
-        num_hashes // bands,
-        max_bucket=max_bucket,
+    banded = pin(
+        _banded(minhash_signatures(sh, num_hashes), bands, num_hashes // bands)
     )
-    return verify_jaccard(cand, sh, threshold)
+    cold_pairs, hot = _cold_hot_split(banded, max_bucket)
+    if hot is None:
+        return verify_jaccard(cold_pairs.distinct(), sh, threshold)
+    hot = pin(hot)
+    star = _star_edges(hot)
+    star_ab = star.select(
+        "band", "sig", F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b")
+    )
+    v1 = pin(
+        verify_jaccard(
+            cold_pairs.unionByName(star_ab.select("doc_a", "doc_b")).distinct(),
+            sh,
+            threshold,
+        )
+    )
+    failed = star_ab.join(
+        v1.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).select("band", "sig", F.col("doc_b").alias("f"))
+    if failed.isEmpty():
+        return v1
+    residual = (
+        failed.join(hot, ["band", "sig"])
+        .filter(F.col("f") != F.col("doc"))
+        .select(
+            F.least("f", "doc").alias("doc_a"),
+            F.greatest("f", "doc").alias("doc_b"),
+        )
+        .distinct()
+        # the (rep, failed) pairs were already verified (and failed) —
+        # don't pay the verify join for them again
+        .join(star_ab.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+    )
+    v2 = verify_jaccard(residual, sh, threshold)
+    return v1.unionByName(v2).dropDuplicates(["doc_a", "doc_b"])
 
 
 def verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -1065,7 +1142,11 @@ class _UnionFind:
 
 
 def dedup_cluster_update(
-    spark, path: str, new_ids: DataFrame, pairs: DataFrame
+    spark,
+    path: str,
+    new_ids: DataFrame,
+    pairs: DataFrame,
+    frontier_cap: int = 100_000,
 ) -> None:
     """Incrementally maintain persisted duplicate-cluster labels — the
     q100 connected-components contract without ever recomputing from
@@ -1092,21 +1173,23 @@ def dedup_cluster_update(
     (doc_a, doc_b) duplicate pairs with at least one endpoint in the
     batch (new↔new and new↔corpus).
 
-    Operational boundary: the driver frontier is the DISTINCT label
-    pairs of one batch — fine for streaming/incremental cadence, but a
-    corpus-sized FIRST batch would push the whole duplicate graph
-    through it. Seed that case with the distributed batch path instead
-    (``connected_components``, the q100 plan), write its (doc, label)
-    output as the initial ``labels`` table, and maintain incrementally
-    from there."""
+    Frontier routing: the label-pair frontier size is probed with a
+    bounded ``limit(cap+1).count()``. At or under ``frontier_cap``
+    (the steady-state incremental case) the merge runs through the
+    driver union-find. Over the cap — a corpus-sized FIRST batch,
+    where every duplicate pair is a label pair — the label graph
+    (frontier ∪ existing canon edges) is routed through the
+    distributed ``connected_components`` (the q100 plan) and the
+    resulting canon mapping is written and applied as a JOIN, so the
+    driver never materializes the duplicate graph. Both paths produce
+    identical canon content (min-label roots over the same closure),
+    which ``tests`` assert on a shared fixture."""
     from pyspark.errors import AnalysisException
 
-    uf = _UnionFind()
     try:
-        for r in spark.read.parquet(f"{path}/canon").collect():
-            uf.parent[r["label"]] = r["canon"]
+        canon = spark.read.parquet(f"{path}/canon")
     except AnalysisException:
-        pass
+        canon = None
     try:
         labels = spark.read.parquet(f"{path}/labels")
     except AnalysisException:
@@ -1115,41 +1198,74 @@ def dedup_cluster_update(
     new0 = new_ids.toDF("doc").select(
         "doc", F.col("doc").alias("label")
     )
+    # derive the label dtype from the id frame — doc ids need not be
+    # integral (string ids flow through min-label semantics unchanged)
+    id_type = new0.schema["doc"].dataType.simpleString()
     lab = new0 if labels is None else labels.unionByName(new0)
     la = lab.select(F.col("doc").alias("doc_a"), F.col("label").alias("la"))
     lb = lab.select(F.col("doc").alias("doc_b"), F.col("label").alias("lb"))
-    lpairs = (
+    lpairs_df = (
         pairs.select("doc_a", "doc_b")
         .join(la, "doc_a")
         .join(lb, "doc_b")
         .select("la", "lb")
         .filter(F.col("la") != F.col("lb"))
         .distinct()
-        .collect()
+        # both the routing probe and the chosen path consume this —
+        # without the checkpoint the (possibly expensive) pair
+        # pipeline would re-execute per consumer
+        .localCheckpoint(eager=True)
     )
-    for r in lpairs:
-        uf.union(r["la"], r["lb"])
+    over_cap = lpairs_df.limit(frontier_cap + 1).count() > frontier_cap
 
-    flat = [(x, uf.find(x)) for x in list(uf.parent)]
-    flat = [(x, c) for x, c in flat if x != c]
-    if flat:
-        # safe direct overwrite: `flat` lives in driver memory, so the
-        # write never reads the files it replaces
-        spark.createDataFrame(flat, "label long, canon long").coalesce(
-            1
-        ).write.mode("overwrite").parquet(f"{path}/canon")
+    if over_cap:
+        # distributed path: closure over frontier ∪ historical merges
+        graph = lpairs_df
+        if canon is not None:
+            graph = graph.unionByName(
+                canon.select(
+                    F.col("label").alias("la"), F.col("canon").alias("lb")
+                )
+            )
+        cc = connected_components(graph, "la", "lb")
+        new_canon = (
+            cc.filter(F.col("doc") != F.col("cluster"))
+            .select(
+                F.col("doc").alias("label"), F.col("cluster").alias("canon")
+            )
+            # lineage through connected_components is already cut by
+            # its per-round checkpoints; this one guarantees the
+            # overwrite below never reads the files it replaces
+            .localCheckpoint(eager=True)
+        )
+        new_canon.write.mode("overwrite").parquet(f"{path}/canon")
+        forest = spark.read.parquet(f"{path}/canon")
+        resolve = new0.join(forest, "label", "left")  # AQE picks the strategy
+    else:
+        uf = _UnionFind()
+        if canon is not None:
+            for r in canon.collect():
+                uf.parent[r["label"]] = r["canon"]
+        for r in lpairs_df.collect():
+            uf.union(r["la"], r["lb"])
+        flat = [(x, uf.find(x)) for x in list(uf.parent)]
+        flat = [(x, c) for x, c in flat if x != c]
+        if flat:
+            # safe direct overwrite: `flat` lives in driver memory, so
+            # the write never reads the files it replaces
+            spark.createDataFrame(
+                flat, f"label {id_type}, canon {id_type}"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/canon")
+        forest = spark.createDataFrame(
+            flat or [], f"label {id_type}, canon {id_type}"
+        )
+        resolve = new0.join(F.broadcast(forest), "label", "left")
 
     # resolve the batch's own labels through the merged forest before
     # appending (insert-time resolution; later merges go through
-    # canon). Distributed: the flattened forest is driver-small and
-    # broadcasts; the batch itself never collects.
-    forest = spark.createDataFrame(
-        flat or [], "label long, canon long"
-    )
+    # canon). The batch itself never collects.
     (
-        new0.select("doc", F.col("doc").alias("label"))
-        .join(F.broadcast(forest), "label", "left")
-        .select("doc", F.coalesce("canon", "label").alias("label"))
+        resolve.select("doc", F.coalesce("canon", "label").alias("label"))
         .write.mode("append")
         .parquet(f"{path}/labels")
     )

@@ -10,10 +10,18 @@ files with CONTENT IDENTICAL to the pre-compaction read — probes,
 labels, and health statistics are unchanged by construction, which the
 tests assert.
 
-The rewrite is write-new → atomic-ish swap via the Hadoop FileSystem
-API (works for local paths and HDFS/S3A URIs alike — never a Python
-``os`` call on what may be a remote URI), so a reader never sees a
-half-written directory: it sees the old directory until the rename.
+The rewrite is write-new → rename-swap via the Hadoop FileSystem API
+(works for local paths and HDFS/S3A URIs alike — never a Python ``os``
+call on what may be a remote URI). The swap is two renames — live →
+``__compact_old``, then ``__compact_tmp`` → live — so the window where
+a concurrent reader can see a missing directory is ONE metadata rename
+(not a recursive delete), and a crash anywhere leaves the data
+recoverable: if the live directory is absent after a crash, the rows
+exist intact in ``__compact_old`` (pre-swap) or ``__compact_tmp``
+(post-write); rename either back into place. Directory rename is not
+atomic on object stores without a consistency layer — there the same
+two-rename discipline still bounds the loss window to a listing race,
+but readers should retry on transient absence.
 """
 
 from __future__ import annotations
@@ -60,8 +68,14 @@ def compact_parquet_dir(
     ).parquet(tmp)
     fs, dst, jvm = _fs(spark, path)
     src = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(dst, True)
+    old = jvm.org.apache.hadoop.fs.Path(f"{path}__compact_old")
+    # two-rename swap (see module docstring): the live data is never
+    # deleted before its replacement is in place, and the
+    # reader-visible gap is a single rename, not a recursive delete
+    fs.delete(old, True)  # leftover from a prior crashed compaction
+    fs.rename(dst, old)
     fs.rename(src, dst)
+    fs.delete(old, True)
     # drop any cached plans still pointing at the replaced files so a
     # later cache-miss recompute can't chase deleted paths
     spark.catalog.refreshByPath(path)

@@ -1453,11 +1453,31 @@ def ivf_pq_index_health(
     decays and a retrain amortizes). Rebuilding via
     ``build_ivf_pq_index`` overwrites the history and resets the
     baseline. Purely observational: probes never read this table, so
-    instrumentation cannot change search results."""
-    h = sorted(
-        spark.read.parquet(f"{path}/health").collect(),
-        key=lambda r: r["seq"],
-    )
+    instrumentation cannot change search results.
+
+    An index built before the health table existed (or whose history
+    was removed) yields a neutral no-history report instead of an
+    error — upgrading an existing index must not break the monitoring
+    entry point."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        h = sorted(
+            spark.read.parquet(f"{path}/health").collect(),
+            key=lambda r: r["seq"],
+        )
+    except AnalysisException:
+        h = []
+    if not h:
+        return {
+            "baseline_mean_dist": None,
+            "latest_mean_dist": None,
+            "drift_ratio": None,
+            "n_appends": 0,
+            "n_appended_vectors": 0,
+            "rebuild_recommended": False,
+            "no_history": True,
+        }
     baseline = next(
         (r["mean_dist"] for r in h if r["event"] == "build"),
         h[0]["mean_dist"],

@@ -144,9 +144,17 @@ def write_training_shards(
 
     Layout = ``repartitionByRange(n_shards, order_col)`` (balanced
     contiguous key ranges — also tight min/max stats per shard for
-    predicate skipping; the range boundaries come from Spark's SEEDED
-    range-partitioner sampling, deterministic for a fixed input
-    layout) + ``sortWithinPartitions(order_col)``.
+    predicate skipping) + ``sortWithinPartitions(order_col)``.
+
+    Determinism contract, precisely: with a UNIQUE ``order_col`` the
+    TOTAL ROW SEQUENCE (shards read in range order, rows in sorted
+    order within each) is identical on every re-export — that is the
+    sequence a training epoch consumes. Shard BOUNDARY placement,
+    however, comes from RangePartitioner's reservoir sampling, whose
+    seed derives from the RDD id — stable within a session for a fixed
+    plan, but NOT guaranteed across sessions or plan changes, so a
+    re-export may cut the same total sequence into slightly different
+    shard files (byte-identical shard files are not guaranteed).
     Returns {"n_shards", "rows", "payload_bytes"}."""
     if bytes_col is None:
         bytes_col = next(

@@ -92,6 +92,61 @@ def test_lsh_hot_bucket_guard(spark):
     assert a == b
 
 
+def test_lsh_hot_bucket_verified_connectivity(spark):
+    """Two mutually-dissimilar near-dup GROUPS forced into one hot
+    band bucket: the bucket's min-doc representative (group A) fails
+    Jaccard verification against group B, so star edges alone would
+    silently drop B's verified connectivity. minhash_lsh_dedup's
+    residual failed×bucket round must restore the exact verified pair
+    connectivity of the unguarded pipeline."""
+    import hashlib
+
+    def tri(tokens):
+        return {" ".join(tokens[i:i + 3]) for i in range(len(tokens) - 2)}
+
+    ga = "alpha beta gamma delta epsilon zeta eta".split()
+    gb = "one two three four five six seven".split()
+    # brute-force an anchor trigram whose md5 is the unique minimum
+    # over every shingle of every doc — with bands=1/rows=1 the bucket
+    # key is that single min-md5, so ALL docs land in ONE bucket
+    for k in range(5000):
+        anchor = [f"anchor{k}", "shared", "tail"]
+        texts = {}
+        for i in range(6):
+            texts[i] = ga + [f"va{i}"] + anchor
+            texts[10 + i] = gb + [f"vb{i}"] + anchor
+        hs = {s: hashlib.md5(s.encode()).hexdigest()
+              for t in texts.values() for s in tri(t)}
+        am = hashlib.md5(" ".join(anchor).encode()).hexdigest()
+        if min(hs.values()) == am and sorted(hs.values())[1] != am:
+            break
+    else:
+        raise AssertionError("no suitable anchor found")
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in texts.items()], "doc_id long, text string"
+    )
+    kw = dict(n=3, num_hashes=1, bands=1, threshold=0.45)
+    g_pairs = D.minhash_lsh_dedup(df, "doc_id", "text", max_bucket=4, **kw)
+    e_pairs = D.minhash_lsh_dedup(df, "doc_id", "text", max_bucket=None, **kw)
+    exact = {(r["doc_a"], r["doc_b"]) for r in e_pairs.collect()}
+    # sanity on the fixture itself: both groups cohere, none cross —
+    # and the rep (doc 0, group A) really fails verification against B
+    assert (10, 11) in exact and (0, 1) in exact
+    assert not any(a < 10 <= b for a, b in exact)
+    # the contract under the guard is verified CONNECTIVITY equality
+    # (pair recall inside a hot bucket is star-not-clique by design)
+    g_cc = {r["doc"]: r["cluster"]
+            for r in D.connected_components(g_pairs).collect()}
+    e_cc = {r["doc"]: r["cluster"]
+            for r in D.connected_components(e_pairs).collect()}
+    assert g_cc == e_cc
+    assert {g_cc[i] for i in range(6)} == {0}
+    assert {g_cc[10 + i] for i in range(6)} == {10}
+    # B-B residual pairs made it through with their exact Jaccard
+    g = {(r["doc_a"], r["doc_b"]) for r in g_pairs.collect()}
+    assert (10, 11) in g
+
+
 def test_simhash_near_dup(docs):
     fp = D.simhash_fingerprints(docs, "doc_id", "text")
     pairs = D.simhash_pairs(fp, max_distance=4).collect()
@@ -772,6 +827,24 @@ def test_ivf_pq_index_append_incremental(spark, tmp_path):
     assert {r["rank"] for r in got2} == {1, 2}
 
 
+def test_ivf_pq_index_health_no_history(spark, tmp_path):
+    """An index whose health table is absent (built before the health
+    lifecycle existed) must yield a neutral no-history report, not an
+    AnalysisException — monitoring can't break on upgraded indexes."""
+    import shutil
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "nohist_idx")
+    S.build_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 200), "vec_id", "embedding", path,
+        n_lists=4, m=8, pq_k=16,
+    )
+    shutil.rmtree(f"{path}/health", ignore_errors=True)
+    h = S.ivf_pq_index_health(spark, path)
+    assert h["no_history"] and h["n_appends"] == 0
+    assert not h["rebuild_recommended"]
+
+
 def test_ivf_pq_index_health_drift(spark, tmp_path):
     """Drift lifecycle: progressively distribution-shifted appends must
     degrade index health MONOTONICALLY (rising mean assignment
@@ -1004,6 +1077,57 @@ def test_dedup_cluster_update_bridges_without_rewrite(spark, tmp_path):
     got = {r["doc"]: r["cluster"]
            for r in D.dedup_cluster_labels(spark, path).collect()}
     assert got[99] == 99
+
+
+def test_dedup_cluster_update_distributed_frontier(spark, tmp_path):
+    """A corpus-sized FIRST batch whose label frontier exceeds the cap
+    must route through the distributed connected-components path and
+    produce labels identical to the driver union-find path."""
+
+    def ids(n):
+        return spark.range(n).select(F.col("id").alias("doc"))
+
+    # chain graph 0-1-2-...-(n-1): every pair is a label pair on the
+    # first batch, so the frontier is n-1 distinct pairs
+    n = 60
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    small = str(tmp_path / "drv")
+    big = str(tmp_path / "dist")
+    D.dedup_cluster_update(spark, small, ids(n), pairs)  # driver path
+    D.dedup_cluster_update(spark, big, ids(n), pairs, frontier_cap=10)
+    drv = {r["doc"]: r["cluster"]
+           for r in D.dedup_cluster_labels(spark, small).collect()}
+    dst = {r["doc"]: r["cluster"]
+           for r in D.dedup_cluster_labels(spark, big).collect()}
+    assert drv == dst == {i: 0 for i in range(n)}
+
+    # a later incremental batch on the distributed-seeded state merges
+    # through canon exactly as on the driver-seeded state
+    extra = spark.createDataFrame([(1000, 5)], "doc_a long, doc_b long")
+    one = spark.createDataFrame([(1000,)], "doc long")
+    D.dedup_cluster_update(spark, small, one, extra)
+    D.dedup_cluster_update(spark, big, one, extra, frontier_cap=10)
+    drv = {r["doc"]: r["cluster"]
+           for r in D.dedup_cluster_labels(spark, small).collect()}
+    dst = {r["doc"]: r["cluster"]
+           for r in D.dedup_cluster_labels(spark, big).collect()}
+    assert drv == dst and drv[1000] == 0
+
+
+def test_dedup_cluster_update_string_ids(spark, tmp_path):
+    """Doc ids need not be integral: string ids flow through both the
+    canon forest and min-label resolution (lexicographic min)."""
+    path = str(tmp_path / "strcl")
+    ids = spark.createDataFrame([("a",), ("b",), ("c",)], "doc string")
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "doc_a string, doc_b string"
+    )
+    D.dedup_cluster_update(spark, path, ids, pairs)
+    got = {r["doc"]: r["cluster"]
+           for r in D.dedup_cluster_labels(spark, path).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
 
 
 def test_char_shingles_pipeline(spark, docs):
