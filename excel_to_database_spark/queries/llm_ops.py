@@ -1579,8 +1579,13 @@ _SQL_SEMANTIC_PAIRS = """
                   CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
                                 AS DECIMAL(30,12))) AS DOUBLE) AS n2
            FROM embeddings CROSS JOIN dims GROUP BY vec_id),
-    cents AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
-              ORDER BY vec_id LIMIT 8),
+    cents AS (SELECT vec_id AS cell, embedding AS cv FROM (
+                SELECT vec_id, embedding,
+                       ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk,
+                       COUNT(*) OVER () AS nn
+                FROM embeddings)
+              WHERE rnk <= GREATEST(1, LEAST(4096,
+                    CAST(CEIL(SQRT(CAST(LEAST(nn, 16777216) AS DOUBLE))) AS BIGINT)))),
     sims AS (SELECT e.vec_id, c.cell,
                     CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
                                   AS DECIMAL(30,12))) AS DOUBLE) AS dot
@@ -1593,8 +1598,16 @@ _SQL_SEMANTIC_PAIRS = """
                  FROM sims s JOIN vn v ON v.vec_id = s.vec_id
                  JOIN vn cn ON cn.vec_id = s.cell)
                WHERE rn = 1),
+    asz AS (SELECT cell, COUNT(*) AS cn FROM assign GROUP BY cell),
+    assign2 AS (SELECT a.vec_id, a.cell,
+                       CASE WHEN s.cn > 4096
+                            THEN CAST(('0x' || substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                                 % CAST(CEIL(CAST(s.cn AS DOUBLE) / 4096.0) AS INTEGER)
+                            ELSE 0 END AS sub
+                FROM assign a JOIN asz s ON s.cell = a.cell),
     pr AS (SELECT a.cell, a.vec_id AS qid, b.vec_id AS nid
-           FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           FROM assign2 a JOIN assign2 b
+             ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id),
     dots AS (SELECT pr.cell, pr.qid, pr.nid,
                     CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
                                   AS DECIMAL(30,12))) AS DOUBLE) AS dot
@@ -1614,16 +1627,19 @@ _SQL_SEMANTIC_PAIRS = """
     _SQL_SEMANTIC_PAIRS,
 )
 def q125_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style blocked embedding near-dup: IVF-quantize into 8
-    cells (centroids = lowest-id vectors, the ivf_assign pick), pair
-    only WITHIN cells, keep cosine ≥ 0.35. O(Σ|cell|²) instead of
-    O(|D|²) — the embedding-dedup shape that survives 100 TB, with
-    ``n_lists`` as the recall/cost dial (cross-cell pairs are the
-    documented recall loss vs the exact q82). Assignment and scoring
-    are decimal-exact, so even each vector's cell is oracle-matched."""
+    """SemDeDup-style blocked embedding near-dup: IVF-quantize into
+    ⌈√N⌉ cells (centroids = lowest-id vectors, the ivf_assign pick;
+    the auto-scaled cell count keeps the per-cell Gram O(N^1.5) under
+    corpus growth instead of N²/const), pair only WITHIN cells, keep
+    cosine ≥ 0.35 — the embedding-dedup shape that survives 100 TB,
+    with the cell count as the recall/cost dial (cross-cell pairs are
+    the documented recall loss vs the exact q82). Cells over 4096
+    members sub-split deterministically (md5 % k). Assignment, the
+    √N derivation, the sub-split, and scoring are all decimal-exact /
+    engine-portable, so even each vector's cell is oracle-matched."""
     e = t(spark, sf_dir, "embeddings")
     return S.semantic_dedup_blocked(
-        e, "vec_id", "embedding", n_lists=8, threshold=0.35
+        e, "vec_id", "embedding", n_lists=None, threshold=0.35, max_cell=4096
     )
 
 
@@ -1658,7 +1674,7 @@ def q160_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     decimal-exact pairs)."""
     e = t(spark, sf_dir, "embeddings")
     pairs = S.semantic_dedup_blocked(
-        e, "vec_id", "embedding", n_lists=8, threshold=0.35
+        e, "vec_id", "embedding", n_lists=None, threshold=0.35, max_cell=4096
     ).select("vec_a", "vec_b")
     cc = D.connected_components(pairs, a="vec_a", b="vec_b")
     return (

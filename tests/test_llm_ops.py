@@ -827,6 +827,48 @@ def test_ivf_pq_index_append_incremental(spark, tmp_path):
     assert {r["rank"] for r in got2} == {1, 2}
 
 
+def test_semantic_dedup_hot_cell_subsplit(spark):
+    """Pathological one-cell corpus (n_lists=1 → every vector in one
+    cell) with a small max_cell: the hot cell must sub-split into
+    deterministic md5-buckets, pairs generated within (cell, sub)
+    only — and the split must equal the documented pure-id function so
+    the SQL oracle can reproduce it."""
+    import hashlib
+
+    n = 30
+    rows = [(i, [1.0, 0.5, 0.25, float(i) * 1e-6]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    unsplit = {(r["vec_a"], r["vec_b"]) for r in S.semantic_dedup_blocked(
+        df, "vec_id", "embedding", n_lists=1, threshold=0.9, max_cell=None
+    ).collect()}
+    assert len(unsplit) == n * (n - 1) // 2  # all near-identical
+    got = {(r["vec_a"], r["vec_b"]) for r in S.semantic_dedup_blocked(
+        df, "vec_id", "embedding", n_lists=1, threshold=0.9, max_cell=8
+    ).collect()}
+    k = -(-n // 8)
+    sub = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % k
+           for i in range(n)}
+    want = {(a, b) for a, b in unsplit if sub[a] == sub[b]}
+    assert got == want and len(got) < len(unsplit)
+
+
+def test_semantic_dedup_auto_n_lists(spark):
+    """n_lists=None derives ⌈√N⌉ cells: the output must equal an
+    explicit n_lists=⌈√N⌉ call."""
+    import math
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    auto = {(r["vec_a"], r["vec_b"], r["cosine"])
+            for r in S.semantic_dedup_blocked(
+                emb, "vec_id", "embedding", threshold=0.35).collect()}
+    manual = {(r["vec_a"], r["vec_b"], r["cosine"])
+              for r in S.semantic_dedup_blocked(
+                  emb, "vec_id", "embedding",
+                  n_lists=math.ceil(math.sqrt(n)), threshold=0.35).collect()}
+    assert auto == manual and auto
+
+
 def test_ivf_pq_index_health_no_history(spark, tmp_path):
     """An index whose health table is absent (built before the health
     lifecycle existed) must yield a neutral no-history report, not an
