@@ -73,8 +73,17 @@ def compact_parquet_dir(
     # deleted before its replacement is in place, and the
     # reader-visible gap is a single rename, not a recursive delete
     fs.delete(old, True)  # leftover from a prior crashed compaction
-    fs.rename(dst, old)
-    fs.rename(src, dst)
+    # FileSystem.rename reports failure as a boolean, not an exception;
+    # an unchecked first rename would leave live in place and make the
+    # second rename move tmp INSIDE it (rename-into-existing-dir
+    # semantics), silently corrupting the layout
+    if not fs.rename(dst, old):
+        fs.delete(src, True)
+        raise IOError(f"compaction swap failed: cannot move {path} aside")
+    if not fs.rename(src, dst):
+        # restore the live directory before surfacing the failure
+        fs.rename(old, dst)
+        raise IOError(f"compaction swap failed: cannot install {tmp}")
     fs.delete(old, True)
     # drop any cached plans still pointing at the replaced files so a
     # later cache-miss recompute can't chase deleted paths

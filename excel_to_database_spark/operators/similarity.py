@@ -359,22 +359,36 @@ def semantic_dedup_blocked(
     cents_rows = (
         base.orderBy(F.asc("id")).limit(n_lists).select("id", "v").collect()
     )  # n_lists rows — driver-small by construction
+    id_t = dict(emb.dtypes)[id_col]
+    if not cents_rows:  # empty corpus: no cells, no pairs
+        return emb.sparkSession.createDataFrame(
+            [],
+            f"cell {id_t}, vec_a {id_t}, vec_b {id_t}, cosine double",
+        )
     _C = _np.stack([list(r["v"]) for r in cents_rows]).astype(_np.float64)
     _cids = [r["id"] for r in cents_rows]
     _cn = _np.sqrt((_C * _C).sum(axis=1))
-    id_t = dict(emb.dtypes)[id_col]
 
     def _near_cells_fn(vs):
         if len(vs) == 0:
             return _pd.Series([], dtype=object)
         V = _np.stack(vs.to_numpy()).astype(_np.float64)
         vn = _np.sqrt((V * V).sum(axis=1))
-        sims = (V @ _C.T) / _np.outer(vn, _cn)
-        best = sims.max(axis=1)
         ids = _np.array(_cids)
-        return _pd.Series(
-            [list(ids[s >= b - 1e-6]) for s, b in zip(sims, best)]
-        )
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            sims = (V @ _C.T) / _np.outer(vn, _cn)
+        out = []
+        for s in sims:
+            finite = _np.isfinite(s)
+            if not finite.any():
+                # zero-norm vector (or all-zero centroids): the sieve
+                # cannot rank — hand ALL cells to the decimal multi
+                # path, whose nulls-last tie-break matches the oracle
+                out.append(list(ids))
+            else:
+                b = s[finite].max()
+                out.append(list(ids[finite & (s >= b - 1e-6)]))
+        return _pd.Series(out)
 
     _near_cells = pandas_udf(_near_cells_fn, f"array<{id_t}>")
     with_cand = base.withColumn("cands", _near_cells("v"))
@@ -393,7 +407,10 @@ def semantic_dedup_blocked(
         .join(F.broadcast(cents), "cell")
         .select(
             "id", "v", "n2", "cell",
-            (dot_c / (F.sqrt("n2") * F.sqrt("cn2"))).alias("sim"),
+            # try_divide: a zero-norm vector (or centroid) gets a NULL
+            # sim instead of an ANSI DIVIDE_BY_ZERO — the nulls-last
+            # window pick then assigns it to the lowest candidate cell
+            F.try_divide(dot_c, F.sqrt("n2") * F.sqrt("cn2")).alias("sim"),
         )
     )
     pick = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
@@ -446,7 +463,10 @@ def semantic_dedup_blocked(
         out_q, out_n = [], []
         for lo in range(0, len(ids), 1024):
             hi = min(lo + 1024, len(ids))
-            cos = (V[lo:hi] @ V.T) / _np.outer(norms[lo:hi], norms)
+            # zero-norm rows yield NaN cos → sieved out, matching the
+            # decimal rescore's null cosine failing the >= filter
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos = (V[lo:hi] @ V.T) / _np.outer(norms[lo:hi], norms)
             qi, ni = _np.nonzero(cos >= sieve_at)
             keep = ids[qi + lo] < ids[ni]
             out_q.append(ids[qi + lo][keep])
@@ -1458,14 +1478,22 @@ def build_ivf_pq_index(
             (F.lit(1.0) - dot / (F.sqrt(nv) * F.sqrt(nc))).alias("d"),
         )
         .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("d").alias("sum_d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d").alias("sum_d"),
+            F.count("d").alias("n_valid"),
+        )
         .collect()
     )
     n_vectors = int(sum(r["n_members"] for r in per_cell))
+    # drift baseline uses avg semantics (null-distance rows excluded from
+    # BOTH numerator and denominator) so it is comparable with the
+    # append-time _mean_assign_dist health events
+    n_valid = int(sum(r["n_valid"] for r in per_cell))
     base_dist = (
         float(sum(r["sum_d"] for r in per_cell if r["sum_d"] is not None))
-        / n_vectors
-        if n_vectors
+        / n_valid
+        if n_valid
         else 0.0
     )
     spark.createDataFrame(
@@ -1476,14 +1504,14 @@ def build_ivf_pq_index(
         [(0, "build", n_vectors, base_dist)],
         "seq int, event string, n bigint, mean_dist double",
     ).write.mode("overwrite").parquet(f"{path}/health")
-    return spark.createDataFrame(
-        [(r["cell"], int(r["n_members"])) for r in per_cell],
-        StructType(
-            [
-                StructField("cell", id_f.dataType),
-                StructField("n_members", LongType()),
-            ]
-        ),
+    # the returned stats frame is a LAZY scan of the persisted index —
+    # the builder's plan contract (tests/test_plans.py) asserts callers
+    # can re-derive stats from disk; the collected per_cell rows above
+    # are used only for meta/health.
+    return (
+        spark.read.parquet(f"{path}/assigned")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast(LongType()).alias("n_members"))
     )
 
 

@@ -869,6 +869,29 @@ def test_semantic_dedup_auto_n_lists(spark):
     assert auto == manual and auto
 
 
+def test_semantic_dedup_zero_norm_and_empty(spark):
+    """Degenerate inputs must not crash or silently drop rows: a
+    zero-norm vector (NaN cosine against every centroid) is still
+    assigned — to its lowest candidate cell via the nulls-last decimal
+    pick — and an empty corpus returns an empty frame with the pair
+    schema instead of raising on np.stack."""
+    rows = [(i, [1.0, 0.5, 0.25, float(i) * 1e-6]) for i in range(12)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # zero-norm vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = S.semantic_dedup_blocked(
+        df, "vec_id", "embedding", n_lists=3, threshold=0.9
+    ).collect()
+    ids = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    # the near-identical cluster is found; the zero vector never forms
+    # a pair (its cosine is undefined → null → fails the threshold)
+    assert len(pairs) > 0 and 99 not in ids
+    empty = S.semantic_dedup_blocked(
+        df.filter("vec_id < 0"), "vec_id", "embedding", n_lists=3
+    )
+    assert empty.count() == 0
+    assert set(empty.columns) == {"cell", "vec_a", "vec_b", "cosine"}
+
+
 def test_ivf_pq_index_health_no_history(spark, tmp_path):
     """An index whose health table is absent (built before the health
     lifecycle existed) must yield a neutral no-history report, not an
