@@ -1155,17 +1155,22 @@ def dedup_cluster_update(
 
       * ``labels`` — (doc, label): one APPEND-ONLY row per doc, the
         component label resolved at insert time;
-      * ``canon``  — (label, canon): the flattened union-find forest
-        (one row per label that has LOST a merge — bounded by the
-        number of historical cluster merges, never by corpus size).
+      * ``canon``  — (label, canon): the union-find forest as an
+        APPEND-ONLY delta log. A label that has lost merges may hold
+        several rows; because the canonical root is always the MINIMUM
+        member, the newest row is the smallest value, so readers (and
+        this updater) resolve with ``min(canon)`` — 1-hop, exact.
+        ``dedup_cluster_compact`` folds superseded rows away.
 
     Per-batch cost: one distributed join resolving the pair endpoints'
-    labels (new docs default to themselves), a driver-side union-find
-    over the DISTINCT LABEL pairs (the component-merge frontier — the
-    same driver-small scale as connected_components' per-round change
-    counts), an overwrite of the small canon table, and a
-    |batch|-row append to labels. A later merge of two grown clusters
-    rewrites ONE canon row, not the clusters' member rows — labels
+    labels (new docs default to themselves), a join resolving the
+    ≤cap frontier through canon (the historical forest is NEVER
+    collected to the driver — its size is merge-bounded but can grow
+    toward O(docs) under adversarial duplication), a driver-side
+    union-find over the RESOLVED frontier pairs only, an append of
+    the merge DELTA rows to canon, and a |batch|-row append to
+    labels. A later merge of two grown clusters appends one delta row
+    per superseded forest row, not the clusters' member rows — labels
     resolve through canon at read time (``dedup_cluster_labels``),
     which is what keeps maintenance batch-proportional at 100 TB.
 
@@ -1242,22 +1247,68 @@ def dedup_cluster_update(
         forest = spark.read.parquet(f"{path}/canon")
         resolve = new0.join(forest, "label", "left")  # AQE picks the strategy
     else:
-        uf = _UnionFind()
+        # steady-state path: the historical canon forest is NEVER
+        # collected (it is merge-count-bounded, but adversarial
+        # duplication can grow it toward O(docs)). Instead the ≤cap
+        # frontier's endpoints are resolved THROUGH canon with one
+        # join (min-resolution — superseded delta rows collapse to
+        # the smallest, i.e. newest, root), the driver union-find
+        # runs over the resolved frontier only, and the merges are
+        # appended to canon as DELTA rows:
+        #   * (loser_root → winner_root) for each merge, plus
+        #   * superseding rows for every canon row whose root lost —
+        #     computed distributed via a broadcast of the driver-small
+        #     merge map — so the forest stays 1-hop-resolvable under
+        #     the reader's min aggregation.
         if canon is not None:
-            for r in canon.collect():
-                uf.parent[r["label"]] = r["canon"]
-        for r in lpairs_df.collect():
+            cmin = canon.groupBy("label").agg(F.min("canon").alias("_c"))
+            lpairs_res = (
+                lpairs_df.join(
+                    cmin.select(F.col("label").alias("la"), F.col("_c").alias("ca")),
+                    "la",
+                    "left",
+                )
+                .join(
+                    cmin.select(F.col("label").alias("lb"), F.col("_c").alias("cb")),
+                    "lb",
+                    "left",
+                )
+                .select(
+                    F.coalesce("ca", "la").alias("la"),
+                    F.coalesce("cb", "lb").alias("lb"),
+                )
+                .filter(F.col("la") != F.col("lb"))
+                .distinct()
+            )
+        else:
+            lpairs_res = lpairs_df
+        uf = _UnionFind()
+        for r in lpairs_res.collect():  # ≤ cap label pairs by routing
             uf.union(r["la"], r["lb"])
-        flat = [(x, uf.find(x)) for x in list(uf.parent)]
-        flat = [(x, c) for x, c in flat if x != c]
-        if flat:
-            # safe direct overwrite: `flat` lives in driver memory, so
-            # the write never reads the files it replaces
-            spark.createDataFrame(
-                flat, f"label {id_type}, canon {id_type}"
-            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/canon")
+        merges = [(x, uf.find(x)) for x in list(uf.parent)]
+        merges = [(x, c) for x, c in merges if x != c]
+        if merges:
+            mdf = spark.createDataFrame(
+                merges, f"label {id_type}, canon {id_type}"
+            )
+            delta = mdf
+            if canon is not None:
+                # canon rows pointing at a losing root are superseded
+                # by rows pointing at its new root; the min-label
+                # contract (winner < loser) makes the reader's
+                # min(cluster) pick the new row exactly
+                remap = mdf.select(
+                    F.col("label").alias("canon"), F.col("canon").alias("_nc")
+                )
+                touched = canon.join(F.broadcast(remap), "canon").select(
+                    "label", F.col("_nc").alias("canon")
+                )
+                delta = mdf.unionByName(touched)
+            # append-only: the delta scan reads existing canon files
+            # while new files land beside them — nothing is replaced
+            delta.write.mode("append").parquet(f"{path}/canon")
         forest = spark.createDataFrame(
-            flat or [], f"label {id_type}, canon {id_type}"
+            merges or [], f"label {id_type}, canon {id_type}"
         )
         resolve = new0.join(F.broadcast(forest), "label", "left")
 
@@ -1273,18 +1324,21 @@ def dedup_cluster_update(
 
 def dedup_cluster_labels(spark, path: str) -> DataFrame:
     """Current cluster label per doc: labels resolved through the
-    flattened canon forest (one broadcast join — canon holds one row
-    per historical merge, driver-small next to the corpus). The
-    per-doc min aggregation collapses duplicate rows a replayed
-    micro-batch may have appended (foreachBatch is at-least-once):
-    both copies resolve through canon to the same canonical label, so
-    the min is exact, not a tie-break."""
+    canon forest with one join (AQE picks broadcast while canon is
+    small; it is merge-bounded but may approach O(docs) under
+    adversarial duplication, where a shuffled join is the right
+    plan). The per-doc min aggregation is load-bearing twice over:
+    it collapses duplicate label rows a replayed micro-batch may have
+    appended (foreachBatch is at-least-once), and it resolves the
+    append-only canon delta log — a superseded label holds several
+    canon rows, and because the canonical root is always the MINIMUM
+    member, min picks the newest mapping exactly."""
     from pyspark.errors import AnalysisException
 
     labels = spark.read.parquet(f"{path}/labels")
     try:
         canon = spark.read.parquet(f"{path}/canon")
-        labels = labels.join(F.broadcast(canon), "label", "left").select(
+        labels = labels.join(canon, "label", "left").select(
             "doc", F.coalesce("canon", "label").alias("cluster")
         )
     except AnalysisException:

@@ -121,9 +121,32 @@ def lsh_text_index_compact(
 def dedup_cluster_compact(
     spark: SparkSession, path: str, target_files: int = 1
 ) -> dict:
-    """Fold the incremental dedup-cluster ``labels`` table back to
-    ``target_files`` files (``canon`` is already single-file by
-    construction); ``dedup_cluster_labels`` output is unchanged."""
-    return {
+    """Fold the incremental dedup-cluster state: the ``labels`` table
+    back to ``target_files`` files, and the append-only ``canon``
+    delta log down to one row per label (``min(canon)`` — exactly the
+    resolution every reader applies, so ``dedup_cluster_labels``
+    output is unchanged by construction)."""
+    out = {
         "labels": compact_parquet_dir(spark, f"{path}/labels", target_files)
     }
+    from pyspark.errors import AnalysisException
+
+    try:
+        canon = spark.read.parquet(f"{path}/canon")
+    except AnalysisException:
+        return out
+    rows_before = canon.count()
+    folded = (
+        canon.groupBy("label")
+        .agg(F.min("canon").alias("canon"))
+        # cut lineage so the overwrite never reads the files it replaces
+        .localCheckpoint(eager=True)
+    )
+    rows_after = folded.count()
+    if rows_after < rows_before or _n_files(spark, f"{path}/canon") > target_files:
+        folded.coalesce(target_files).write.mode("overwrite").parquet(
+            f"{path}/canon"
+        )
+        spark.catalog.refreshByPath(f"{path}/canon")
+    out["canon"] = {"rows_before": rows_before, "rows_after": rows_after}
+    return out

@@ -1181,6 +1181,92 @@ def test_dedup_cluster_update_distributed_frontier(spark, tmp_path):
     assert drv == dst and drv[1000] == 0
 
 
+def test_dedup_cluster_update_large_canon_no_driver_collect(
+    spark, tmp_path, monkeypatch
+):
+    """Steady-state incremental update against a synthetically large
+    pre-existing canon forest (10⁶ rows — the adversarial-duplication
+    shape where every historical doc lost a merge): the update must
+    resolve the frontier THROUGH canon with a join, never collect the
+    forest to the driver. Asserted by counting every row that crosses
+    DataFrame.collect during the call."""
+    path = str(tmp_path / "bigcanon")
+    n = 1_000_000
+    spark.range(2, n + 2).select(
+        F.col("id").alias("doc"), F.col("id").alias("label")
+    ).write.parquet(f"{path}/labels")
+    spark.createDataFrame([(1, 1)], "doc long, label long").write.mode(
+        "append"
+    ).parquet(f"{path}/labels")
+    spark.range(2, n + 2).select(
+        F.col("id").alias("label"), F.lit(1).cast("long").alias("canon")
+    ).write.parquet(f"{path}/canon")
+
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    real_collect = _CDF.collect
+    sizes = []
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_CDF, "collect", counting_collect)
+    D.dedup_cluster_update(
+        spark,
+        path,
+        spark.createDataFrame([(5_000_000,)], "doc long"),
+        spark.createDataFrame([(5_000_000, 500_000)], "doc_a long, doc_b long"),
+    )
+    monkeypatch.undo()
+    # the only collect is the ≤cap resolved frontier (1 pair here) —
+    # a full-canon collect would show up as ~10⁶ rows
+    assert sum(sizes) < 1_000, sizes
+    got = {
+        r["doc"]: r["cluster"]
+        for r in D.dedup_cluster_labels(spark, path)
+        .filter(F.col("doc").isin(1, 500_000, 5_000_000))
+        .collect()
+    }
+    assert got == {1: 1, 500_000: 1, 5_000_000: 1}
+
+
+def test_dedup_cluster_canon_delta_fold(spark, tmp_path):
+    """The canon delta log accumulates superseded rows across merges;
+    dedup_cluster_compact folds it to one row per label with resolved
+    labels unchanged."""
+    from excel_to_database_spark.operators import maintenance as M
+
+    path = str(tmp_path / "foldcl")
+
+    def ids(*xs):
+        return spark.createDataFrame([(x,) for x in xs], "doc long")
+
+    def prs(*ps):
+        return spark.createDataFrame(list(ps), "doc_a long, doc_b long")
+
+    # three batches that repeatedly re-merge: 20-30 cluster, then
+    # bridged to 10, then bridged to 1 — label 30's mapping is
+    # superseded twice
+    D.dedup_cluster_update(spark, path, ids(20, 30), prs((20, 30)))
+    D.dedup_cluster_update(spark, path, ids(10), prs((10, 20)))
+    D.dedup_cluster_update(spark, path, ids(1), prs((1, 30)))
+    before = {r["doc"]: r["cluster"]
+              for r in D.dedup_cluster_labels(spark, path).collect()}
+    assert before == {1: 1, 10: 1, 20: 1, 30: 1}
+    canon_rows = spark.read.parquet(f"{path}/canon").collect()
+    labels_seen = [r["label"] for r in canon_rows]
+    assert len(labels_seen) > len(set(labels_seen))  # deltas accumulated
+    stats = M.dedup_cluster_compact(spark, path)
+    assert stats["canon"]["rows_after"] < stats["canon"]["rows_before"]
+    folded = spark.read.parquet(f"{path}/canon").collect()
+    assert len(folded) == len({r["label"] for r in folded})
+    after = {r["doc"]: r["cluster"]
+             for r in D.dedup_cluster_labels(spark, path).collect()}
+    assert after == before
+
+
 def test_dedup_cluster_update_string_ids(spark, tmp_path):
     """Doc ids need not be integral: string ids flow through both the
     canon forest and min-label resolution (lexicographic min)."""
