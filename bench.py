@@ -84,6 +84,9 @@ HEADLINE = [
     "q155_gopher_quality_rules",
     "q146_ivf_pq_index_build",
     "q145_ann_ivf_pq",
+    # round-9 addition: event-time-timer gap sessionization (typed
+    # state, watermark-driven expiry)
+    "q161_stream_event_time_sessions",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

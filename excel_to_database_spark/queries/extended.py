@@ -668,3 +668,73 @@ def q150_stream_typed_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "event_type", "n_events")
     )
+
+
+#: q161 gap: 1 hour of event time
+_Q161_GAP_MS = 3_600_000
+
+
+@query(
+    "q161_stream_event_time_sessions",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+    ), flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > CAST({_Q161_GAP_MS} AS BIGINT) * 1000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ), sid AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id,
+             MIN(ts_us) AS session_start_us,
+             MAX(ts_us) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sid GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM sess
+    WHERE session_end_us // 1000 + {_Q161_GAP_MS}
+          <= (SELECT MAX(ts_us) // 1000 FROM e)
+    """,
+)
+def q161_stream_event_time_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME-timer gap sessionization through the typed-state
+    surface (timeMode='EventTime' — the timer family q137/q149/q150's
+    processing-time trilogy never exercises): per-user sessions split
+    on >1h event-time gaps, each held open in LIST state until the
+    WATERMARK passes its last event + gap, then emitted by the expiry
+    handler. Replayed availableNow (one data batch + the timer-firing
+    no-data batch), the emitted set is exactly the batch gap-sessions
+    whose expiry the final watermark (max event ts, delay 0) reached —
+    which is what the oracle computes, including the ms-floor and
+    boundary-equality (timer fires at expiry == watermark, pinned by
+    test) semantics. Sessions the watermark never closes are correctly
+    absent from both sides."""
+    from excel_to_database_spark.streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from excel_to_database_spark.streaming.tws import (
+        ship_protobuf_to_workers,
+        user_event_sessions_tws,
+    )
+
+    ship_protobuf_to_workers(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_memory(
+        spark,
+        user_event_sessions_tws(stream, gap_ms=_Q161_GAP_MS),
+        "q161_tws",
+        output_mode="append",
+    ).select("user_id", "session_start_us", "session_end_us", "n_events")

@@ -385,6 +385,144 @@ class TimerMarkerProcessor(StatefulProcessor):
         pass
 
 
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+class EventTimeSessionProcessor(StatefulProcessor):
+    """Watermark-correct gap sessionization via EVENT-TIME timers —
+    the timer family's second half (processing-time covered by
+    :class:`TimerMarkerProcessor`). Each key holds its OPEN sessions
+    (start, end, count — plural: a key can have several sessions
+    in flight whose expiry the watermark hasn't reached) in LIST
+    state. Every batch folds the new events in by sorting and
+    gap-coalescing — an out-of-order event that lands between two
+    open sessions within ``gap`` BRIDGES them into one, which is why
+    sessions must stay open until the watermark passes ``end + gap``
+    and why eager emission would be wrong. One event-time timer per
+    open session is kept registered (stale registrations deleted via
+    listTimers/deleteTimer); when the watermark passes an expiry the
+    handler emits every session now out of reach of future events
+    and evicts it — the session-gc / SLA-alert state-machine shape.
+    The fold (sort + gap-coalesce of interval sets) is commutative
+    and associative, so micro-batch slicing cannot change which
+    sessions form — only watermark passage decides when they close."""
+
+    def __init__(self, gap_ms: int):
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getListState(
+            "sessions", "start_us BIGINT, end_us BIGINT, n BIGINT"
+        )
+
+    def _merged(self, items):
+        gap_us = self._gap_ms * 1000
+        items.sort()
+        out: list[tuple[int, int, int]] = []
+        for s, e, n in items:
+            if out and s <= out[-1][1] + gap_us:
+                ps, pe, pn = out[-1]
+                out[-1] = (ps, max(pe, e), pn + n)
+            else:
+                out.append((s, e, n))
+        return out
+
+    def _rearm(self, sessions) -> None:
+        want = {e // 1000 + self._gap_ms for _s, e, _n in sessions}
+        have = set(self._handle.listTimers())
+        for t in have - want:
+            self._handle.deleteTimer(t)
+        for t in want - have:
+            self._handle.registerTimer(t)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        items = [(int(r[0]), int(r[1]), int(r[2])) for r in self._sess.get()]
+        got = False
+        for pdf in rows:
+            for t in pdf["ts_us"]:
+                items.append((int(t), int(t), 1))
+                got = True
+        if not got:
+            return
+        merged = self._merged(items)
+        self._sess.put(merged)
+        self._rearm(merged)
+        return
+        yield  # pragma: no cover — generator with no data emissions
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        wm = timerValues.getCurrentWatermarkInMs()
+        sessions = [(int(r[0]), int(r[1]), int(r[2])) for r in self._sess.get()]
+        due = [x for x in sessions if x[1] // 1000 + self._gap_ms <= wm]
+        if not due:
+            return
+        keep = [x for x in sessions if x[1] // 1000 + self._gap_ms > wm]
+        if keep:
+            self._sess.put(keep)
+        else:
+            self._sess.clear()
+        self._rearm(keep)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(due),
+                "session_start_us": [s for s, _e, _n in due],
+                "session_end_us": [e for _s, e, _n in due],
+                "n_events": [n for _s, _e, n in due],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_event_sessions_tws(
+    events: DataFrame, gap_ms: int = 10_000, delay: str = "0 seconds"
+) -> DataFrame:
+    """Streaming per-user event-time gap sessions
+    (timeMode='EventTime'): input needs (user_id, ts); the watermark
+    is declared here with ``delay`` lateness. Events more than
+    ``gap_ms`` apart form separate sessions; a session closes — and
+    is emitted, once — only when the watermark passes its last event
+    + ``gap_ms``. Until then it stays open in list state: an
+    out-of-order event above the watermark can extend it or bridge
+    two open sessions into one. Requires ``tws_available()`` and the
+    RocksDB state store provider.
+
+    The availableNow caveat on :func:`user_timer_markers_tws` does
+    not bite here: event-time timers fire from watermark passage, so
+    once the source drains and the watermark is final, the query
+    stops scheduling work — but a session whose expiry the final
+    watermark never reaches stays open (unemitted), which is the
+    correct streaming answer, not a bug."""
+    from pyspark.sql import functions as F
+
+    prepared = (
+        events.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        .withWatermark("ts", delay)
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EventTimeSessionProcessor(gap_ms),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def user_timer_markers_tws(events: DataFrame) -> DataFrame:
     """Streaming per-user timer markers via typed-state processing-time
     timers (timeMode='ProcessingTime'). Requires ``tws_available()``

@@ -896,3 +896,109 @@ def test_stream_lsh_dedup_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got2 == expect
     spark.sql("DROP TABLE IF EXISTS t_stream_lsh")
+
+
+def test_typed_state_event_time_sessions(spark, tmp_path):
+    """EVENT-TIME timers through the typed-state protocol: a session's
+    expiry timer must fire only when the WATERMARK passes last-event +
+    gap — never on wall-clock. Two triggers: batch 1 opens user 1's
+    session (events at 0s and 5s → timer armed at 15s; watermark after
+    the batch is 5s, so nothing fires). Batch 2 carries a late-ish
+    user-1 event at 8s — above the 5s watermark, so it must REOPEN the
+    session and re-arm the timer to 18s — plus a user-2 event at 60s
+    that drives the watermark past 18s. The no-data batch after the
+    source drains then fires user 1's timer: exactly ONE session row
+    (0s..8s, n=3). A timer firing on wall-clock or on the stale 15s
+    registration would split user 1 into two sessions; user 2's
+    session (expiry 70s > final watermark 60s) must stay open and emit
+    nothing."""
+    from excel_to_database_spark.streaming.tws import (
+        ship_protobuf_to_workers,
+        user_event_sessions_tws,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+
+    src = tmp_path / "ev_tws_sess"
+    ev([(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:05")]).coalesce(
+        1
+    ).write.parquet(str(src / "a"))
+    ev([(1, "2024-01-01 00:00:08"), (2, "2024-01-01 00:01:00")]).coalesce(
+        1
+    ).write.parquet(str(src / "b"))
+
+    ship_protobuf_to_workers(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        user_event_sessions_tws(stream, gap_ms=10_000)
+        .writeStream.format("memory")
+        .queryName("t_tws_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("t_tws_sessions").collect()
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
+    assert [
+        (r["user_id"], r["session_start_us"] - base_us,
+         r["session_end_us"] - base_us, r["n_events"])
+        for r in out
+    ] == [(1, 0, 8_000_000, 3)]
+    spark.sql("DROP TABLE IF EXISTS t_tws_sessions")
+
+
+def test_typed_state_event_time_boundary_fires_at_equality(spark, tmp_path):
+    """Pin the timer-firing boundary the q161 oracle encodes: a timer
+    whose expiry EQUALS the final watermark fires (<= semantics).
+    User 1's session expires at exactly 00:00:10.000; user 2's lone
+    event drives the watermark to exactly that instant."""
+    from excel_to_database_spark.streaming.tws import (
+        ship_protobuf_to_workers,
+        user_event_sessions_tws,
+    )
+
+    ship_protobuf_to_workers(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "ev_tws_bnd"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:10")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts")).coalesce(
+        1
+    ).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        user_event_sessions_tws(stream, gap_ms=10_000)
+        .writeStream.format("memory")
+        .queryName("t_tws_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r["user_id"], r["n_events"])
+           for r in spark.table("t_tws_boundary").collect()]
+    assert got == [(1, 1)]
+    spark.sql("DROP TABLE IF EXISTS t_tws_boundary")
