@@ -548,7 +548,10 @@ def _bands_from_projections(projs_col, planes: int, bands: int):
     projection ``b*planes + j``."""
     band_exprs = []
     for b in range(bands):
-        bucket = None
+        # planes=0 degenerates to the constant empty sign pattern:
+        # every vector lands in bucket 0 → candidates are all pairs
+        # (the exact-degeneration anchor the oracle-checked twin uses)
+        bucket = F.lit(0) if planes == 0 else None
         for j in range(planes):
             bit = F.when(
                 F.element_at(projs_col, b * planes + j + 1) > 0, F.lit(1 << j)
@@ -573,6 +576,7 @@ def ann_hyperplane_lsh(
     bands: int = 1,
     dim: int | None = None,
     query_filter=None,
+    exact: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one band's
     sign-pattern bucket (equi-join on (band, bucket) — the scan never
@@ -581,16 +585,25 @@ def ann_hyperplane_lsh(
     similarity s, so more bands raise recall without widening any
     single bucket. Returns (query_id, neighbor_id, cosine, rank).
 
+    ``planes=0`` is the exact degeneration: the sign pattern is empty,
+    every vector shares bucket 0, and the same band-bucket equi-join
+    scores all pairs — recall 1 by construction. ``exact=True`` routes
+    the cosine through the decimal fold so that degeneration is
+    oracle-reproducible (the q80 discipline).
+
     Pass ``dim`` (the embedding length) to keep plan construction
     job-free; omitting it launches one bounded driver probe."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    proj = _projections_udf(planes, dim, bands)
+    if planes == 0:
+        proj_col = F.array().cast("array<double>")
+    else:
+        proj_col = _projections_udf(planes, dim, bands)(F.col(vec_col))
     base = (
         emb.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            proj(F.col(vec_col)).alias("projs"),
+            proj_col.alias("projs"),
         )
         .select(
             "id",
@@ -609,21 +622,39 @@ def ann_hyperplane_lsh(
         # a pair colliding in several bands must be scored once
         .dropDuplicates(["qid", "nid"])
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nq = F.aggregate(
-        F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nd = F.aggregate(
-        F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if exact:
+        dot = _dec_fold(
+            F.zip_with(
+                "qv", "nv",
+                lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(30,12)"),
+            )
+        )
+        nq = _dec_fold(
+            F.transform(
+                "qv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
+            )
+        )
+        nd = _dec_fold(
+            F.transform(
+                "nv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
+            )
+        )
+    else:
+        dot = F.aggregate(
+            F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nq = F.aggregate(
+            F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nd = F.aggregate(
+            F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     scored = pairs.select("qid", "nid", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -764,6 +795,7 @@ def ann_ivf(
     sweeps: int = 0,
     query_filter=None,
     tol: float | None = None,
+    exact_score: bool = False,
 ) -> DataFrame:
     """IVF search: each query probes its ``n_probe`` nearest cells and
     ranks only those cells' members by true cosine — candidate volume
@@ -771,7 +803,9 @@ def ann_ivf(
     iterations refine the quantizer (better-balanced cells → better
     recall per probe); pass ``tol`` to instead train to SSE
     convergence (``ivf_assign_converged``, at most max(sweeps, 10)
-    sweeps). Same output shape as the other ANN paths:
+    sweeps). ``exact_score=True`` + ``n_probe=n_lists`` is the exact
+    degeneration (all cells probed, decimal-exact ranking). Same
+    output shape as the other ANN paths:
     (query_id, neighbor_id, cosine, rank)."""
     if tol is not None:
         cents, assigned, _ = ivf_assign_converged(
@@ -781,7 +815,9 @@ def ann_ivf(
         cents, assigned = ivf_assign(emb, id_col, vec_col, n_lists, sweeps=sweeps)
     q = assigned.filter(query_filter) if query_filter is not None else assigned
     q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
-    return ivf_probe_index(q, cents, assigned, k=k, n_probe=n_probe)
+    return ivf_probe_index(
+        q, cents, assigned, k=k, n_probe=n_probe, exact_score=exact_score
+    )
 
 
 def ivf_probe_index(
@@ -790,6 +826,7 @@ def ivf_probe_index(
     assigned: DataFrame,
     k: int = 5,
     n_probe: int = 4,
+    exact_score: bool = False,
 ) -> DataFrame:
     """Search a PRE-BUILT IVF index with an external query set: each
     (qid, qv) query row probes its ``n_probe`` nearest cells of
@@ -816,18 +853,38 @@ def ivf_probe_index(
         "cell",
     ).filter(F.col("qid") != F.col("nid"))
 
-    dot = F.aggregate(
-        F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    nq = F.aggregate(
-        F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    nd = F.aggregate(
-        F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    if exact_score:
+        # decimal folds → ``n_probe = n_lists`` becomes the oracle-
+        # reproducible exact degeneration (q80 discipline)
+        dot = _dec_fold(
+            F.zip_with(
+                "qv", "nv",
+                lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(30,12)"),
+            )
+        )
+        nq = _dec_fold(
+            F.transform(
+                "qv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
+            )
+        )
+        nd = _dec_fold(
+            F.transform(
+                "nv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
+            )
+        )
+    else:
+        dot = F.aggregate(
+            F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        nq = F.aggregate(
+            F.transform("qv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        nd = F.aggregate(
+            F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
     scored = cand.select(
         "qid", "nid", (dot / (F.sqrt(nq) * F.sqrt(nd))).alias("cosine")
     ).dropDuplicates(["qid", "nid"])
@@ -1053,6 +1110,7 @@ def ann_ivf_pq(
     rerank: int = 0,
     query_filter=None,
     dim: int | None = None,
+    exact_rerank: bool = False,
 ) -> DataFrame:
     """IVF-PQ search — the composed vector index: IVF cells prune the
     corpus to ``n_probe`` lists per query, PQ codes supply an O(1)
@@ -1098,7 +1156,10 @@ def ann_ivf_pq(
 
     qset = assigned.filter(query_filter) if query_filter is not None else assigned
     q = qset.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
-    return _ivf_pq_search(q, cents, assigned, codes, cb, k, n_probe, rerank, w)
+    return _ivf_pq_search(
+        q, cents, assigned, codes, cb, k, n_probe, rerank, w,
+        exact_rerank=exact_rerank,
+    )
 
 
 def _ivf_pq_search(
@@ -1111,6 +1172,7 @@ def _ivf_pq_search(
     n_probe: int,
     rerank: int,
     w: int,
+    exact_rerank: bool = False,
 ) -> DataFrame:
     """Pure IVF-PQ SEARCH over already-built index artifacts — no
     training, no codebook construction, no corpus-wide limits. Shared
@@ -1179,22 +1241,56 @@ def _ivf_pq_search(
             .filter(F.col("rn") <= r)
             .select("qid", "nid")
         )
-        nd = F.aggregate(
-            F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        dot_e = F.aggregate(
-            F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        scored = (
-            shortlist.join(q, "qid")
-            .join(
-                assigned.select(F.col("id").alias("nid"), F.col("v").alias("nv")),
-                "nid",
+        if exact_rerank:
+            # decimal rerank: with rerank covering every candidate and
+            # n_probe = n_lists this is the oracle-reproducible exact
+            # degeneration (q80 discipline) — qn too must re-derive
+            # through decimal or the last bits differ
+            nd = _dec_fold(
+                F.transform(
+                    "nv",
+                    lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)"),
+                )
             )
-            .select("qid", "nid", (dot_e / (F.sqrt(nd) * qn)).alias("cosine"))
-        )
+            dot_e = _dec_fold(
+                F.zip_with(
+                    "qv", "nv",
+                    lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(30,12)"),
+                )
+            )
+            qn_e = F.sqrt(
+                _dec_fold(
+                    F.transform(
+                        "qv",
+                        lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)"),
+                    )
+                )
+            )
+            scored = (
+                shortlist.join(q, "qid")
+                .join(
+                    assigned.select(F.col("id").alias("nid"), F.col("v").alias("nv")),
+                    "nid",
+                )
+                .select("qid", "nid", (dot_e / (F.sqrt(nd) * qn_e)).alias("cosine"))
+            )
+        else:
+            nd = F.aggregate(
+                F.transform("nv", lambda a: a.cast("double") * a.cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            dot_e = F.aggregate(
+                F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b.cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            scored = (
+                shortlist.join(q, "qid")
+                .join(
+                    assigned.select(F.col("id").alias("nid"), F.col("v").alias("nv")),
+                    "nid",
+                )
+                .select("qid", "nid", (dot_e / (F.sqrt(nd) * qn)).alias("cosine"))
+            )
     return (
         scored.withColumn("rank", F.row_number().over(rk))
         .filter(F.col("rank") <= k)

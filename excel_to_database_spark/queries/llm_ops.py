@@ -608,6 +608,18 @@ def q80_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the exact-cosine top-5 oracle every ANN exact-degeneration twin
+#: shares with q80 — one semantics, four physical plans
+_SQL_EXACT_TOPK = f"""
+    WITH {_SQL_COSINE}
+    SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
 @query("q81_ann_hyperplane_lsh")  # approximate — rows-only check by design
 def q81_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH ANN (16 bands × 4 planes, candidates via
@@ -619,6 +631,21 @@ def q81_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_hyperplane_lsh(
         e, "vec_id", "embedding", k=5, planes=4, bands=16, dim=64,
         query_filter=F.col("id") < 10,
+    )
+
+
+@query("q162_ann_lsh_exact_twin", _SQL_EXACT_TOPK)
+def q162_ann_lsh_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q81's exact degeneration, oracle-checked: planes=0 makes every
+    band's sign pattern empty, so all vectors share bucket 0 and the
+    SAME (band, bucket) equi-join plan scores all pairs — recall 1 by
+    construction — while ``exact=True`` routes the cosine through the
+    decimal fold. Anchors the approximate q81 to the q80 semantics
+    with value-exact SQL instead of a rows-only check."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.ann_hyperplane_lsh(
+        e, "vec_id", "embedding", k=5, planes=0, bands=1, dim=64,
+        query_filter=F.col("id") < 10, exact=True,
     )
 
 
@@ -751,6 +778,19 @@ def q86_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q163_ann_ivf_exact_twin", _SQL_EXACT_TOPK)
+def q163_ann_ivf_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q86's exact degeneration, oracle-checked: ``n_probe = n_lists``
+    probes every cell (candidates = whole corpus regardless of the
+    quantizer) and ``exact_score=True`` ranks them with the decimal
+    fold — the same IVF plan, value-exact against the q80 SQL."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.ann_ivf(
+        e, "vec_id", "embedding", k=5, n_lists=16, n_probe=16,
+        query_filter=F.col("id") < 10, exact_score=True,
+    )
+
+
 _IVF_PQ_PARAMS = dict(n_lists=16, m=8, pq_k=32, dim=64)
 
 # bump when the build pipeline's OUTPUT changes (assignment exactness,
@@ -816,6 +856,21 @@ def q145_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = S.load_ivf_pq_index(spark, _ensure_ivf_pq_index(spark, sf_dir))
     return S.ann_ivf_pq_probe(
         idx, k=5, n_probe=4, rerank=50, query_filter=F.col("id") < 10
+    )
+
+
+@query("q164_ann_ivf_pq_exact_twin", _SQL_EXACT_TOPK)
+def q164_ann_ivf_pq_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q145's exact degeneration, oracle-checked: every cell probed
+    (n_probe = n_lists), the rerank window covering every ADC
+    candidate, and ``exact_rerank=True`` re-scoring the lot with the
+    decimal fold — the full IVF-PQ plan (cell pruning, LUT equi-join
+    ADC, rerank) producing the q80 answer value-exactly."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.ann_ivf_pq(
+        e, "vec_id", "embedding", k=5, n_lists=16, n_probe=16, m=8,
+        pq_k=16, rerank=1_000_000, query_filter=F.col("id") < 10,
+        dim=64, exact_rerank=True,
     )
 
 
