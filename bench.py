@@ -196,7 +196,7 @@ def main() -> None:
 
     _ensure_ivf_pq_index(spark, sf_dir)
 
-    from excel_to_database_spark.operators import evict_caches
+    from excel_to_database_spark.operators import deep_evict
 
     timings: dict[str, float] = {}
     etl_benchmarks(spark, sf_dir, timings)
@@ -208,7 +208,9 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             reps.append(time.perf_counter() - start)
-            evict_caches()  # operator pins must not carry across reps
+            # deep: pins + stray persists + localCheckpoint blocks
+            # must not carry across reps or into the next query
+            deep_evict(spark)
         timings[name] = round(_median(reps), 3)
         print(
             f"# {name}: median {timings[name]:.3f}s of "

@@ -51,3 +51,24 @@ def evict_caches() -> int:
     for df in frames:
         df.unpersist()
     return len(frames)
+
+
+def deep_evict(spark) -> int:
+    """Harness-grade eviction between timed runs: registered pins,
+    then the whole SQL cache (anything persisted outside the
+    registry), then a driver+JVM GC cycle so the ContextCleaner can
+    release localCheckpoint blocks whose handles just died — those
+    live in the block manager until the JVM object is collected, and
+    they are what accumulated across the round-8 slope suite and
+    inflated the q122 measurement. Not for the data plane: operators
+    keep using :func:`pin`/:func:`evict_caches`."""
+    import gc
+
+    n = evict_caches()
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    return n

@@ -1303,6 +1303,13 @@ def _ivf_pq_search(
     )
 
 
+#: sieve crossover in units of N·m·k interpreted decimal subvector
+#: folds — below this the broadcast argmin wins (measured: 5000·8·16 =
+#: 640k folds runs ~2× faster without the sieve; the 2000·8·32 build
+#: won 4.8s with it at a deeper fold shape). Calibrated, not derived.
+_PQ_SIEVE_FOLDS = 1_000_000
+
+
 def product_quantize(
     emb: DataFrame,
     id_col: str,
@@ -1311,6 +1318,7 @@ def product_quantize(
     k: int = 16,
     dim: int | None = None,
     codebook: DataFrame | None = None,
+    sieve: bool | None = None,
 ) -> DataFrame:
     """Product quantization: the vector splits into ``m`` contiguous
     subvectors; each subspace's codebook is the subvectors of the ``k``
@@ -1340,68 +1348,103 @@ def product_quantize(
     cents = (codebook if codebook is not None else _pq_codebook(base, m, k, w)).select(
         F.col("code").alias("cell"), "s", "cv"
     )
-    # Coding sieve (the q125-assignment discipline, argmin-L2 form):
-    # the full decimal argmin is N·m·k interpreted subvector folds —
-    # measured 4.8s of a 9s build at a 2000×8×32 index. One
-    # Arrow-batched numpy pass computes every subspace's float64
-    # distances against the driver-collected codebook (m·k·w floats —
-    # driver-small) and emits the per-subspace candidate set (argmin ±
-    # a margin far above float + decimal(30,12) quantization error);
-    # only candidates pay the decimal-exact rescore, which also yields
-    # the decimal dist_sq the oracle checks — so codes AND distortion
-    # stay bit-identical to the full decimal argmin.
-    import numpy as _np
-    import pandas as _pd
-    from pyspark.sql.functions import pandas_udf
+    # Route by size: the Arrow sieve pays a fixed pandas_udf cost
+    # (worker spin-up + Arrow transfer of every vector) that the small
+    # case never earns back — at the benchmarked 5000×8×16 the plain
+    # broadcast decimal argmin is ~2× faster — while at build scale
+    # (large N·m·k of interpreted subvector folds) the sieve won
+    # ~4.8s. The decision input is driver-cheap: a BOUNDED count
+    # (limit pushdown) of the corpus. An injected codebook (the
+    # build_ivf_pq_index path) skips the probe — builds are the
+    # at-scale case by construction. Both paths produce bit-identical
+    # codes and dist_sq (asserted in tests).
+    if sieve is None:
+        if codebook is not None:
+            use_sieve = True
+        else:
+            cap = _PQ_SIEVE_FOLDS // max(m * k, 1) + 1
+            use_sieve = base.limit(cap).count() * m * k > _PQ_SIEVE_FOLDS
+    else:
+        use_sieve = sieve
 
-    cb_rows = cents.collect()
-    _per_s: dict = {}
-    for r in cb_rows:
-        _per_s.setdefault(r["s"], []).append((r["cell"], list(r["cv"])))
-    for s in _per_s:
-        _per_s[s].sort(key=lambda t: t[0])
-    _Cm = {
-        s: _np.array([cv for _, cv in rows], dtype=_np.float64)
-        for s, rows in _per_s.items()
-    }
-    _ids_m = {s: [c for c, _ in rows] for s, rows in _per_s.items()}
-    id_t = dict(emb.dtypes)[id_col]
+    if use_sieve:
+        # Coding sieve (the q125-assignment discipline, argmin-L2
+        # form): the full decimal argmin is N·m·k interpreted
+        # subvector folds. One Arrow-batched numpy pass computes every
+        # subspace's float64 distances against the driver-collected
+        # codebook (m·k·w floats — driver-small) and emits the
+        # per-subspace candidate set (argmin ± a margin far above
+        # float + decimal(30,12) quantization error); only candidates
+        # pay the decimal-exact rescore, which also yields the decimal
+        # dist_sq the oracle checks — so codes AND distortion stay
+        # bit-identical to the full decimal argmin.
+        import numpy as _np
+        import pandas as _pd
+        from pyspark.sql.functions import pandas_udf
 
-    def _pq_near_fn(vs):
-        if len(vs) == 0:
-            return _pd.Series([], dtype=object)
-        V = _np.stack(vs.to_numpy()).astype(_np.float64)
-        out = [[] for _ in range(len(V))]
-        for s in range(m):
-            Vs = V[:, s * w:(s + 1) * w]
-            Cs = _Cm[s]
-            ids = _np.array(_ids_m[s])
-            d2s = (
-                (Vs * Vs).sum(axis=1)[:, None]
-                + (Cs * Cs).sum(axis=1)[None, :]
-                - 2.0 * (Vs @ Cs.T)
+        cb_rows = cents.collect()
+        _per_s: dict = {}
+        for r in cb_rows:
+            _per_s.setdefault(r["s"], []).append((r["cell"], list(r["cv"])))
+        for s in _per_s:
+            _per_s[s].sort(key=lambda t: t[0])
+        _Cm = {
+            s: _np.array([cv for _, cv in rows], dtype=_np.float64)
+            for s, rows in _per_s.items()
+        }
+        _ids_m = {s: [c for c, _ in rows] for s, rows in _per_s.items()}
+        id_t = dict(emb.dtypes)[id_col]
+
+        def _pq_near_fn(vs):
+            if len(vs) == 0:
+                return _pd.Series([], dtype=object)
+            V = _np.stack(vs.to_numpy()).astype(_np.float64)
+            out = [[] for _ in range(len(V))]
+            for s in range(m):
+                Vs = V[:, s * w:(s + 1) * w]
+                Cs = _Cm[s]
+                ids = _np.array(_ids_m[s])
+                d2s = (
+                    (Vs * Vs).sum(axis=1)[:, None]
+                    + (Cs * Cs).sum(axis=1)[None, :]
+                    - 2.0 * (Vs @ Cs.T)
+                )
+                best = d2s.min(axis=1)
+                for i in range(len(V)):
+                    out[i].append(list(ids[d2s[i] <= best[i] + 1e-6]))
+            return _pd.Series(out)
+
+        _pq_near = pandas_udf(_pq_near_fn, f"array<array<{id_t}>>")
+
+        cand_sub = (
+            base.withColumn("cands", _pq_near("v"))
+            .select(
+                "id",
+                F.explode(_sub_structs(F.col("v"), m, w)).alias("t"),
+                "cands",
             )
-            best = d2s.min(axis=1)
-            for i in range(len(V)):
-                out[i].append(list(ids[d2s[i] <= best[i] + 1e-6]))
-        return _pd.Series(out)
-
-    _pq_near = pandas_udf(_pq_near_fn, f"array<array<{id_t}>>")
-
-    cand_sub = (
-        base.withColumn("cands", _pq_near("v"))
-        .select(
-            "id",
-            F.explode(_sub_structs(F.col("v"), m, w)).alias("t"),
-            "cands",
+            .select(
+                "id",
+                F.col("t.s").alias("s"),
+                F.col("t.sv").alias("sv"),
+                F.explode(F.element_at("cands", F.col("t.s") + 1)).alias("cell"),
+            )
         )
-        .select(
-            "id",
-            F.col("t.s").alias("s"),
-            F.col("t.sv").alias("sv"),
-            F.explode(F.element_at("cands", F.col("t.s") + 1)).alias("cell"),
+    else:
+        # plain broadcast argmin: every (id, s) subvector scores all k
+        # codebook entries with the decimal fold — the right plan when
+        # N·m·k is small enough that interpretation beats Arrow setup
+        cand_sub = (
+            base.select(
+                "id", F.explode(_sub_structs(F.col("v"), m, w)).alias("t")
+            )
+            .select(
+                "id", F.col("t.s").alias("s"), F.col("t.sv").alias("sv")
+            )
+            .join(
+                F.broadcast(cents.select("s", F.col("cell"))), "s"
+            )
         )
-    )
     d2 = F.aggregate(
         F.zip_with(
             "sv", "cv",

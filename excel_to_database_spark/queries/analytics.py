@@ -305,8 +305,6 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint); each of the 5 unrolled steps is contribution-join →
     dst-keyed sum, all hashed on the node key, the same plan GraphX's
     Pregel generates per superstep. The driver never sees a row."""
-    from pyspark.storagelevel import StorageLevel
-
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # the whole iteration runs on LONG node ids (customer k → 2k,
@@ -328,9 +326,14 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adjacency with the out-degree folded in (one window pass, no
     # second shuffle) — each superstep then needs a single src join
     # instead of ranks⋈deg followed by ⋈edges
-    edges_deg = edges.withColumn("deg", F.count(F.lit(1)).over(w_deg)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # pin (not a bare .persist): the registry is what lets the bench /
+    # slope harnesses actually free the adjacency between runs — an
+    # unregistered persist accumulated across runs and showed up as a
+    # phantom 5.6x q122 slope in round 8 (storage-memory pressure on
+    # the scaled run), re-measured at ~2.5x in isolation
+    from excel_to_database_spark.operators.caching import pin
+
+    edges_deg = pin(edges.withColumn("deg", F.count(F.lit(1)).over(w_deg)))
     deg = edges_deg.select("src", "deg").distinct()
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(

@@ -530,10 +530,12 @@ def q133_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership = d.select(F.col("doc_id").alias("doc"), in_corpus.alias("in_corpus"))
     # both the new-batch and corpus branches filter this frame — one
     # signature aggregation, not two
-    sig = (
-        D.minhash_signatures(D.shingles(d, "doc_id", "text", 3), 16)
-        .join(membership, "doc")
-        .persist()
+    from excel_to_database_spark.operators.caching import pin
+
+    sig = pin(
+        D.minhash_signatures(D.shingles(d, "doc_id", "text", 3), 16).join(
+            membership, "doc"
+        )
     )
     sig_new = sig.filter(~F.col("in_corpus")).drop("in_corpus")
     sig_corpus = sig.filter(F.col("in_corpus")).drop("in_corpus")

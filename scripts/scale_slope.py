@@ -157,7 +157,7 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
     Returns {"factor", "build_s", "base": {q: s}, "scaled": {q: s},
     "slope": {q: scaled/base}} — slope ≈ factor means linear scaling;
     slope >> factor flags a super-linear plan."""
-    from excel_to_database_spark.operators.caching import evict_caches
+    from excel_to_database_spark.operators.caching import deep_evict
     from excel_to_database_spark.queries import QUERIES
 
     t0 = time.perf_counter()
@@ -167,12 +167,16 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
     out = {"factor": factor, "build_s": build_s, "base": {}, "scaled": {}, "slope": {}}
     for name in SLOPE_QUERIES:
         for tag, d in (("base", sf_dir), ("scaled", scaled_dir)):
-            evict_caches()
+            # deep eviction, not just registered pins: leaked persists
+            # and lingering localCheckpoint blocks from the PREVIOUS
+            # query in this suite inflated round-8's q122 slope to a
+            # phantom 5.6x (2.5x in isolation)
+            deep_evict(spark)
             t0 = time.perf_counter()
             QUERIES[name](spark, d).count()
             out[tag][name] = round(time.perf_counter() - t0, 3)
         out["slope"][name] = round(out["scaled"][name] / out["base"][name], 2)
-    evict_caches()
+    deep_evict(spark)
     return out
 
 

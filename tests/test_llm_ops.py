@@ -1618,6 +1618,26 @@ def test_product_quantize_seeds_and_assignment(spark):
         S.product_quantize(df, "vec_id", "embedding", m=3, k=2, dim=4)
 
 
+def test_product_quantize_sieve_routing_bit_identical(spark):
+    """The size-routed coding paths — Arrow sieve + decimal rescore vs
+    plain broadcast decimal argmin — must produce bit-identical codes
+    AND dist_sq (the sieve is an optimization, never a semantics
+    change), and the auto route must pick the plain path below the
+    fold threshold."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def run(sv):
+        return {
+            (r["id"], tuple(r["codes"]), r["dist_sq"])
+            for r in S.product_quantize(
+                e, "vec_id", "embedding", m=8, k=16, dim=64, sieve=sv
+            ).collect()
+        }
+
+    sieved, plain, auto = run(True), run(False), run(None)
+    assert sieved == plain == auto and len(plain) == 500
+
+
 def test_group_sample_deterministic_k_per_group(spark):
     rows = [(i, f"g{i % 3}") for i in range(60)]
     df = spark.createDataFrame(rows, "doc_id long, grp string")
