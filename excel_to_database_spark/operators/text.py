@@ -462,7 +462,10 @@ def bigram_lm_fluency(
             ).alias("p"),
         )
     )
-    scored = bg.join(lm, ["w1", "w2"])
+    # shuffle-hash, not sort-merge: the probe side is the Σ-words
+    # occurrence stream — sorting it was the dominant stage of the
+    # 10× slope run; the build side is type-level (distinct bigrams)
+    scored = bg.join(lm.hint("shuffle_hash"), ["w1", "w2"])
     aggs = [
         F.count(F.lit(1)).alias("n_bigrams"),
         (
