@@ -24,6 +24,8 @@ _DEFAULT_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
+    # let Python DataSources (the xlsx format) receive pushed filters
+    "spark.sql.python.filterPushdown.enabled": "true",
     # ungrouped MIN/MAX/COUNT answered from parquet footer statistics —
     # no row scan at all (plan shows PushedAggregation)
     "spark.sql.parquet.aggregatePushdown": "true",

@@ -71,13 +71,29 @@ class XlsxDataSource(DataSource):
         return StructType([StructField(c, StringType()) for c in cols])
 
     def reader(self, schema: StructType) -> "XlsxReader":
-        return XlsxReader(schema, self.options)
+        # Spark REFUSES a reader that implements pushFilters while
+        # spark.sql.python.filterPushdown.enabled is false (off by
+        # default; get_session turns it on) — pick the reader class by
+        # the active session's setting so the format works either way
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        enabled = (
+            spark is not None
+            and str(
+                spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            ).lower()
+            == "true"
+        )
+        cls = XlsxPushdownReader if enabled else XlsxReader
+        return cls(schema, self.options)
 
 
 class XlsxReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         self.options = options
+        self._pushed: list = []
 
     def partitions(self) -> list[InputPartition]:
         # one partition per workbook — the natural task granule for an
@@ -112,11 +128,55 @@ class XlsxReader(DataSourceReader):
             want_raw = {raw_cols[p] for p in positions}
             n_full = len(all_cols)
             matrix = rdr.read_sheet(sheet, visible_only, want_cols=want_raw)
+            name_to_out = {
+                f.name: i for i, f in enumerate(self.schema.fields)
+            }
+            checks = [
+                (name_to_out[c], v) for c, v in self._pushed if c in name_to_out
+            ]
             for row in matrix[1:]:
                 padded = (row + [""] * n_full)[:n_full]
-                yield tuple(padded[p] for p in positions)
+                out = tuple(padded[p] for p in positions)
+                if all(out[i] == v for i, v in checks):
+                    yield out
             return
         matrix = rdr.read_sheet(sheet, visible_only)
         ncols = len(self.schema.fields)
+        pos = {f.name: i for i, f in enumerate(self.schema.fields)}
+        checks = [(pos[c], v) for c, v in self._pushed if c in pos]
         for row in matrix[1:]:
-            yield tuple((row + [""] * ncols)[:ncols])
+            out = tuple((row + [""] * ncols)[:ncols])
+            if all(out[i] == v for i, v in checks):
+                yield out
+
+
+class XlsxPushdownReader(XlsxReader):
+    """:class:`XlsxReader` plus row-level filter pushdown
+    (``DataSourceReader.pushFilters``, Spark 4.1). A separate class
+    because Spark rejects any reader that merely DEFINES pushFilters
+    while ``spark.sql.python.filterPushdown.enabled`` is false —
+    ``XlsxDataSource.reader`` picks the class by the live setting."""
+
+    def pushFilters(self, filters):
+        """EqualTo on a top-level column with a string value is
+        evaluated inside the decoder loop, so filtered rows are never
+        materialized into Arrow batches. Every column of this source
+        is a decoded string, so string equality here is EXACTLY
+        Catalyst's semantics — non-string values (whose implicit
+        casts belong to Catalyst) and every other predicate shape are
+        returned for Spark to evaluate post-scan. Column PRUNING has
+        no such hook in the Python DataSource API; that remains the
+        explicit ``columns`` option."""
+        from pyspark.sql.datasource import EqualTo
+
+        names = {f.name for f in self.schema.fields}
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[0] in names
+                and isinstance(f.value, str)
+            ):
+                self._pushed.append((f.attribute[0], f.value))
+            else:
+                yield f

@@ -1,3 +1,4 @@
+import pyspark.sql.functions as F
 from excel_to_database_spark.sources.excel_source import read_excel, sheet_names
 from excel_to_database_spark.sources.xlsx_core import (
     WorkbookReader,
@@ -340,3 +341,34 @@ def test_xlsx_datasource_column_pruning(spark, tmp_path):
     df = spark.read.format("xlsx").option("columns", "Name,Amount").load(str(d))
     assert df.columns == ["Name", "Amount"]
     assert {tuple(r) for r in df.collect()} == {("alice", "12.5"), ("bob", "7")}
+
+
+def test_xlsx_datasource_filter_pushdown(spark, tmp_path):
+    """String EqualTo predicates push into the decoder loop
+    (DataSourceReader.pushFilters): results match post-scan filtering
+    exactly, including combined with column pruning, and non-equality
+    / non-string predicates still evaluate correctly (returned to
+    Spark post-scan)."""
+    from excel_to_database_spark.sources.xlsx_datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    d = tmp_path / "books_f"
+    d.mkdir()
+    (d / "one.xlsx").write_bytes(_workbook())
+    base = spark.read.format("xlsx").load(str(d))
+    got = base.filter(F.col("Name") == "alice").collect()
+    assert [r["Name"] for r in got] == ["alice"]
+    assert got[0]["Amount"] == "12.5"
+    # pruned + pushed together
+    pruned = (
+        spark.read.format("xlsx")
+        .option("columns", "Name,Amount")
+        .load(str(d))
+        .filter(F.col("Name") == "bob")
+    )
+    assert {tuple(r) for r in pruned.collect()} == {("bob", "7")}
+    # residual (non-equality) predicate still evaluated by Spark
+    residual = base.filter(F.col("Name") != "alice").select("Name").collect()
+    assert [r["Name"] for r in residual] == ["bob"]
+    # no-match pushdown yields empty, not an error
+    assert base.filter(F.col("Name") == "zelda").count() == 0
