@@ -66,6 +66,19 @@ def deep_evict(spark) -> int:
 
     n = evict_caches()
     spark.catalog.clearCache()
+    # memory-sink views from streamed queries: the view entry keeps
+    # the sink's rows reachable; drop them so the GC below can reclaim
+    try:
+        from excel_to_database_spark.streaming.ingest import _MEMORY_SINKS
+
+        for name in set(_MEMORY_SINKS):
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        _MEMORY_SINKS.clear()
+    except Exception:
+        pass
     gc.collect()
     try:
         spark.sparkContext._jvm.System.gc()

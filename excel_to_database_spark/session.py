@@ -33,7 +33,12 @@ _DEFAULT_CONFS = {
     # filter that prunes the probe side's scan (big at fact-fact scale)
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    "spark.driver.memory": "8g",
+    # local mode runs driver AND all executor threads in ONE JVM —
+    # this heap is the whole engine's memory. 8g left a long bench
+    # session GC-thrashing once streamed results accumulated; the
+    # harness machine has 128 GiB. On a real cluster the executors'
+    # memory is configured by the deployment, not this default.
+    "spark.driver.memory": "16g",
     "spark.ui.enabled": "false",
 }
 

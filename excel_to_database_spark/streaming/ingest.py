@@ -497,11 +497,24 @@ def stream_dedup_clusters(
     )
 
 
+#: memory-sink view names created by run_stream_to_memory. The sink's
+#: rows live until BOTH the catalog entry and every plan reference are
+#: gone — a long session that never drops these views retains every
+#: streamed result forever (measured: the bench's headline phase left
+#: enough sink data in the shared local-mode heap to GC-thrash the
+#: first queries of the slope suite). caching.deep_evict drains this.
+_MEMORY_SINKS: list[str] = []
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
     """Drive a streaming frame to a memory sink with availableNow and
-    return the materialized result (bounded replay for tests/oracles)."""
+    return the materialized result (bounded replay for tests/oracles).
+    The sink view is registered for ``deep_evict`` cleanup — dropping
+    the view later does not invalidate the returned DataFrame (it
+    holds the plan), it only makes the rows collectable once the
+    caller lets the frame go."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -510,6 +523,7 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+    _MEMORY_SINKS.append(name)
     return spark.table(name)
 
 
