@@ -436,7 +436,19 @@ class EventTimeSessionProcessor(StatefulProcessor):
         return out
 
     def _rearm(self, sessions) -> None:
-        want = {e // 1000 + self._gap_ms for _s, e, _n in sessions}
+        # ONE timer per key — the earliest open session's expiry.
+        # Gap-disjoint sessions expire in session order, so when the
+        # watermark passes the earliest expiry the handler emits EVERY
+        # due session in that one call and re-arms to the next
+        # remaining expiry (necessarily > the watermark). Per-session
+        # timers would each pay a handler round trip per batch — at
+        # ~60 open sessions/key that was the dominant cost of the
+        # availableNow replay (9134 timer firings for 150 keys).
+        want = (
+            {min(e // 1000 + self._gap_ms for _s, e, _n in sessions)}
+            if sessions
+            else set()
+        )
         have = set(self._handle.listTimers())
         for t in have - want:
             self._handle.deleteTimer(t)
