@@ -171,10 +171,17 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
             # and lingering localCheckpoint blocks from the PREVIOUS
             # query in this suite inflated round-8's q122 slope to a
             # phantom 5.6x (2.5x in isolation)
-            deep_evict(spark)
-            t0 = time.perf_counter()
-            QUERIES[name](spark, d).count()
-            out[tag][name] = round(time.perf_counter() - t0, 3)
+            # two reps, MIN: one-shot timings carried residual suite
+            # state (GC debt, cold JIT) that isolation re-runs did not
+            # reproduce — the min of two runs is the steady-state
+            # number the slope is meant to track
+            reps = []
+            for _ in range(2):
+                deep_evict(spark)
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).count()
+                reps.append(time.perf_counter() - t0)
+            out[tag][name] = round(min(reps), 3)
         out["slope"][name] = round(out["scaled"][name] / out["base"][name], 2)
     deep_evict(spark)
     return out
