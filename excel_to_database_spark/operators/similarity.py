@@ -685,6 +685,91 @@ def _dec_fold(arr):
     ).cast("double")
 
 
+def _sieved_nearest_cell(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Decimal-EXACT nearest-centroid assignment via the q125 sieve
+    discipline: one Arrow-batched numpy pass scores every vector
+    against the driver-collected centroid matrix in float64 and keeps
+    only centroids within a safety margin of the top (float error +
+    decimal(30,12) quantization ≪ 1e-6 — the margin cannot drop the
+    true argmax); single-candidate rows need no further work, and
+    only the near-tie rows pay the interpreted decimal rescore whose
+    value the SQL oracle reproduces. Replaces the full N × n_lists
+    decimal crossJoin (every row paid 3 interpreted decimal folds per
+    centroid — the dominant cost of the q146 build) with bit-identical
+    output. Zero-norm vectors (undefined cosine) resolve through the
+    nulls-last decimal pick to their lowest candidate cell instead of
+    raising ANSI DIVIDE_BY_ZERO."""
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents_rows = cents.select("cell", "cv").collect()  # n_lists rows
+    cell_t = cents.schema["cell"].dataType.simpleString()
+    if not cents_rows:
+        return base.select(
+            "id", "v", F.lit(None).cast(cell_t).alias("cell")
+        ).limit(0)
+    _C = _np.stack([list(r["cv"]) for r in cents_rows]).astype(_np.float64)
+    _cids = [r["cell"] for r in cents_rows]
+    _cn = _np.sqrt((_C * _C).sum(axis=1))
+
+    def _near_fn(vs):
+        if len(vs) == 0:
+            return _pd.Series([], dtype=object)
+        V = _np.stack(vs.to_numpy()).astype(_np.float64)
+        vn = _np.sqrt((V * V).sum(axis=1))
+        ids = _np.array(_cids)
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            sims = (V @ _C.T) / _np.outer(vn, _cn)
+        out = []
+        for s in sims:
+            finite = _np.isfinite(s)
+            if not finite.any():
+                out.append(list(ids))
+            else:
+                b = s[finite].max()
+                out.append(list(ids[finite & (s >= b - 1e-6)]))
+        return _pd.Series(out)
+
+    near = pandas_udf(_near_fn, f"array<{cell_t}>")
+    with_cand = base.withColumn("cands", near("v"))
+    single = with_cand.filter(F.size("cands") == 1).select(
+        "id", "v", F.col("cands")[0].alias("cell")
+    )
+    dot = _dec_fold(
+        F.zip_with(
+            "v", "cv",
+            lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(30,12)"),
+        )
+    )
+    nv = _dec_fold(
+        F.transform(
+            "v", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
+        )
+    )
+    nc = _dec_fold(
+        F.transform(
+            "cv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
+        )
+    )
+    multi_scored = (
+        with_cand.filter(F.size("cands") > 1)
+        .select("id", "v", F.explode("cands").alias("cell"))
+        .join(F.broadcast(cents.select("cell", "cv")), "cell")
+        .select(
+            "id", "v", "cell",
+            F.try_divide(dot, F.sqrt(nv) * F.sqrt(nc)).alias("sim"),
+        )
+    )
+    pick = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
+    multi = (
+        multi_scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "cell")
+    )
+    return single.unionByName(multi)
+
+
 def _ivf_nearest_cell(
     base: DataFrame, cents: DataFrame, exact: bool = False
 ) -> DataFrame:
@@ -700,31 +785,7 @@ def _ivf_nearest_cell(
     (decimal folds especially) into a single task — spread it first."""
     base = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
     if exact:
-        dot = _dec_fold(
-            F.zip_with(
-                "v", "cv",
-                lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(30,12)"),
-            )
-        )
-        nv = _dec_fold(
-            F.transform(
-                "v", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
-            )
-        )
-        nc = _dec_fold(
-            F.transform(
-                "cv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
-            )
-        )
-        scored = base.crossJoin(F.broadcast(cents)).select(
-            "id", "v", "cell", (dot / (F.sqrt(nv) * F.sqrt(nc))).alias("sim")
-        )
-        pick = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell"))
-        return (
-            scored.withColumn("rn", F.row_number().over(pick))
-            .filter(F.col("rn") == 1)
-            .select("id", "v", "cell")
-        )
+        return _sieved_nearest_cell(base, cents)
     dot = F.aggregate(
         F.zip_with("v", "cv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
