@@ -1267,6 +1267,43 @@ def test_dedup_cluster_canon_delta_fold(spark, tmp_path):
     assert after == before
 
 
+def test_dedup_cluster_overcap_after_deltas(spark, tmp_path):
+    """An over-cap batch routed through the distributed
+    connected-components path must produce correct labels when the
+    pre-existing canon is an append-only DELTA log with superseded
+    rows — the closure over (frontier ∪ canon edges) treats stale
+    edges as intra-component, and the overwrite leaves canon fully
+    folded (one row per label)."""
+    path = str(tmp_path / "ovcl")
+
+    def ids(*xs):
+        return spark.createDataFrame([(x,) for x in xs], "doc long")
+
+    def prs(*ps):
+        return spark.createDataFrame(list(ps), "doc_a long, doc_b long")
+
+    # three incremental batches accumulate delta rows (30's mapping
+    # superseded twice: 30→20, →10, →1)
+    D.dedup_cluster_update(spark, path, ids(20, 30), prs((20, 30)))
+    D.dedup_cluster_update(spark, path, ids(10), prs((10, 20)))
+    D.dedup_cluster_update(spark, path, ids(1), prs((1, 30)))
+    canon_rows = spark.read.parquet(f"{path}/canon").collect()
+    assert len(canon_rows) > len({r["label"] for r in canon_rows})
+    # over-cap batch: chain 50-51-...-55 plus a bridge into the old
+    # cluster; frontier_cap=1 forces the distributed path
+    n = list(range(50, 56))
+    D.dedup_cluster_update(
+        spark, path, ids(*n),
+        prs(*[(a, a + 1) for a in n[:-1]], (55, 10)),
+        frontier_cap=1,
+    )
+    got = {r["doc"]: r["cluster"]
+           for r in D.dedup_cluster_labels(spark, path).collect()}
+    assert got == {1: 1, 10: 1, 20: 1, 30: 1, **{x: 1 for x in n}}
+    folded = spark.read.parquet(f"{path}/canon").collect()
+    assert len(folded) == len({r["label"] for r in folded})  # no stale rows
+
+
 def test_dedup_cluster_update_string_ids(spark, tmp_path):
     """Doc ids need not be integral: string ids flow through both the
     canon forest and min-label resolution (lexicographic min)."""
