@@ -159,3 +159,24 @@ def test_char_span_survivor_no_cartesian_q157(spark, sf_dir):
     equi-join on the window digest — never a pair blow-up join."""
     plan = _plan(spark, sf_dir, "q157_char_span_dedup")
     assert "CartesianProduct" not in plan
+
+
+def test_sigma_probe_joins_never_sort_merge(spark, sf_dir):
+    """The joins whose probe side is Σ-shaped (the char-window index
+    for q157, the delete-variant index for q151, the bigram
+    occurrence stream for q159) must hash, not sort-merge — the sort
+    of the probe stream was the dominant stage of each 10× slope run
+    (AQE may upgrade the hash to broadcast when the build side is
+    small; both are fine, a SortMergeJoin on these keys is not)."""
+    for q, key_frag in (
+        ("q157_char_span_dedup", "[h"),
+        ("q151_fuzzy_edit1_join", "[v"),
+        ("q159_bigram_lm_fluency", "[w1"),
+    ):
+        plan = _plan(spark, sf_dir, q)
+        bad = [
+            l
+            for l in plan.splitlines()
+            if "SortMergeJoin" in l and key_frag in l
+        ]
+        assert not bad, f"{q} sort-merges its Σ-probe join: {bad}"
