@@ -420,25 +420,27 @@ def char_span_pairs(
     score higher).
 
     Scale: index rows = Σ chars (the same O(total corpus characters)
-    a suffix array costs). The join key is the md5 of the window, not
-    the window text (32 vs ``min_len`` bytes per shuffled row — ~36%
-    less exchange volume at the default length; md5 is already the
-    engine's portable digest family, so the SQL oracle hashes the same
-    windows to the same keys and the comparison stays value-exact,
-    collisions included). Boilerplate windows shared by d docs
-    legitimately produce d² pairs — that IS the answer here
-    (pair-level semantics), unlike jaccard_pairs where hot shingles
-    only mediate a score."""
+    a suffix array costs). The join key is the 16-byte binary md5 of
+    the window, not the window text (16 vs ``min_len`` bytes per
+    shuffled row; md5 is already the engine's portable digest family,
+    so the SQL oracle hashes the same windows to keys with identical
+    equality — unhex is injective — and the comparison stays
+    value-exact, collisions included). The self-join is hinted
+    SHUFFLE_HASH: both sides are the Σ-chars index, and sort-merge
+    would sort them twice (the q157 lesson). Boilerplate windows
+    shared by d docs legitimately produce d² pairs — that IS the
+    answer here (pair-level semantics), unlike jaccard_pairs where
+    hot shingles only mediate a score."""
     # the window explode is Σ-chars work hiding behind a small doc
     # row count — a single-partition parquet would serialize it into
     # one task; spread the docs first so explode+digest parallelize
     g = char_shingles(df, id_col, text_col, n=min_len).select(
-        "doc", F.md5("shingle").alias("h")
+        "doc", F.unhex(F.md5("shingle")).alias("h")
     )
     a = g.select(F.col("doc").alias("doc_a"), "h")
     b = g.select(F.col("doc").alias("doc_b"), "h")
     return (
-        a.join(b, "h")
+        a.join(b.hint("shuffle_hash"), "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
