@@ -1267,6 +1267,62 @@ def test_dedup_cluster_canon_delta_fold(spark, tmp_path):
     assert after == before
 
 
+def test_dedup_cluster_update_randomized_equivalence(spark, tmp_path):
+    """Seeded random batch sequences (new docs + pairs anchored in the
+    batch, random frontier caps mixing the driver and distributed
+    paths) must keep dedup_cluster_labels identical to a reference
+    min-label union-find after EVERY batch — the delta-log,
+    min-resolution, and over-cap closure invariants under arbitrary
+    merge interleavings."""
+    import random
+
+    rng = random.Random(20260814)
+    path = str(tmp_path / "randcl")
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    all_docs: list = []
+    nxt = 0
+    for batch in range(6):
+        k = rng.randint(1, 12)
+        new = list(range(nxt, nxt + k))
+        nxt += k
+        pool = all_docs + new
+        all_docs += new
+        pairs = []
+        for _ in range(rng.randint(0, 15)):
+            a, b = rng.choice(new), rng.choice(pool)
+            if a != b:
+                pairs.append((a, b))
+        cap = rng.choice([1, 2, 100_000])
+        D.dedup_cluster_update(
+            spark,
+            path,
+            spark.createDataFrame([(x,) for x in new], "doc long"),
+            spark.createDataFrame(pairs or [], "doc_a long, doc_b long"),
+            frontier_cap=cap,
+        )
+        for a, b in pairs:
+            union(a, b)
+        got = {r["doc"]: r["cluster"]
+               for r in D.dedup_cluster_labels(spark, path).collect()}
+        want = {d: find(d) for d in all_docs}
+        assert got == want, f"batch {batch} (cap {cap})"
+
+
 def test_dedup_cluster_overcap_after_deltas(spark, tmp_path):
     """An over-cap batch routed through the distributed
     connected-components path must produce correct labels when the
