@@ -458,10 +458,20 @@ class EventTimeSessionProcessor(StatefulProcessor):
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
+        # transformWithState does NOT late-filter input rows (the
+        # watermark only drives timers) — drop them here, or an event
+        # at/below the watermark could merge into a session that the
+        # watermark already CLOSED and emitted, silently contradicting
+        # the output. Emission finality: an emitted session has
+        # end+gap <= wm, so any event that could merge into it has
+        # ts <= wm — exactly the rows dropped.
+        wm = timerValues.getCurrentWatermarkInMs()
         items = [(int(r[0]), int(r[1]), int(r[2])) for r in self._sess.get()]
         got = False
         for pdf in rows:
             for t in pdf["ts_us"]:
+                if int(t) // 1000 <= wm:
+                    continue  # late beyond the watermark: dropped
                 items.append((int(t), int(t), 1))
                 got = True
         if not got:
@@ -509,8 +519,11 @@ def user_event_sessions_tws(
     is emitted, once — only when the watermark passes its last event
     + ``gap_ms``. Until then it stays open in list state: an
     out-of-order event above the watermark can extend it or bridge
-    two open sessions into one. Requires ``tws_available()`` and the
-    RocksDB state store provider.
+    two open sessions into one, while an event AT or BELOW the
+    watermark is dropped by the operator itself (Spark's
+    transformWithState does no input late-filtering) — which is what
+    makes every emitted session FINAL. Requires ``tws_available()``
+    and the RocksDB state store provider.
 
     The availableNow caveat on :func:`user_timer_markers_tws` does
     not bite here: event-time timers fire from watermark passage, so

@@ -1002,3 +1002,77 @@ def test_typed_state_event_time_boundary_fires_at_equality(spark, tmp_path):
            for r in spark.table("t_tws_boundary").collect()]
     assert got == [(1, 1)]
     spark.sql("DROP TABLE IF EXISTS t_tws_boundary")
+
+
+def test_typed_state_event_time_late_drop_and_delay(spark, tmp_path):
+    """Lateness semantics: with delay 0, an event BELOW the watermark
+    is dropped by the event-time operator (it must not resurrect or
+    corrupt a closed session), while a nonzero ``delay`` holds the
+    watermark back so the same event is in-watermark and reopens its
+    session. Three files force watermark progression between
+    triggers."""
+    from excel_to_database_spark.streaming.tws import (
+        ship_protobuf_to_workers,
+        user_event_sessions_tws,
+    )
+
+    ship_protobuf_to_workers(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def ev(rows, sub):
+        spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.parquet(str(tmp_path / "late_src" / sub))
+
+    # file a: user 1 opens a session at 0s; watermark after a = 0s
+    ev([(1, "2024-01-01 00:00:00")], "a")
+    # file b: clock event far ahead -> watermark jumps to 10:00,
+    # closing user 1's session (expiry 0s+gap)
+    ev([(9, "2024-01-01 10:00:00")], "b")
+    # file c: user-1 event at 00:00:05 — BELOW the 10:00 watermark
+    # (delay 0) -> dropped; within a 12h delay -> reopens
+    ev([(1, "2024-01-01 00:00:05"), (9, "2024-01-02 10:00:00")], "c")
+
+    def run(delay, name):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / "late_src"))
+        )
+        q = (
+            user_event_sessions_tws(stream, gap_ms=10_000, delay=delay)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+            for r in spark.table(name).collect()
+        )
+
+    base_us = 1_704_067_200_000_000
+    strict = run("0 seconds", "t_late_strict")
+    # user 1: ONE session of exactly the on-time event; the late 5s
+    # event was dropped (no 1-row session for it either). user 9's
+    # first session closes when the 2024-01-02 event moves the
+    # watermark.
+    u1 = [s for s in strict if s[0] == 1]
+    assert u1 == [(1, base_us, base_us, 1)]
+    assert all(s[0] in (1, 9) for s in strict)
+
+    lax = run("12 hours", "t_late_lax")
+    # with 12h lateness the 00:00:05 event is in-watermark: it lands
+    # in (reopens) user 1's session -> one 2-event session once the
+    # watermark (max ts - 12h) finally passes its expiry
+    u1_lax = [s for s in lax if s[0] == 1]
+    assert u1_lax == [(1, base_us, base_us + 5_000_000, 2)]
+    spark.sql("DROP TABLE IF EXISTS t_late_strict")
+    spark.sql("DROP TABLE IF EXISTS t_late_lax")
