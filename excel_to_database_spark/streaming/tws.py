@@ -548,6 +548,112 @@ def user_event_sessions_tws(
     )
 
 
+def _session_fallback_fn(gap_ms: int):
+    """applyInPandasWithState twin of :class:`EventTimeSessionProcessor`
+    (GroupStateTimeout.EventTimeTimeout — the Spark 3.x surface, no
+    protobuf dependency). Same state content (open sessions as three
+    parallel arrays), same gap-coalesce fold, same late-drop finality
+    rule; the one API difference is that a key receiving data in a
+    batch cannot also time out in it, so the timeout timestamp is
+    clamped above the current watermark and fires next batch."""
+    gap_us = gap_ms * 1000
+
+    def fn(key, pdfs, state):
+        starts, ends, ns = (
+            ([list(x) for x in state.get] if state.exists else [[], [], []])
+        )
+        items = list(zip(starts, ends, ns))
+        wm = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            due = [x for x in items if x[1] // 1000 + gap_ms <= wm]
+            keep = [x for x in items if x[1] // 1000 + gap_ms > wm]
+            if keep:
+                state.update(tuple(list(c) for c in zip(*keep)))
+                state.setTimeoutTimestamp(
+                    max(min(e // 1000 + gap_ms for _s, e, _n in keep), wm + 1)
+                )
+            else:
+                state.remove()
+            if due:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(due),
+                        "session_start_us": [s for s, _e, _n in due],
+                        "session_end_us": [e for _s, e, _n in due],
+                        "n_events": [n for _s, _e, n in due],
+                    }
+                )
+            return
+        got = False
+        for pdf in pdfs:
+            for t in pdf["ts_us"]:
+                if int(t) // 1000 <= wm:
+                    continue  # late beyond the watermark: dropped
+                items.append((int(t), int(t), 1))
+                got = True
+        if not got:
+            return
+        items.sort()
+        merged: list = []
+        for s, e, n in items:
+            if merged and s <= merged[-1][1] + gap_us:
+                ps, pe, pn = merged[-1]
+                merged[-1] = (ps, max(pe, e), pn + n)
+            else:
+                merged.append((s, e, n))
+        state.update(tuple(list(c) for c in zip(*merged)))
+        state.setTimeoutTimestamp(
+            max(min(e // 1000 + gap_ms for _s, e, _n in merged), wm + 1)
+        )
+        return
+
+    return fn
+
+
+def user_event_sessions_applyinpandas(
+    events: DataFrame, gap_ms: int = 10_000, delay: str = "0 seconds"
+) -> DataFrame:
+    """Event-time gap sessions through ``applyInPandasWithState``
+    (GroupStateTimeout.EventTimeTimeout) — the portable fallback twin
+    of :func:`user_event_sessions_tws` with the same session contract:
+    emit-once on watermark passage, reopen/bridge for in-watermark
+    stragglers, drop-below-watermark finality."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = (
+        events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", delay)
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fallback_fn(gap_ms),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType="starts array<bigint>, ends array<bigint>, ns array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def user_event_sessions_auto(
+    events: DataFrame, gap_ms: int = 10_000, delay: str = "0 seconds"
+) -> DataFrame:
+    """Typed-state event-time sessions when the runtime supports it,
+    the applyInPandasWithState twin otherwise (same emitted sessions;
+    only the firing boundary differs by at most the one-batch timer
+    lag both surfaces already share)."""
+    if tws_available():
+        spark = events.sparkSession
+        ship_protobuf_to_workers(spark)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        return user_event_sessions_tws(events, gap_ms=gap_ms, delay=delay)
+    return user_event_sessions_applyinpandas(events, gap_ms=gap_ms, delay=delay)
+
+
 def user_timer_markers_tws(events: DataFrame) -> DataFrame:
     """Streaming per-user timer markers via typed-state processing-time
     timers (timeMode='ProcessingTime'). Requires ``tws_available()``

@@ -1076,3 +1076,49 @@ def test_typed_state_event_time_late_drop_and_delay(spark, tmp_path):
     assert u1_lax == [(1, base_us, base_us + 5_000_000, 2)]
     spark.sql("DROP TABLE IF EXISTS t_late_strict")
     spark.sql("DROP TABLE IF EXISTS t_late_lax")
+
+
+def test_event_time_sessions_applyinpandas_fallback(spark, tmp_path):
+    """The applyInPandasWithState event-time twin must reproduce the
+    typed-state session contract: reopen-across-triggers (late-ish
+    event above the watermark merges, timer re-arms) and emit-once on
+    watermark passage. Same fixture as the TWS two-trigger test."""
+    from excel_to_database_spark.streaming.tws import (
+        user_event_sessions_applyinpandas,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+
+    src = tmp_path / "ev_aip_sess"
+    ev([(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:05")]).coalesce(
+        1
+    ).write.parquet(str(src / "a"))
+    ev([(1, "2024-01-01 00:00:08"), (2, "2024-01-01 00:01:00")]).coalesce(
+        1
+    ).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        user_event_sessions_applyinpandas(stream, gap_ms=10_000)
+        .writeStream.format("memory")
+        .queryName("t_aip_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    base_us = 1_704_067_200_000_000
+    got = [
+        (r["user_id"], r["session_start_us"] - base_us,
+         r["session_end_us"] - base_us, r["n_events"])
+        for r in spark.table("t_aip_sessions").collect()
+    ]
+    assert got == [(1, 0, 8_000_000, 3)]
+    spark.sql("DROP TABLE IF EXISTS t_aip_sessions")
