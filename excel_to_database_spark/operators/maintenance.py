@@ -98,10 +98,17 @@ def compact_parquet_dir(
 def ivf_pq_index_compact(
     spark: SparkSession, path: str, target_files: int = 1
 ) -> dict:
-    """Fold an IVF-PQ index's append-grown ``assigned`` and ``codes``
-    tables back to ``target_files`` parquet files each (the
-    amortized-maintenance sibling of ``ivf_pq_index_append``). Probe
-    results and ``ivf_pq_index_health`` are content-unchanged."""
+    """Fold an IVF-PQ index's append-grown data back to
+    ``target_files`` parquet files (the amortized-maintenance sibling
+    of ``ivf_pq_index_append``): the single ``corpus`` table on the
+    v3 layout, the separate ``assigned`` + ``codes`` tables on older
+    indexes. Probe results and ``ivf_pq_index_health`` are
+    content-unchanged."""
+    fs, hpath, jvm = _fs(spark, f"{path}/corpus")
+    if fs.exists(hpath):
+        return {
+            "corpus": compact_parquet_dir(spark, f"{path}/corpus", target_files)
+        }
     return {
         "assigned": compact_parquet_dir(spark, f"{path}/assigned", target_files),
         "codes": compact_parquet_dir(spark, f"{path}/codes", target_files),

@@ -1555,6 +1555,98 @@ def product_quantize(
 # in tests/test_plans.py: no TakeOrderedAndProject training stages).
 
 
+def _pq_fast_codes_udf(cb_pairs, m: int, w: int, code_t: str):
+    """Per-ROW PQ coding for the fused corpus pass: one numpy pass
+    computes every subspace's argmin against the driver-known codebook
+    and returns the full code word — or NULL when ANY subspace has a
+    second codeword within the safety margin (float + decimal
+    quantization error ≪ 1e-6), in which case the caller routes the
+    row through the decimal-exact coding pipeline. Unambiguous rows
+    are bit-identical to the decimal argmin by the sieve argument, so
+    the fused output equals ``product_quantize`` exactly.
+
+    ``cb_pairs``: [(code, s, subvector), ...] — driver-small."""
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf
+
+    per_s: dict = {}
+    for code, s, cv in cb_pairs:
+        per_s.setdefault(s, []).append((code, list(cv)))
+    for s in per_s:
+        per_s[s].sort(key=lambda t: t[0])
+    Cm = {
+        s: _np.array([cv for _, cv in rows], dtype=_np.float64)
+        for s, rows in per_s.items()
+    }
+    ids_m = {s: _np.array([c for c, _ in rows]) for s, rows in per_s.items()}
+
+    def fn(vs):
+        if len(vs) == 0:
+            return _pd.Series([], dtype=object)
+        V = _np.stack(vs.to_numpy()).astype(_np.float64)
+        n = len(V)
+        out: list = [[] for _ in range(n)]
+        ok = _np.ones(n, dtype=bool)
+        for s in range(m):
+            Vs = V[:, s * w:(s + 1) * w]
+            Cs = Cm[s]
+            d2s = (
+                (Vs * Vs).sum(axis=1)[:, None]
+                + (Cs * Cs).sum(axis=1)[None, :]
+                - 2.0 * (Vs @ Cs.T)
+            )
+            best = d2s.min(axis=1)
+            near = d2s <= (best + 1e-6)[:, None]
+            amb = near.sum(axis=1) > 1
+            ok &= ~amb
+            # ties broken by lowest code id: rows are id-sorted, so
+            # argmax over the boolean mask returns the first (lowest)
+            pick = ids_m[s][near.argmax(axis=1)]
+            for i in range(n):
+                out[i].append(pick[i])
+        def _py(x):
+            return x.item() if hasattr(x, "item") else x
+
+        return _pd.Series(
+            [[_py(x) for x in o] if k else None for o, k in zip(out, ok)]
+        )
+
+    return pandas_udf(fn, f"array<{code_t}>")
+
+
+def _with_pq_codes(
+    assigned: DataFrame,
+    cb: DataFrame,
+    cb_pairs,
+    m: int,
+    pq_k: int,
+    dim: int,
+    w: int,
+    code_t: str,
+) -> DataFrame:
+    """Attach the PQ code word to every (id, v, cell) row in the SAME
+    corpus pass: the fast per-row coder handles every unambiguous row
+    (bit-identical to the decimal argmin), and the rows it NULLs
+    (near-tie in some subspace) route through the decimal-exact
+    ``product_quantize`` and rejoin — a near-empty set whose join AQE
+    plans as broadcast."""
+    fast = _pq_fast_codes_udf(cb_pairs, m, w, code_t)
+    # pin: the clean/ambiguous split consumes this frame from BOTH
+    # union branches — without the cache Spark computes the whole
+    # assignment+coding pipeline twice (no CSE across a union)
+    with_f = pin(assigned.withColumn("codes", fast("v")))
+    clean = with_f.filter(F.col("codes").isNotNull())
+    amb = with_f.filter(F.col("codes").isNull()).drop("codes")
+    amb_codes = product_quantize(
+        amb.select("id", "v"), "id", "v", m, pq_k, dim, codebook=cb
+    ).select("id", "codes")
+    resolved = amb.join(amb_codes, "id")
+    return clean.select("id", "v", "cell", "codes").unionByName(
+        resolved.select("id", "v", "cell", "codes")
+    )
+
+
 class IvfPqIndex:
     """Handle to a loaded persisted IVF-PQ index (plain DataFrames +
     the build-time meta row)."""
@@ -1588,13 +1680,17 @@ def build_ivf_pq_index(
     same-engine. Training cost, in corpus passes: ONE bounded
     TakeOrdered collects the max(n_lists, pq_k) lowest-id training
     rows (driver-small — ≤4096 × dim floats) from which BOTH the
-    coarse centroids and the PQ codebook are built locally, then the
-    coarse assignment and PQ coding each scan the corpus once against
-    those broadcast artifacts, and one post-write aggregation over the
-    persisted assignment yields per-cell stats + vector count + the
-    drift baseline together — 3 corpus passes total (was 6), nothing
-    corpus-quadratic. (A Lloyd-trained build — ``sweeps``/``tol`` —
-    adds its refinement passes on top, unchanged.)
+    coarse centroids and the PQ codebook are built locally; then ONE
+    fused corpus pass computes the coarse cell AND the PQ code word
+    per row (numpy sieves with decimal-exact resolution of near-ties
+    — bit-identical to the separate pipelines) and writes the single
+    ``corpus`` table (id, v, cell, codes); one post-write aggregation
+    over it yields per-cell stats + vector count + the drift baseline
+    — 2 corpus passes total, nothing corpus-quadratic, and the index
+    data lands in ONE parquet write whose column pruning serves the
+    probe's assigned (id, v, cell) and codes (id, codes) views. (A
+    Lloyd-trained build — ``sweeps``/``tol`` — adds its refinement
+    passes on top, unchanged.)
 
     Returns the per-cell stats DataFrame (cell, n_members) — the
     observable build artifact a monitoring pipeline records."""
@@ -1646,15 +1742,20 @@ def build_ivf_pq_index(
             assigned_s = _ivf_nearest_cell(base, cents, exact=exact_assign)
             cents = ivf_refine(cents, assigned_s)
         assigned = _ivf_nearest_cell(base, cents, exact=exact_assign)
-    codes = product_quantize(
-        emb, id_col, vec_col, m, pq_k, dim, codebook=cb
-    ).select(F.col("id").alias("nid"), "codes")
 
+    # fused coding: the assignment output gains its code word per ROW
+    # (no join, no second corpus scan); rows where any subspace has a
+    # near-tie (NULL from the fast coder) route through the decimal
+    # product_quantize and rejoin — a near-empty set in practice
+    combined = _with_pq_codes(
+        assigned, cb, [(r["id"], s, list(r["v"])[s * w:(s + 1) * w])
+                       for r in low[:pq_k] for s in range(m)],
+        m, pq_k, dim, w, id_f.dataType.simpleString(),
+    )
     cents.write.mode("overwrite").parquet(f"{path}/cents")
-    assigned.write.mode("overwrite").parquet(f"{path}/assigned")
-    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    combined.write.mode("overwrite").parquet(f"{path}/corpus")
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
-    persisted = spark.read.parquet(f"{path}/assigned")
+    persisted = spark.read.parquet(f"{path}/corpus")
     # single post-write pass: per-cell populations + vector count + the
     # drift baseline (mean assignment distance — see ivf_pq_index_health
     # for the rebuild-resets-baseline contract). n_lists result rows —
@@ -1709,7 +1810,7 @@ def build_ivf_pq_index(
     # can re-derive stats from disk; the collected per_cell rows above
     # are used only for meta/health.
     return (
-        spark.read.parquet(f"{path}/assigned")
+        spark.read.parquet(f"{path}/corpus")
         .groupBy("cell")
         .agg(F.count(F.lit(1)).cast(LongType()).alias("n_members"))
     )
@@ -1718,12 +1819,24 @@ def build_ivf_pq_index(
 def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
     """Open a persisted IVF-PQ index. Pure metadata + lazy parquet
     scans — no job runs until a probe executes (the one materialized
-    read is the 1-row meta table)."""
+    read is the 1-row meta table). The v3 layout stores the corpus as
+    ONE table (id, v, cell, codes); the assigned and codes views are
+    column-pruned scans of it. A pre-v3 index (separate assigned +
+    codes tables) still loads."""
+    from pyspark.errors import AnalysisException
+
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    try:
+        corpus = spark.read.parquet(f"{path}/corpus")
+        assigned = corpus.select("id", "v", "cell")
+        codes = corpus.select(F.col("id").alias("nid"), "codes")
+    except AnalysisException:
+        assigned = spark.read.parquet(f"{path}/assigned")
+        codes = spark.read.parquet(f"{path}/codes")
     return IvfPqIndex(
         cents=spark.read.parquet(f"{path}/cents"),
-        assigned=spark.read.parquet(f"{path}/assigned"),
-        codes=spark.read.parquet(f"{path}/codes"),
+        assigned=assigned,
+        codes=codes,
         codebook=spark.read.parquet(f"{path}/codebook"),
         meta=meta,
     )
@@ -1792,51 +1905,46 @@ def ivf_pq_index_append(
     ``ivf_pq_index_health`` can compare appended batches against the
     build-time baseline and recommend a retrain when the frozen
     quantizer stops fitting the data."""
+    from pyspark.errors import AnalysisException
+
     idx = load_ivf_pq_index(spark, path)
     m = int(idx.meta["m"])
     w = int(idx.meta["w"])
+    pq_k = int(idx.meta["pq_k"])
+    dim = int(idx.meta["dim"])
     base = new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
-    assigned_new = _ivf_nearest_cell(base, idx.cents, exact=True)
-
-    subs = base.select(
-        "id", F.explode(_sub_structs(F.col("v"), m, w)).alias("t")
-    ).select("id", F.col("t.s").alias("s"), F.col("t.sv").alias("sv"))
-    d2 = F.aggregate(
-        F.zip_with(
-            "sv", "cv",
-            lambda x, y: (
-                (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double"))
-            ).cast("decimal(30,12)"),
-        ),
-        F.lit(0).cast("decimal(30,12)"),
-        lambda acc, e: (acc + e).cast("decimal(30,12)"),
-    ).cast("double")
-    cb = idx.codebook.select(F.col("code").alias("cell"), "s", "cv")
-    codes_new = (
-        subs.join(F.broadcast(cb), "s")
-        .select("id", "s", "cell", d2.alias("d2"))
-        .groupBy("id", "s")
-        .agg(F.min(F.struct(F.col("d2"), F.col("cell"))).alias("b"))
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("s"), F.col("b.cell").alias("code")))
-                ),
-                lambda t: t.getField("code"),
-            ).alias("codes")
+    assigned_new = pin(_ivf_nearest_cell(base, idx.cents, exact=True))
+    cb_pairs = [
+        (r["code"], r["s"], list(r["cv"]))
+        for r in idx.codebook.collect()  # m·pq_k rows — driver-small
+    ]
+    id_t = dict(new_emb.dtypes)[id_col]
+    combined_new = _with_pq_codes(
+        assigned_new,
+        idx.codebook,
+        cb_pairs,
+        m,
+        pq_k,
+        dim,
+        w,
+        id_t,
+    )
+    try:
+        spark.read.parquet(f"{path}/corpus").schema
+        combined_new.write.mode("append").parquet(f"{path}/corpus")
+        n_new = spark.read.parquet(f"{path}/corpus").count() - int(
+            idx.meta["n_vectors"]
         )
-        .select(F.col("id").alias("nid"), "codes")
-    )
-
-    assigned_new = pin(assigned_new)
-    assigned_new.write.mode("append").parquet(f"{path}/assigned")
-    codes_new.write.mode("append").parquet(f"{path}/codes")
-    n_new = spark.read.parquet(f"{path}/assigned").count() - int(
-        idx.meta["n_vectors"]
-    )
+    except AnalysisException:
+        # pre-v3 layout: append to the separate tables it was built with
+        assigned_new.write.mode("append").parquet(f"{path}/assigned")
+        combined_new.select(F.col("id").alias("nid"), "codes").write.mode(
+            "append"
+        ).parquet(f"{path}/codes")
+        n_new = spark.read.parquet(f"{path}/assigned").count() - int(
+            idx.meta["n_vectors"]
+        )
     batch_dist = _mean_assign_dist(assigned_new, idx.cents)
     try:
         seq = spark.read.parquet(f"{path}/health").count()

@@ -796,7 +796,7 @@ _IVF_PQ_PARAMS = dict(n_lists=16, m=8, pq_k=32, dim=64)
 # bump when the build pipeline's OUTPUT changes (assignment exactness,
 # codebook pick, layout): the cache path carries it, so a stale index
 # from an older build can never be silently probed after an upgrade
-_IVF_PQ_INDEX_FORMAT = 2
+_IVF_PQ_INDEX_FORMAT = 3
 
 
 def _ivf_pq_index_path(sf_dir: str) -> str:

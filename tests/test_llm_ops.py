@@ -991,7 +991,7 @@ def test_ivf_pq_index_health_drift(spark, tmp_path):
     assert after == {(q, n) for (q, rk, n) in base_probe if rk == 1}
 
     # rebuild on everything currently indexed restores health
-    full = spark.read.parquet(f"{path}/assigned").select(
+    full = S.load_ivf_pq_index(spark, path).assigned.select(
         F.col("id").alias("vec_id"), F.col("v").alias("embedding")
     )
     S.build_ivf_pq_index(full, "vec_id", "embedding", path, n_lists=8, m=8, pq_k=16)
@@ -1002,7 +1002,7 @@ def test_ivf_pq_index_health_drift(spark, tmp_path):
 
 def test_index_and_state_compaction(spark, tmp_path):
     """Small-file maintenance: after several appends the IVF-PQ
-    assigned/codes tables, the text-LSH bands table, and the cluster
+    corpus table, the text-LSH bands table, and the cluster
     labels table fold back to one file each with CONTENT-IDENTICAL
     reads — probe results, health statistics, and cluster labels
     unchanged."""
@@ -1029,8 +1029,7 @@ def test_index_and_state_compaction(spark, tmp_path):
     )
     before_health = S.ivf_pq_index_health(spark, path)
     stats = M.ivf_pq_index_compact(spark, path)
-    assert stats["assigned"]["files_before"] > stats["assigned"]["files_after"] == 1
-    assert stats["codes"]["files_after"] == 1
+    assert stats["corpus"]["files_before"] > stats["corpus"]["files_after"] == 1
     after_probe = sorted(
         (r["query_id"], r["rank"], r["neighbor_id"])
         for r in S.ann_ivf_pq_probe(
@@ -1042,7 +1041,7 @@ def test_index_and_state_compaction(spark, tmp_path):
     assert S.ivf_pq_index_health(spark, path) == before_health
     # idempotent no-op at the target
     again = M.ivf_pq_index_compact(spark, path)
-    assert again["assigned"]["files_before"] == 1
+    assert again["corpus"]["files_before"] == 1
 
     # text index + cluster labels
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
