@@ -1541,18 +1541,22 @@ def product_quantize(
 # coarse quantizer + PQ codebooks per query (what the batch ann_ivf_pq
 # does by design, for self-contained correctness) is the wrong shape for
 # a pipeline. The lifecycle here is the same pattern as the dedup
-# band_index (dedup.py) and the streaming ANN probe: four plain parquet
-# tables under one directory —
+# band_index (dedup.py) and the streaming ANN probe: plain parquet
+# tables under one directory (v3 layout) —
 #
-#   <path>/cents     (cell, cv)        n_lists rows, broadcast at search
-#   <path>/assigned  (id, v, cell)     the corpus, cell-keyed
-#   <path>/codes     (nid, codes)      PQ codes, one row per vector
-#   <path>/codebook  (code, s, cv)     m*pq_k rows, broadcast at search
+#   <path>/cents     (cell, cv)           n_lists rows, broadcast at search
+#   <path>/corpus    (id, v, cell, codes) the corpus — ONE table whose
+#                    column-pruned scans serve both the assigned
+#                    (id, v, cell) and codes (id, codes) views, so the
+#                    build/append write the index data once
+#   <path>/codebook  (code, s, cv)        m*pq_k rows, broadcast at search
 #   <path>/meta      (n_lists, m, pq_k, dim, w, n_vectors) 1 row
 #
-# so the index survives sessions, is queryable as ordinary tables, and a
-# probe's plan contains ONLY parquet scans + the search joins (asserted
-# in tests/test_plans.py: no TakeOrderedAndProject training stages).
+# (pre-v3 indexes with separate <path>/assigned + <path>/codes tables
+# still load/append/compact). The index survives sessions, is queryable
+# as ordinary tables, and a probe's plan contains ONLY parquet scans +
+# the search joins (asserted in tests/test_plans.py: no
+# TakeOrderedAndProject training stages).
 
 
 def _pq_fast_codes_udf(cb_pairs, m: int, w: int, code_t: str):
