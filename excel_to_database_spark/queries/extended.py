@@ -740,3 +740,60 @@ def q161_stream_event_time_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         "q161_tws",
         output_mode="append",
     ).select("user_id", "session_start_us", "session_end_us", "n_events")
+
+
+@query(
+    "q165_stream_event_time_sessions_fallback",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+    ), flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > CAST({_Q161_GAP_MS} AS BIGINT) * 1000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ), sid AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id,
+             MIN(ts_us) AS session_start_us,
+             MAX(ts_us) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sid GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM sess
+    WHERE session_end_us // 1000 + {_Q161_GAP_MS}
+          < (SELECT MAX(ts_us) // 1000 FROM e)
+    """,
+)
+def q165_stream_event_time_sessions_fallback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q161's portable twin through ``applyInPandasWithState`` +
+    GroupStateTimeout.EventTimeTimeout (no protobuf dependency): same
+    gap-session semantics, same late-drop finality; the one contract
+    difference is the firing boundary — GroupState timeouts fire only
+    when the watermark advances STRICTLY beyond the registered
+    timestamp (pinned empirically: an expiry equal to the final
+    watermark stays open), so the oracle's emission filter is strict
+    ``<`` where q161's is ``<=``."""
+    from excel_to_database_spark.streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from excel_to_database_spark.streaming.tws import (
+        user_event_sessions_applyinpandas,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_memory(
+        spark,
+        user_event_sessions_applyinpandas(stream, gap_ms=_Q161_GAP_MS),
+        "q165_aip",
+        output_mode="append",
+    ).select("user_id", "session_start_us", "session_end_us", "n_events")
