@@ -1122,3 +1122,39 @@ def test_event_time_sessions_applyinpandas_fallback(spark, tmp_path):
     ]
     assert got == [(1, 0, 8_000_000, 3)]
     spark.sql("DROP TABLE IF EXISTS t_aip_sessions")
+
+
+def test_event_time_fallback_boundary_strict(spark, tmp_path):
+    """Pin the firing boundary the q165 oracle encodes: GroupState
+    event-time timeouts fire only when the watermark advances STRICTLY
+    beyond the registered timestamp — an expiry exactly equal to the
+    final watermark stays open and emits nothing (the typed-state
+    surface fires at equality; the two oracles differ in exactly this
+    clause)."""
+    from excel_to_database_spark.streaming.tws import (
+        user_event_sessions_applyinpandas,
+    )
+
+    src = tmp_path / "fb_bnd"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:10")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts")).coalesce(
+        1
+    ).write.parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        user_event_sessions_applyinpandas(stream, gap_ms=10_000)
+        .writeStream.format("memory")
+        .queryName("t_fb_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("t_fb_boundary").collect() == []
+    spark.sql("DROP TABLE IF EXISTS t_fb_boundary")
