@@ -180,3 +180,18 @@ def test_sigma_probe_joins_never_sort_merge(spark, sf_dir):
             if "SortMergeJoin" in l and key_frag in l
         ]
         assert not bad, f"{q} sort-merges its Σ-probe join: {bad}"
+
+
+def test_ivf_pq_corpus_views_are_column_pruned(spark, sf_dir):
+    """The v3 single-corpus-table layout's whole point: the probe's
+    assigned view scans (id, v, cell) and its codes view scans
+    (id, codes) — parquet column pruning must keep the two scans
+    disjoint on the heavy columns, never read all four together."""
+    from excel_to_database_spark.queries.llm_ops import _ensure_ivf_pq_index
+
+    _ensure_ivf_pq_index(spark, sf_dir)
+    plan = _plan(spark, sf_dir, "q145_ann_ivf_pq")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans
+    for l in scans:
+        assert not ("v#" in l and "codes#" in l), f"unpruned corpus scan: {l.strip()[:160]}"
