@@ -184,6 +184,11 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
             out[tag][name] = round(min(reps), 3)
         out["slope"][name] = round(out["scaled"][name] / out["base"][name], 2)
     deep_evict(spark)
+    # the synthetic tables are ~100 MB per run and regenerated each
+    # time — leaving them accumulates gigabytes of /tmp across rounds
+    import shutil
+
+    shutil.rmtree(scaled_dir, ignore_errors=True)
     return out
 
 
