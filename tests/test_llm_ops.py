@@ -1811,3 +1811,49 @@ def test_bigram_novelty_counts(spark):
     assert out[2]["n_bigrams"] == 2 and out[2]["n_unique"] == 1
     assert out[3]["n_bigrams"] == 3 and out[3]["n_unique"] == 3
     assert out[3]["novelty"] == 1.0
+
+
+def test_scale_synthesis_invariants(spark, tmp_path):
+    """The slope-suite synthesis (scripts/scale_slope.build_scaled_dir)
+    rests on two designed properties the slope numbers are only valid
+    under: replica 0 is byte-identical to the base corpus (its results
+    must match exactly), and replicas are ISOLATED — the word-tagging /
+    sign-flip / name-tag schemes must prevent any cross-replica
+    duplicate pair or cluster (otherwise the scaled run would carry
+    factor²-sized artificial work and the slope would measure the
+    synthesis, not the operator). Checked on the char-window survivor
+    clusters and the edit-1 fuzzy join at factor 3."""
+    from scripts.scale_slope import build_scaled_dir
+
+    sf = "/root/testdata/sf0.001"
+    scaled = build_scaled_dir(spark, sf, 3)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    base_cl = {(r["doc"], r["cluster"])
+               for r in D.char_span_dedup(docs, "doc_id", "text", 50).collect()}
+    got = {(r["doc"], r["cluster"])
+           for r in D.char_span_dedup(
+               spark.read.parquet(f"{scaled}/documents.parquet"),
+               "doc_id", "text", 50).collect()}
+    assert {x for x in got if x[0] < stride} == base_cl  # replica 0 ≡ base
+    assert all(d // stride == c // stride for d, c in got)  # isolation
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    ckstride = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    base_pairs = {(r["id_a"], r["id_b"])
+                  for r in D.edit1_pairs(cust, "c_custkey", "c_name").collect()}
+    got_pairs = {(r["id_a"], r["id_b"])
+                 for r in D.edit1_pairs(
+                     spark.read.parquet(f"{scaled}/customer.parquet"),
+                     "c_custkey", "c_name").collect()}
+    # name tagging preserves intra-replica edit distances exactly and
+    # keeps cross-replica names ≥2 apart → scaled pairs are exactly
+    # the base pairs replicated with key offsets
+    want_pairs = {(a + rep * ckstride, b + rep * ckstride)
+                  for a, b in base_pairs for rep in range(3)}
+    assert got_pairs == want_pairs
+
+    import shutil
+
+    shutil.rmtree(scaled, ignore_errors=True)
