@@ -905,8 +905,12 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        # shuffle-hash, not sort-merge: the probe side is the full
+        # edge list and a SMJ would re-SORT it every round (the
+        # checkpoint drops any ordering); the build side is the
+        # node-label frame, bounded by |nodes|
         prop = (
-            edges.join(labels, edges.src == labels.doc)
+            edges.join(labels.hint("shuffle_hash"), edges.src == labels.doc)
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("label").alias("nbr_min"))
         )
