@@ -993,7 +993,9 @@ def transitive_closure(
         s = sym.select(F.col("src").alias("s_src"), F.col("dst").alias("s_dst"))
         v = visited.select(F.col("src").alias("v_src"), F.col("dst").alias("v_dst"))
         grown = (
-            f.join(s, F.col("f_dst") == F.col("s_src"))
+            # hash the static edge side — a sort-merge would re-sort
+            # both the frontier and the edge list at every level
+            f.join(s.hint("shuffle_hash"), F.col("f_dst") == F.col("s_src"))
             .select(F.col("f_src").alias("src"), F.col("s_dst").alias("dst"))
             .distinct()
         )
