@@ -342,7 +342,10 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(5):
         contrib = (
-            ranks.join(edges_deg, ranks.node == edges_deg.src)
+            # hash build on the |nodes|-sized rank frame: sort-merge
+            # would re-sort the full adjacency every superstep (the
+            # persist retains partitioning, not ordering)
+            ranks.hint("shuffle_hash").join(edges_deg, ranks.node == edges_deg.src)
             .select(F.col("dst").alias("node2"), F.expr("rank div deg").alias("share"))
             .groupBy("node2")
             .agg(F.sum("share").alias("s"))
