@@ -1284,7 +1284,10 @@ def _ivf_pq_search(
         "qid", "nid", F.posexplode("codes").alias("s", "code")
     )
     scored = (
-        exploded.join(lut, ["qid", "s", "code"])
+        # hash build on the LUT (|queries|·m·pq_k rows, query-count-
+        # bounded); sort-merge would sort the |candidates|·m exploded
+        # code stream — the corpus-sized side of the ADC join
+        exploded.join(lut.hint("shuffle_hash"), ["qid", "s", "code"])
         .groupBy("qid", "nid")
         .agg(F.sum("pdot").alias("adot"), F.sum("pn2").alias("an2"))
         .join(qnorm, "qid")
