@@ -42,6 +42,14 @@ HEADLINE = [
     "q30_running_customer_total",
     "q49_nation_pair_volume",
     "q51_date_functions",
+    # the vector-index lifecycle runs BEFORE any streaming headline:
+    # q146's round-9 rep curve (8.9 -> 8.2 -> 6.7s) was measuring JVM
+    # heap recovery from the state-store providers the 8 streaming
+    # queries leave resident (they survive deep_evict), not the build
+    # itself. q146 is the amortizable BUILD (persists the index), q145
+    # the pure probe (the index is ensured untimed pre-loop).
+    "q146_ivf_pq_index_build",
+    "q145_ann_ivf_pq",
     "q60_tumbling_window",
     "q61_sessionization",
     "q63_asof_join",
@@ -82,8 +90,6 @@ HEADLINE = [
     "q152_interval_overlap_join",
     "q153_gapfill_locf",
     "q155_gopher_quality_rules",
-    "q146_ivf_pq_index_build",
-    "q145_ann_ivf_pq",
     # round-9 addition: event-time-timer gap sessionization (typed
     # state, watermark-driven expiry)
     "q161_stream_event_time_sessions",
@@ -199,6 +205,7 @@ def main() -> None:
     from excel_to_database_spark.operators import deep_evict
 
     timings: dict[str, float] = {}
+    rep_detail: dict[str, list[float]] = {}
     etl_benchmarks(spark, sf_dir, timings)
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -212,9 +219,13 @@ def main() -> None:
             # must not carry across reps or into the next query
             deep_evict(spark)
         timings[name] = round(_median(reps), 3)
+        # per-rep times land in the full bench_result.json (NOT the
+        # compact driver line): a median alone hid the q146
+        # GC-recovery decay (8.9 -> 8.2 -> 6.7s) for a whole round
+        rep_detail[name] = [round(r, 3) for r in reps]
         print(
             f"# {name}: median {timings[name]:.3f}s of "
-            f"{[round(r, 3) for r in reps]} ({n} rows)",
+            f"{rep_detail[name]} ({n} rows)",
             file=sys.stderr,
         )
 
@@ -227,6 +238,7 @@ def main() -> None:
         "reps": BENCH_REPS,
         "aggregation": "median",
         "sandbox_cal": cal,
+        "query_reps": rep_detail,
     }
 
     # scale slope for the iterative/graph family: same queries on a
@@ -251,7 +263,9 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_result.json"), "w") as f:
         f.write(full_line + "\n")
-    compact = {k: v for k, v in out.items() if k != "scale_slope"}
+    compact = {
+        k: v for k, v in out.items() if k not in ("scale_slope", "query_reps")
+    }
     if "scale_slope" in out:
         compact["scale_slope_file"] = "bench_result.json"
     print(json.dumps(compact, separators=(",", ":")))

@@ -876,18 +876,29 @@ def connected_components(
     duplicate CLUSTER gets one deterministic representative — the step
     that turns pairwise near-dup output into actual dedup decisions).
 
-    Iterative min-label propagation with pointer jumping, the scalable
-    CC formulation: each round every node takes the min of its own
-    label, its neighbors' labels (one shuffle on the edge key), and its
-    label's label (the pointer-jumping shortcut join, which collapses
-    chains geometrically — O(log diameter) rounds instead of
-    O(diameter)). Per-round ``localCheckpoint`` cuts the plan lineage —
-    it materializes only the (node, label) frame (2 columns, one row
-    per node IN the pair graph, not the corpus), so unlike a full-table
-    checkpoint this is bounded by duplicate volume; the checkpoint is
-    lazy and the convergence probe (a driver-side count of changed
-    labels, never a data collect) doubles as its materializing action,
-    so each round runs exactly one job."""
+    Iterative min-label propagation with pointer jumping AND per-round
+    edge CONTRACTION, the scalable CC formulation: each round every
+    node takes the min of its own label, its neighbors' labels (one
+    shuffle on the edge key), and its label's label (the
+    pointer-jumping shortcut join, which collapses chains
+    geometrically — O(log diameter) rounds instead of O(diameter)).
+    After each round the edge set is rewritten into label space
+    (endpoint → its current label) and settled edges — both endpoints
+    already sharing a label — are dropped, with parallel edges
+    collapsed by ``distinct``: merged clusters contract to single
+    nodes, so the per-round join cost shrinks geometrically with
+    convergence instead of paying round-count × the FULL edge set
+    (the profile that made the un-contracted version trend linear at
+    the 30× scale check). Total join work is O(|E|) summed over the
+    geometric series, not O(rounds × |E|). Members of a contracted
+    cluster leave the edge set but keep tracking their representative
+    through the pointer-jump join, one round behind — the convergence
+    probe (a driver-side count of changed labels, never a data
+    collect) only reads zero once every member has caught up.
+    Per-round ``localCheckpoint`` cuts the plan lineage — it
+    materializes only the (node, label) frame and the contracted edge
+    list (2 columns each, bounded by duplicate volume, the latter
+    shrinking), never a corpus-sized table."""
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -940,6 +951,20 @@ def connected_components(
         labels = updated.select("doc", F.col("new_label").alias("label"))
         if changed == 0:
             break
+        # contract: endpoints → current labels, settled (intra-cluster)
+        # edges dropped, parallel edges collapsed. Build sides are the
+        # (node, label) frame — hash, never sort-merge, for the same
+        # reason as the propagation join above.
+        la = labels.select(F.col("doc").alias("src"), F.col("label").alias("src_l"))
+        lb = labels.select(F.col("doc").alias("dst"), F.col("label").alias("dst_l"))
+        edges = (
+            edges.join(la.hint("shuffle_hash"), "src")
+            .join(lb.hint("shuffle_hash"), "dst")
+            .select(F.col("src_l").alias("src"), F.col("dst_l").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     return labels.select("doc", F.col("label").alias("cluster"))
 
 

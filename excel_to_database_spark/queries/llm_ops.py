@@ -266,13 +266,18 @@ def q158_incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFra
                 pairs = pairs.unionByName(between)
             D.dedup_cluster_update(spark, path, batch.select("doc_id"), pairs)
             prev_sig = sig
-        rows = [
-            (r["doc"], r["cluster"])
-            for r in D.dedup_cluster_labels(spark, path).collect()
-        ]
+        # materialize the label frame EAGERLY (executor-side block
+        # storage, never a driver collect) before the index dir is
+        # removed — the returned frame must stay evaluable after the
+        # finally below deletes the parquet it was derived from
+        out = (
+            D.dedup_cluster_labels(spark, path)
+            .select(F.col("doc").cast("long"), F.col("cluster").cast("long"))
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc long, cluster long")
+    return out
 
 
 def _sql_simhash() -> str:

@@ -121,22 +121,34 @@ class XlsxReader(DataSourceReader):
                 if _truthy(self.options.get("sanitize", "true"))
                 else [str(h) for h in header]
             )
-            positions = [
-                all_cols.index(f.name) for f in self.schema.fields
+            # the output row layout is exactly the schema: a field
+            # missing from THIS sheet's header (heterogeneous
+            # workbooks) yields "" at its slot, so width always
+            # matches the schema and a pushed filter on that field
+            # tests "" — the same value Catalyst would see post-scan.
+            # (Previously missing fields were silently dropped, which
+            # shifted every later slot: a pushed filter could test the
+            # wrong column, and the Arrow conversion could IndexError.)
+            sheet_pos = {
+                f.name: all_cols.index(f.name)
+                for f in self.schema.fields
                 if f.name in all_cols
-            ]
-            want_raw = {raw_cols[p] for p in positions}
-            n_full = len(all_cols)
-            matrix = rdr.read_sheet(sheet, visible_only, want_cols=want_raw)
-            name_to_out = {
-                f.name: i for i, f in enumerate(self.schema.fields)
             }
+            positions = [sheet_pos.get(f.name) for f in self.schema.fields]
+            want_raw = {p for p in positions if p is not None}
+            n_full = len(all_cols)
+            matrix = rdr.read_sheet(
+                sheet, visible_only, want_cols={raw_cols[p] for p in want_raw}
+            )
+            name_to_out = {f.name: i for i, f in enumerate(self.schema.fields)}
             checks = [
                 (name_to_out[c], v) for c, v in self._pushed if c in name_to_out
             ]
             for row in matrix[1:]:
                 padded = (row + [""] * n_full)[:n_full]
-                out = tuple(padded[p] for p in positions)
+                out = tuple(
+                    padded[p] if p is not None else "" for p in positions
+                )
                 if all(out[i] == v for i, v in checks):
                     yield out
             return

@@ -405,11 +405,14 @@ class EventTimeSessionProcessor(StatefulProcessor):
     gap-coalescing — an out-of-order event that lands between two
     open sessions within ``gap`` BRIDGES them into one, which is why
     sessions must stay open until the watermark passes ``end + gap``
-    and why eager emission would be wrong. One event-time timer per
-    open session is kept registered (stale registrations deleted via
-    listTimers/deleteTimer); when the watermark passes an expiry the
-    handler emits every session now out of reach of future events
-    and evicts it — the session-gc / SLA-alert state-machine shape.
+    and why eager emission would be wrong. ONE event-time timer per
+    KEY is kept registered — the earliest open session's expiry
+    (gap-disjoint sessions expire in session order, so one firing
+    emits every due session and re-arms to the next expiry; stale
+    registrations are deleted via listTimers/deleteTimer); when the
+    watermark passes that expiry the handler emits every session now
+    out of reach of future events and evicts it — the session-gc /
+    SLA-alert state-machine shape.
     The fold (sort + gap-coalesce of interval sets) is commutative
     and associative, so micro-batch slicing cannot change which
     sessions form — only watermark passage decides when they close."""
@@ -435,7 +438,7 @@ class EventTimeSessionProcessor(StatefulProcessor):
                 out.append((s, e, n))
         return out
 
-    def _rearm(self, sessions) -> None:
+    def _rearm(self, sessions, fired_ts: int | None = None) -> None:
         # ONE timer per key — the earliest open session's expiry.
         # Gap-disjoint sessions expire in session order, so when the
         # watermark passes the earliest expiry the handler emits EVERY
@@ -444,6 +447,9 @@ class EventTimeSessionProcessor(StatefulProcessor):
         # timers would each pay a handler round trip per batch — at
         # ~60 open sessions/key that was the dominant cost of the
         # availableNow replay (9134 timer firings for 150 keys).
+        # ``fired_ts`` is the timer currently being expired: the
+        # framework removes it itself, and deleting it here raised a
+        # 'Failed to delete timer' WARN on every expiry.
         want = (
             {min(e // 1000 + self._gap_ms for _s, e, _n in sessions)}
             if sessions
@@ -451,7 +457,8 @@ class EventTimeSessionProcessor(StatefulProcessor):
         )
         have = set(self._handle.listTimers())
         for t in have - want:
-            self._handle.deleteTimer(t)
+            if t != fired_ts:
+                self._handle.deleteTimer(t)
         for t in want - have:
             self._handle.registerTimer(t)
 
@@ -486,16 +493,21 @@ class EventTimeSessionProcessor(StatefulProcessor):
         self, key, timerValues, expiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
         wm = timerValues.getCurrentWatermarkInMs()
+        fired = expiredTimerInfo.getExpiryTimeInMs()
         sessions = [(int(r[0]), int(r[1]), int(r[2])) for r in self._sess.get()]
         due = [x for x in sessions if x[1] // 1000 + self._gap_ms <= wm]
         if not due:
+            # stale firing (shouldn't happen with one-timer-per-key,
+            # but the framework removes the fired timer regardless) —
+            # re-arm so the remaining open sessions keep a timer
+            self._rearm(sessions, fired)
             return
         keep = [x for x in sessions if x[1] // 1000 + self._gap_ms > wm]
         if keep:
             self._sess.put(keep)
         else:
             self._sess.clear()
-        self._rearm(keep)
+        self._rearm(keep, fired)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(due),

@@ -152,38 +152,97 @@ def build_scaled_dir(spark: SparkSession, sf_dir: str, factor: int = 10) -> str:
     return out
 
 
-def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
-    """Time SLOPE_QUERIES at sf_dir and at the synthesized factor× dir.
-    Returns {"factor", "build_s", "base": {q: s}, "scaled": {q: s},
-    "slope": {q: scaled/base}} — slope ≈ factor means linear scaling;
-    slope >> factor flags a super-linear plan."""
+def time_pair(
+    spark: SparkSession, name: str, base_dir: str, scaled_dir: str, reps: int = 2
+) -> dict:
+    """Time ONE query at both scales in the given session: min of
+    ``reps`` runs per scale (a fresh JVM's first run pays Janino
+    codegen — the min is the steady-state number the slope tracks),
+    deep eviction before every rep."""
     from excel_to_database_spark.operators.caching import deep_evict
     from excel_to_database_spark.queries import QUERIES
 
+    out: dict = {}
+    for tag, d in (("base", base_dir), ("scaled", scaled_dir)):
+        ts = []
+        for _ in range(reps):
+            deep_evict(spark)
+            t0 = time.perf_counter()
+            QUERIES[name](spark, d).count()
+            ts.append(time.perf_counter() - t0)
+        out[tag] = round(min(ts), 3)
+    out["slope"] = round(out["scaled"] / out["base"], 2)
+    return out
+
+
+def _run_one_isolated(name: str, base_dir: str, scaled_dir: str) -> dict:
+    """Run one query's base/scaled pair in its OWN fresh interpreter +
+    JVM (``--one`` subcommand) and parse its JSON result line."""
+    import json
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--one",
+            name,
+            base_dir,
+            scaled_dir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=2400,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (ValueError, TypeError):
+            continue
+    raise RuntimeError(
+        f"slope subprocess for {name} produced no JSON "
+        f"(rc={proc.returncode}); stderr tail: {proc.stderr[-800:]}"
+    )
+
+
+def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
+    """Time SLOPE_QUERIES at sf_dir and at the synthesized factor× dir,
+    EACH QUERY IN ITS OWN FRESH SESSION (separate interpreter + JVM).
+    Returns {"factor", "build_s", "isolation", "base": {q: s},
+    "scaled": {q: s}, "slope": {q: scaled/base}} — slope ≈ factor means
+    linear scaling; slope >> factor flags a super-linear plan.
+
+    The in-suite protocol (all queries timed back-to-back in the bench
+    session) recorded slopes that isolation re-runs could not reproduce
+    in rounds 8 AND 9 (q122 5.6× vs 2.5×, then q157 5.85× vs ~2.5× —
+    late-session JVM state: GC debt, resident state-store providers,
+    fragmented heap). A recorded artifact that disagrees with isolation
+    truth is worse than a slower harness, so every pair now runs in a
+    subprocess with nothing but that query's work in the JVM: the
+    recorded number IS the isolation number. ``spark`` (the caller's
+    session) is used only to synthesize the scaled tables."""
     t0 = time.perf_counter()
     scaled_dir = build_scaled_dir(spark, sf_dir, factor)
     build_s = round(time.perf_counter() - t0, 3)
 
-    out = {"factor": factor, "build_s": build_s, "base": {}, "scaled": {}, "slope": {}}
+    out: dict = {
+        "factor": factor,
+        "build_s": build_s,
+        "isolation": "fresh-session-per-query",
+        "base": {},
+        "scaled": {},
+        "slope": {},
+    }
     for name in SLOPE_QUERIES:
-        for tag, d in (("base", sf_dir), ("scaled", scaled_dir)):
-            # deep eviction, not just registered pins: leaked persists
-            # and lingering localCheckpoint blocks from the PREVIOUS
-            # query in this suite inflated round-8's q122 slope to a
-            # phantom 5.6x (2.5x in isolation)
-            # two reps, MIN: one-shot timings carried residual suite
-            # state (GC debt, cold JIT) that isolation re-runs did not
-            # reproduce — the min of two runs is the steady-state
-            # number the slope is meant to track
-            reps = []
-            for _ in range(2):
-                deep_evict(spark)
-                t0 = time.perf_counter()
-                QUERIES[name](spark, d).count()
-                reps.append(time.perf_counter() - t0)
-            out[tag][name] = round(min(reps), 3)
-        out["slope"][name] = round(out["scaled"][name] / out["base"][name], 2)
-    deep_evict(spark)
+        r = _run_one_isolated(name, sf_dir, scaled_dir)
+        out["base"][name] = r["base"]
+        out["scaled"][name] = r["scaled"]
+        out["slope"][name] = r["slope"]
+        print(
+            f"# slope[{name}]: base {r['base']}s scaled {r['scaled']}s "
+            f"-> {r['slope']}x (fresh session)",
+            file=sys.stderr,
+        )
     # the synthetic tables are ~100 MB per run and regenerated each
     # time — leaving them accumulates gigabytes of /tmp across rounds
     import shutil
@@ -192,13 +251,31 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
     return out
 
 
-if __name__ == "__main__":
+def _main() -> None:
     import json
+    import tempfile as _tf
 
     from excel_to_database_spark.session import get_session
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--one":
+        name, base_dir, scaled_dir = sys.argv[2], sys.argv[3], sys.argv[4]
+        spark = get_session(
+            f"etds-slope-{name}",
+            # own warehouse: nothing of the parent session's catalog
+            # state may leak into (or collide with) the measurement
+            extra_conf={"spark.sql.warehouse.dir": _tf.mkdtemp(prefix="etds_slope_wh_")},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps(time_pair(spark, name, base_dir, scaled_dir)))
+        spark.stop()
+        return
 
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("etds-scale-slope")
     spark.sparkContext.setLogLevel("ERROR")
     print(json.dumps(run_slope(spark, sf_dir, factor)))
+
+
+if __name__ == "__main__":
+    _main()
