@@ -48,6 +48,29 @@ def _header_of(
     return name, header, raw_cols
 
 
+def _decode_body(
+    content: bytes,
+    sheet_name: str,
+    visible_only: bool,
+    bug_compat_1900: bool,
+    keep_time: bool,
+    times: bool,
+    want_raw: set[int] | None,
+    positions: list[int],
+    n_full: int,
+) -> list[list[str]]:
+    """The per-workbook decode the executors run inside ``read_excel``'s
+    ``mapInPandas`` — module-level so the cell-touch contract (pruned
+    columns never reach the value decoder) is testable in-process."""
+    rdr = WorkbookReader(bytes(content), bug_compat_1900, keep_time, times)
+    matrix = rdr.read_sheet(sheet_name, visible_only, want_cols=want_raw)
+    return [
+        [padded[p] for p in positions]
+        for r in matrix[1:]
+        for padded in ((r + [""] * n_full)[:n_full],)
+    ]
+
+
 def read_excel(
     spark: SparkSession,
     path: str,
@@ -105,15 +128,17 @@ def read_excel(
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                rdr = WorkbookReader(
-                    bytes(row["content"]), bug_compat_1900, keep_time, times
+                body = _decode_body(
+                    row["content"],
+                    sheet_name,
+                    visible_only,
+                    bug_compat_1900,
+                    keep_time,
+                    times,
+                    want_raw,
+                    positions,
+                    n_full,
                 )
-                matrix = rdr.read_sheet(sheet_name, visible_only, want_cols=want_raw)
-                body = [
-                    [padded[p] for p in positions]
-                    for r in matrix[1:]
-                    for padded in ((r + [""] * n_full)[:n_full],)
-                ]
                 yield pd.DataFrame(body, columns=out_cols, dtype=str) if body else pd.DataFrame(
                     {c: pd.Series(dtype=str) for c in out_cols}
                 )

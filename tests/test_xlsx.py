@@ -372,3 +372,100 @@ def test_xlsx_datasource_filter_pushdown(spark, tmp_path):
     assert [r["Name"] for r in residual] == ["bob"]
     # no-match pushdown yields empty, not an error
     assert base.filter(F.col("Name") == "zelda").count() == 0
+
+
+def test_xlsx_pruning_cell_touch_counts(monkeypatch):
+    """The pruning contract behind read_excel(columns=...) and the
+    datasource's 'columns' option, measured at the decoder: cells of
+    pruned columns never reach the value decoder (_cell_text), so the
+    touch count DROPS — pruning is real work saved inside the zip
+    decode, not a post-hoc select."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from excel_to_database_spark.sources import xlsx_core
+    from excel_to_database_spark.sources.excel_source import _decode_body
+    from excel_to_database_spark.sources.xlsx_datasource import XlsxReader
+
+    wb = build_xlsx({"S": [["a", "b", "c"], ["1", "x", "y"], ["2", "w", "z"]]})
+    real = xlsx_core._cell_text
+    touched = [0]
+
+    def spy(c, shared):
+        touched[0] += 1
+        return real(c, shared)
+
+    monkeypatch.setattr(xlsx_core, "_cell_text", spy)
+
+    # the wrapper's executor-side decode (read_excel's mapInPandas body)
+    touched[0] = 0
+    full = _decode_body(wb, "S", False, False, False, False, None, [0, 1, 2], 3)
+    full_touch = touched[0]
+    touched[0] = 0
+    pruned = _decode_body(wb, "S", False, False, False, False, {0}, [0], 3)
+    pruned_touch = touched[0]
+    assert [r[0] for r in pruned] == [r[0] for r in full] == ["1", "2"]
+    assert pruned_touch < full_touch
+
+    # the registered format's reader, driven in-process
+    import tempfile
+
+    from pyspark.sql.datasource import InputPartition
+
+    with tempfile.NamedTemporaryFile(suffix=".xlsx") as f:
+        f.write(wb)
+        f.flush()
+
+        def drive(cols: str, schema_cols: list[str]):
+            schema = StructType(
+                [StructField(c, StringType()) for c in schema_cols]
+            )
+            rdr = XlsxReader(schema, {"path": f.name, "columns": cols})
+            touched[0] = 0
+            rows = list(rdr.read(InputPartition(f.name)))
+            return rows, touched[0]
+
+        rows_full, t_full = drive("a,b,c", ["a", "b", "c"])
+        rows_pruned, t_pruned = drive("a", ["a"])
+        assert [r[0] for r in rows_pruned] == [r[0] for r in rows_full]
+        assert t_pruned < t_full
+
+
+def test_xlsx_datasource_heterogeneous_sheet_pushdown(spark, tmp_path):
+    """Workbooks whose sheet is MISSING a schema column (heterogeneous
+    directories) yield '' at that slot — output width always matches
+    the schema — and pushed filters test the RIGHT columns. Regression
+    for the slot-shift misalignment where a missing field compacted
+    the row and a pushed filter silently tested the wrong column."""
+    from excel_to_database_spark.sources.xlsx_datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    d = tmp_path / "het"
+    d.mkdir()
+    (d / "a_full.xlsx").write_bytes(
+        build_xlsx({"S": [["a", "b", "c"], ["1", "x", "y"], ["2", "x2", "y2"]]})
+    )
+    (d / "b_missing.xlsx").write_bytes(
+        build_xlsx({"S": [["a", "c"], ["3", "z"]]})  # no 'b' column
+    )
+    base = (
+        spark.read.format("xlsx")
+        .option("columns", "a,b,c")
+        .option("sheet", "S")
+        .load(str(d))
+    )
+    assert {tuple(r) for r in base.collect()} == {
+        ("1", "x", "y"),
+        ("2", "x2", "y2"),
+        ("3", "", "z"),
+    }
+    # pushed filter on a column the second sheet lacks: tests '' there
+    assert {tuple(r) for r in base.filter(F.col("b") == "x").collect()} == {
+        ("1", "x", "y")
+    }
+    # pushed filter matching a row of the column-missing sheet: the
+    # value must be read from the RIGHT slot, not b's shifted position
+    assert {tuple(r) for r in base.filter(F.col("c") == "z").collect()} == {
+        ("3", "", "z")
+    }
+    # '' equality selects exactly the missing-column rows
+    assert base.filter(F.col("b") == "").count() == 1
