@@ -6,10 +6,16 @@ record carries a scaling SLOPE, not just one absolute point.
 Synthesis preserves each query's work profile while keeping growth
 linear in ``factor``:
 
-* documents — ``factor`` replicas with id offsets; every 4th word of a
+* documents — ``factor`` replicas with id offsets; every 3rd word of a
   replica > 0 is tagged with the replica id, so word-shingle overlap
   ACROSS replicas collapses (no artificial factor²-sized near-dup
   clusters) while similarity structure WITHIN a replica is preserved.
+  The stride must be ≤ the smallest shingle n the slope queries use
+  (n=3): the original stride of 4 left every 3-gram window starting
+  at offset 1 (mod 4) tag-free — 25% of shingles shared by ALL
+  replicas, whose inverted-index posting lists grew ×factor and made
+  the pair joins quadratic in factor, exactly the artificial
+  structure the tagging exists to prevent.
 * embeddings — replicas with a deterministic per-(replica, dim) sign
   pattern: intra-replica cosines are bit-identical under a common sign
   flip (⟨s⊙x, s⊙y⟩ = ⟨x, y⟩), cross-replica cosines decorrelate.
@@ -71,8 +77,9 @@ def build_scaled_dir(spark: SparkSession, sf_dir: str, factor: int = 10) -> str:
         " ",
         F.transform(
             w,
+            # stride 3 = smallest shingle n (see module docstring)
             lambda x, i: F.when(
-                (i % 4 == 0) & (F.col("rep") > 0),
+                (i % 3 == 0) & (F.col("rep") > 0),
                 F.concat(x, F.lit("~r"), F.col("rep").cast("string")),
             ).otherwise(x),
         ),

@@ -1839,6 +1839,26 @@ def test_scale_synthesis_invariants(spark, tmp_path):
     assert {x for x in got if x[0] < stride} == base_cl  # replica 0 ≡ base
     assert all(d // stride == c // stride for d, c in got)  # isolation
 
+    # word-shingle isolation is TOTAL: the tag stride (3) is ≤ the
+    # smallest shingle n, so every shingle of a replica > 0 carries a
+    # replica tag and NO 3-gram posting list spans replicas — the
+    # property that keeps the inverted-index pair joins linear in the
+    # factor (a stride of 4 left 25% of shingles shared by all
+    # replicas, which grew their posting lists ×factor and made the
+    # q100/q75 pair joins quadratic in factor)
+    sh = D.shingles(
+        spark.read.parquet(f"{scaled}/documents.parquet"), "doc_id", "text", 3
+    )
+    cross = (
+        sh.select(F.floor(F.col("doc") / stride).alias("rep"), "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count_distinct("rep").alias("nr"))
+        .filter(F.col("nr") > 1)
+        .count()
+    )
+    assert cross == 0
+
     cust = spark.read.parquet(f"{sf}/customer.parquet")
     ckstride = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
     base_pairs = {(r["id_a"], r["id_b"])
