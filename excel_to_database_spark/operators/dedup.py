@@ -25,7 +25,7 @@ No MLlib dependency, no RNG state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from excel_to_database_spark.operators.caching import pin
@@ -91,6 +91,47 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> Data
     return staged.select("doc", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+def _char_span_edges(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """Star edges (window-rep, doc) for ``char_span_dedup`` in ONE
+    pass over the window index: min(doc) and count over a window
+    PARTITIONed by the digest give each row its window's
+    representative without a second consumer. The obvious
+    groupBy(h)+join formulation runs the Σ-chars explode+digest TWICE
+    and shuffles it twice (the partial-agg below the groupBy exchange
+    makes it differ from the join probe's exchange, so Catalyst cannot
+    reuse one for the other), and persisting the index to bridge the
+    two measured ~3× slower than recomputing. The window variant is
+    one Generate, one exchange, one within-partition sort on the
+    16-byte binary md5 key (binary, not the 32-char hex string: the
+    exchange moves Σ-chars rows, so key width is the shuffle) —
+    measured 2.0× faster than the groupBy+join at the 30× scale check
+    (10.0s vs 20.4s, 47M windows) and strictly fewer Σ-chars passes at
+    any scale. A boilerplate window shared by d docs is d ROWS in one
+    partition (never an array, never a driver structure), so skew
+    degrades smoothly. collect_set-per-window was measured too (14.1s)
+    and loses; it also materializes d-sized arrays, which a 100 TB hot
+    window would turn into an OOM. Factored out of ``char_span_dedup``
+    so the plan contract (one Generate, a Window, no join) is
+    assertable on the pre-CC frame — connected_components cuts lineage
+    per round, hiding the index stage from the final plan."""
+    g = char_shingles(df, id_col, text_col, n=min_len).select(
+        "doc", F.unhex(F.md5("shingle")).alias("h")
+    )
+    w = Window.partitionBy("h")
+    return (
+        g.select(
+            "doc",
+            F.min("doc").over(w).alias("rep"),
+            F.count(F.lit(1)).over(w).alias("c"),
+        )
+        .filter((F.col("c") > 1) & (F.col("doc") != F.col("rep")))
+        .select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
+        .distinct()
+    )
+
+
 def char_span_dedup(
     df: DataFrame, id_col: str, text_col: str, min_len: int = 50
 ) -> DataFrame:
@@ -111,41 +152,7 @@ def char_span_dedup(
     representative through its window — so the cluster labels (and
     hence the survivors) are IDENTICAL to what clique pairs would
     produce, which is what the SQL oracle verifies."""
-    # the window index feeds two consumers (representative agg + edge
-    # join) and is deliberately NOT persisted: re-running the
-    # explode+digest Generate per consumer measures ~3× cheaper than
-    # materializing the Σ-chars index into the block manager (the
-    # digest rows are wide and cache-hostile; the explode is
-    # CPU-cheap). The digest is the 16-BYTE binary md5 (not the
-    # 32-char hex string): the groupBy exchange moves Σ-chars rows,
-    # so key width is the shuffle.
-    g = char_shingles(df, id_col, text_col, n=min_len).select(
-        "doc", F.unhex(F.md5("shingle")).alias("h")
-    )
-    # only SHARED windows (≥2 docs) can produce an edge — filtering
-    # the representative table before the join shrinks it from |all
-    # distinct windows| to |shared windows| (typically tiny next to
-    # Σ chars). The join is hinted SHUFFLE_HASH: the probe side is the
-    # Σ-chars window index, and a sort-merge join would SORT it — the
-    # single most expensive stage of the 10× slope run (measured
-    # 14.6s → the sort, vs ~3s hashed). AQE still upgrades to
-    # broadcast when the shared-window table is under the threshold
-    # (the common low-duplication case); hash beats sort at every
-    # size in between, and at 100 TB the build side stays the shared-
-    # window table, bounded by real duplication, never by Σ chars.
-    reps = (
-        g.groupBy("h")
-        .agg(F.min("doc").alias("rep"), F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .select("h", "rep")
-    )
-    edges = (
-        g.join(reps.hint("shuffle_hash"), "h")
-        .filter(F.col("doc") != F.col("rep"))
-        .select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
-        .distinct()
-    )
-    cc = connected_components(edges)
+    cc = connected_components(_char_span_edges(df, id_col, text_col, min_len))
     return cc.select(
         "doc", "cluster", (F.col("doc") == F.col("cluster")).alias("keep")
     )
@@ -1052,47 +1059,68 @@ def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     with the real ``levenshtein`` — but only candidates, never the
     n² cross product.
 
-    Plan shape: the variant index is Σ (len+1) rows per string (each
-    row one deletion position), carried as (id, 64-bit variant hash)
-    — never the strings: a pair within distance 1 collides on ~2-4
-    variants, so the candidate join's output is a few × |pairs| and
-    its row width is what the shuffle pays. Candidates are id-only,
-    deduplicated to UNIQUE pairs before verification, and the strings
-    re-attach through two joins against the input (AQE broadcasts
-    while the table is small; at corpus scale they hash-join) — so
-    the real ``levenshtein`` runs once per unique pair instead of
-    once per variant collision (measured 9.8M → 2.6M evaluations at
-    the 10× slope scale). A 64-bit hash collision only adds a false
-    candidate that verification rejects — equal variants always
-    collide, so completeness is untouched. The variant join itself is
-    hinted SHUFFLE_HASH: its probe side is Σ-chars-shaped and a
-    sort-merge would sort it."""
+    Plan shape — POSITIONAL delete blocking: the variant index is
+    Σ (len) delete rows per string carried as (id, 64-bit variant
+    hash, deletion position) plus one full-string row at position 0 —
+    never the strings. The deletion position joins as part of the
+    key, which makes same-length blocking JUNK-FREE: two equal-length
+    strings whose position-i deletions are equal differ at most at
+    position i, i.e. lev ≤ 1 by construction (deleting any j ≠ i
+    keeps the differing position, so only j = i can collide) — each
+    substitution pair collides on exactly one (v, i), and equal
+    strings collide at position 0. The position-free formulation
+    admitted every "shift" pair (delete '0' at 1 of '012' = delete
+    '0' at 3 of '120' = '12', lev 2) — measured 29.0M candidates for
+    7.9M true pairs at the 30× scale check, vs ~8M junk-free
+    positional candidates (9.1s → 6.1s, identical output). Cross-
+    length insert/delete pairs come from a second join — full-string
+    rows against delete rows on the hash alone (t = delete_i(s) ⇒
+    lev = 1 exactly, also junk-free) — so verification only ever
+    rejects 64-bit hash collisions; it stays because a collision
+    would otherwise be a wrong pair, not for blocking slack.
+    Candidates are id-only, deduplicated to UNIQUE pairs, and the
+    strings re-attach through two joins against the input (AQE
+    broadcasts while the table is small; at corpus scale they
+    hash-join). Both candidate joins are hinted SHUFFLE_HASH: the
+    probe sides are Σ-chars-shaped and a sort-merge would sort
+    them."""
     s = F.col("s")
-    variants = F.array_union(
-        F.array(s),
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
-            lambda i: F.concat(
-                F.substring(s, F.lit(1), i - 1),
-                s.substr(i + 1, F.length(s)),
-            ),
+    dels_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1),
+            s.substr(i + 1, F.length(s)),
         ),
     )
     base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
     # variant generation is per-row len(s) substring builds — spread a
     # small-file single-partition source before the explode
     base = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
-    idx = base.select(
-        "id", F.explode(variants).alias("vs")
-    ).select("id", F.xxhash64("vs").alias("v"))
-    a = idx.select(F.col("id").alias("id_a"), "v")
-    b = idx.select(F.col("id").alias("id_b"), "v")
-    cand = (
-        a.join(b.hint("shuffle_hash"), "v")
+    dels = base.select(
+        "id", F.posexplode(dels_arr).alias("p0", "vs")
+    ).select("id", F.xxhash64("vs").alias("v"), (F.col("p0") + 1).alias("p"))
+    fulls = base.select(
+        "id", F.xxhash64("s").alias("v"), F.lit(0).alias("p")
+    )
+    idx = dels.unionByName(fulls)
+    a = idx.select(F.col("id").alias("id_a"), "v", "p")
+    b = idx.select(F.col("id").alias("id_b"), "v", "p")
+    cand_sub = (
+        a.join(b.hint("shuffle_hash"), ["v", "p"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b")
     )
+    fa = fulls.select(F.col("id").alias("f_id"), "v")
+    db = dels.select(F.col("id").alias("d_id"), "v")
+    cand_indel = (
+        fa.join(db.hint("shuffle_hash"), "v")
+        .filter(F.col("f_id") != F.col("d_id"))
+        .select(
+            F.least("f_id", "d_id").alias("id_a"),
+            F.greatest("f_id", "d_id").alias("id_b"),
+        )
+    )
+    cand = cand_sub.unionByName(cand_indel).dropDuplicates(["id_a", "id_b"])
     na = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     nb = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
     return (

@@ -599,6 +599,57 @@ def test_edit1_pairs_all_edit_classes(spark):
     assert all(9 not in k for k in got)
 
 
+def test_edit1_pairs_matches_brute_force_randomized(spark):
+    """Pin the positional-blocking theorem behind ``edit1_pairs``
+    against brute-force Levenshtein over a dense random corpus: a
+    2-letter alphabet with lengths 0–5 maximizes the risky structure
+    (repeated characters, shift pairs like '012'/'120' that the old
+    position-free blocking admitted as junk, equal strings, the empty
+    string, and length-1 strings where the delete variant is empty).
+    Completeness is the property at stake — the dist<=1 verification
+    already rejects any false candidate, so a blocking bug can ONLY
+    surface as a MISSING true pair. Exact-set equality, both
+    directions, including dist values."""
+    import random
+
+    rng = random.Random(20260814)
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for alphabet, max_len, n_rows in (("ab", 5, 60), ("abc", 7, 60)):
+        rows = [
+            (i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, max_len))))
+            for i in range(n_rows)
+        ]
+        want = {
+            (ia, ib): lev(sa, sb)
+            for ia, sa in rows
+            for ib, sb in rows
+            if ia < ib and lev(sa, sb) <= 1
+        }
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in D.edit1_pairs(df, "id", "s").collect()
+        }
+        missing = set(want) - set(got)
+        extra = set(got) - set(want)
+        assert not missing, f"blocking missed true pairs: {sorted(missing)[:10]}"
+        assert not extra, f"verification leaked: {sorted(extra)[:10]}"
+        assert got == want
+
+
 def test_line_dedup_keep_first(spark):
     """Keep-first line dedup: a line shared across docs survives only
     in the minimum (doc, pos) occurrence; repeated lines WITHIN a doc

@@ -155,10 +155,28 @@ def test_bigram_lm_no_cartesian_q159(spark, sf_dir):
 
 
 def test_char_span_survivor_no_cartesian_q157(spark, sf_dir):
-    """Survivor-form substring dedup: star edges come from one
-    equi-join on the window digest — never a pair blow-up join."""
+    """Survivor-form substring dedup: star edges come from ONE pass
+    over the window index (min/count over a window partitioned by the
+    digest) — never a pair blow-up join, and never a second Σ-chars
+    explode (the groupBy+join formulation ran the index Generate
+    twice; measured 2× slower at the 30× scale check). The contract is
+    asserted on the pre-CC edge frame: connected_components
+    localCheckpoints per round, so the final q157 plan is a
+    checkpoint scan that can't show the index stage."""
     plan = _plan(spark, sf_dir, "q157_char_span_dedup")
     assert "CartesianProduct" not in plan
+    from excel_to_database_spark.operators.dedup import _char_span_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eplan = (
+        _char_span_edges(docs, "doc_id", "text", 50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert eplan.count("Generate explode") == 1, "window index exploded twice"
+    assert "Window" in eplan  # the one-pass min/count-over-digest
+    assert "Join" not in eplan  # star edges need no join at all
 
 
 def test_sigma_probe_joins_never_sort_merge(spark, sf_dir):
