@@ -22,6 +22,8 @@ into a bucket-equi-join, which is the shape that survives scale-up.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -685,7 +687,114 @@ def _dec_fold(arr):
     ).cast("double")
 
 
-def _sieved_nearest_cell(base: DataFrame, cents: DataFrame) -> DataFrame:
+_VC_EXPRS: dict = {}
+
+
+def _vc_cos_exprs(exact: bool):
+    """Cached (dot, |v|², |cv|²) expression trio over the fixed column
+    names ("v", "cv"). An unresolved Column is a plain AST node —
+    reusable across DataFrames — and building the decimal variant's
+    deep lambda trees costs ~0.5s of py4j round trips, a fixed plan-
+    construction tax the small-corpus index build paid on every call.
+    Keyed by the live SparkContext (a JVM restart invalidates py4j
+    handles; a strong ref in the value keeps id() stable)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), exact)
+    got = _VC_EXPRS.get(key)
+    if got is not None:
+        return got[1]
+    if exact:
+        trio = (
+            _dec_fold(
+                F.zip_with(
+                    "v",
+                    "cv",
+                    lambda a, b: (
+                        a.cast("double") * b.cast("double")
+                    ).cast("decimal(30,12)"),
+                )
+            ),
+            _dec_fold(
+                F.transform(
+                    "v",
+                    lambda a: (
+                        a.cast("double") * a.cast("double")
+                    ).cast("decimal(30,12)"),
+                )
+            ),
+            _dec_fold(
+                F.transform(
+                    "cv",
+                    lambda a: (
+                        a.cast("double") * a.cast("double")
+                    ).cast("decimal(30,12)"),
+                )
+            ),
+        )
+    else:
+        trio = (
+            F.aggregate(
+                F.zip_with(
+                    "v", "cv", lambda a, b: a.cast("double") * b.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            F.aggregate(
+                F.transform("v", lambda a: a.cast("double") * a.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            F.aggregate(
+                F.transform("cv", lambda a: a.cast("double") * a.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    for k in [k for k in _VC_EXPRS if k[0] != id(sc)]:
+        del _VC_EXPRS[k]  # drop handles of dead contexts
+    _VC_EXPRS[key] = (sc, trio)
+    return trio
+
+
+def _write_driver_parquet(path: str, table) -> None:
+    """Persist a DRIVER-SMALL table (bounded by construction: n_lists
+    centroids, m*pq_k codebook rows, the 1-row meta, the health
+    baseline) as a single parquet file via pyarrow. A Spark write of a
+    16-row local frame pays a full job + commit-protocol round (~0.4s
+    measured); four such tables were the majority of the small-corpus
+    build's fixed cost. Spark reads the directory identically (its
+    parquet source lists every non-underscore file), and the append
+    path's Spark part files coexist beside the seed file."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    _pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
+def _append_driver_parquet(path: str, table) -> None:
+    """Append a driver-small table as one new uniquely-named parquet
+    file (the health event log grows one row per append/compact —
+    schema identical across files, so Spark's multi-file scan needs no
+    mergeSchema)."""
+    import uuid
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(path, exist_ok=True)
+    _pq.write_table(
+        table, os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.parquet")
+    )
+
+
+def _sieved_nearest_cell(
+    base: DataFrame, cents: DataFrame, cents_rows=None
+) -> DataFrame:
     """Decimal-EXACT nearest-centroid assignment via the q125 sieve
     discipline: one Arrow-batched numpy pass scores every vector
     against the driver-collected centroid matrix in float64 and keeps
@@ -698,12 +807,18 @@ def _sieved_nearest_cell(base: DataFrame, cents: DataFrame) -> DataFrame:
     centroid — the dominant cost of the q146 build) with bit-identical
     output. Zero-norm vectors (undefined cosine) resolve through the
     nulls-last decimal pick to their lowest candidate cell instead of
-    raising ANSI DIVIDE_BY_ZERO."""
+    raising ANSI DIVIDE_BY_ZERO.
+
+    ``cents_rows``: optional pre-collected [(cell, cv), ...] — the
+    index build already holds the centroid rows on the driver (they
+    seed from the training TakeOrdered), so passing them skips a
+    redundant collect job."""
     import numpy as _np
     import pandas as _pd
     from pyspark.sql.functions import pandas_udf
 
-    cents_rows = cents.select("cell", "cv").collect()  # n_lists rows
+    if cents_rows is None:
+        cents_rows = cents.select("cell", "cv").collect()  # n_lists rows
     cell_t = cents.schema["cell"].dataType.simpleString()
     if not cents_rows:
         return base.select(
@@ -736,22 +851,7 @@ def _sieved_nearest_cell(base: DataFrame, cents: DataFrame) -> DataFrame:
     single = with_cand.filter(F.size("cands") == 1).select(
         "id", "v", F.col("cands")[0].alias("cell")
     )
-    dot = _dec_fold(
-        F.zip_with(
-            "v", "cv",
-            lambda a, b: (a.cast("double") * b.cast("double")).cast("decimal(30,12)"),
-        )
-    )
-    nv = _dec_fold(
-        F.transform(
-            "v", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
-        )
-    )
-    nc = _dec_fold(
-        F.transform(
-            "cv", lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)")
-        )
-    )
+    dot, nv, nc = _vc_cos_exprs(exact=True)
     multi_scored = (
         with_cand.filter(F.size("cands") > 1)
         .select("id", "v", F.explode("cands").alias("cell"))
@@ -771,7 +871,7 @@ def _sieved_nearest_cell(base: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _ivf_nearest_cell(
-    base: DataFrame, cents: DataFrame, exact: bool = False
+    base: DataFrame, cents: DataFrame, exact: bool = False, cents_rows=None
 ) -> DataFrame:
     """Assign every (id, v) row to its max-cosine centroid (ties broken
     by lowest cell id). Centroids are broadcast; one narrow pass.
@@ -785,20 +885,8 @@ def _ivf_nearest_cell(
     (decimal folds especially) into a single task — spread it first."""
     base = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
     if exact:
-        return _sieved_nearest_cell(base, cents)
-    dot = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nv = F.aggregate(
-        F.transform("v", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    nc = F.aggregate(
-        F.transform("cv", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+        return _sieved_nearest_cell(base, cents, cents_rows=cents_rows)
+    dot, nv, nc = _vc_cos_exprs(exact=False)
     scored = base.crossJoin(F.broadcast(cents)).select(
         "id", "v", "cell", (dot / (F.sqrt(nv) * F.sqrt(nc))).alias("sim")
     )
@@ -1731,54 +1819,80 @@ def build_ivf_pq_index(
             ]
         ),
     )
+    cents_schema = StructType(
+        [
+            StructField("cell", id_f.dataType),
+            StructField("cv", v_f.dataType),
+        ]
+    )
     if tol is not None:
         cents, assigned, _ = ivf_assign_converged(
             emb, id_col, vec_col, n_lists, max_sweeps=max(sweeps, 10), tol=tol
         )
+        cents_local = [r.asDict() for r in cents.select("cell", "cv").collect()]
     else:
+        cents_local = [{"cell": r["id"], "cv": list(r["v"])} for r in low[:n_lists]]
         cents = spark.createDataFrame(
-            [(r["id"], r["v"]) for r in low[:n_lists]],
-            StructType(
-                [
-                    StructField("cell", id_f.dataType),
-                    StructField("cv", v_f.dataType),
-                ]
-            ),
+            [(c["cell"], c["cv"]) for c in cents_local], cents_schema
         )
         for _ in range(sweeps):
             assigned_s = _ivf_nearest_cell(base, cents, exact=exact_assign)
             cents = ivf_refine(cents, assigned_s)
-        assigned = _ivf_nearest_cell(base, cents, exact=exact_assign)
+            cents_local = None
+        assigned = _ivf_nearest_cell(
+            base, cents, exact=exact_assign, cents_rows=cents_local
+        )
 
     # fused coding: the assignment output gains its code word per ROW
     # (no join, no second corpus scan); rows where any subspace has a
     # near-tie (NULL from the fast coder) route through the decimal
     # product_quantize and rejoin — a near-empty set in practice
+    cb_pairs = [
+        (r["id"], s, list(r["v"])[s * w:(s + 1) * w])
+        for r in low[:pq_k]
+        for s in range(m)
+    ]
     combined = _with_pq_codes(
-        assigned, cb, [(r["id"], s, list(r["v"])[s * w:(s + 1) * w])
-                       for r in low[:pq_k] for s in range(m)],
-        m, pq_k, dim, w, id_f.dataType.simpleString(),
+        assigned, cb, cb_pairs, m, pq_k, dim, w, id_f.dataType.simpleString(),
     )
-    cents.write.mode("overwrite").parquet(f"{path}/cents")
+    # cents / codebook / meta / health are all driver-small by
+    # construction — pyarrow writes them without a Spark job each
+    # (4 job+commit rounds ≈ 1.6s of pure fixed cost at any corpus
+    # size). The corpus table — the data plane — stays a Spark write.
+    import pyarrow as _pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    id_at = to_arrow_type(id_f.dataType)
+    cv_at = to_arrow_type(v_f.dataType)
+    if cents_local is None:  # Lloyd sweeps refined the cents distributed
+        cents_local = [r.asDict() for r in cents.select("cell", "cv").collect()]
+    _write_driver_parquet(
+        f"{path}/cents",
+        _pa.table(
+            {
+                "cell": _pa.array([c["cell"] for c in cents_local], id_at),
+                "cv": _pa.array([list(c["cv"]) for c in cents_local], cv_at),
+            }
+        ),
+    )
     combined.write.mode("overwrite").parquet(f"{path}/corpus")
-    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    _write_driver_parquet(
+        f"{path}/codebook",
+        _pa.table(
+            {
+                "code": _pa.array([c for c, _s, _cv in cb_pairs], id_at),
+                "s": _pa.array([s for _c, s, _cv in cb_pairs], _pa.int32()),
+                "cv": _pa.array([cv for _c, _s, cv in cb_pairs], cv_at),
+            }
+        ),
+    )
     persisted = spark.read.parquet(f"{path}/corpus")
     # single post-write pass: per-cell populations + vector count + the
     # drift baseline (mean assignment distance — see ivf_pq_index_health
     # for the rebuild-resets-baseline contract). n_lists result rows —
     # driver-small by construction.
-    dot = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    nv = F.aggregate(
-        F.transform("v", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    nc = F.aggregate(
-        F.transform("cv", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    dot, nv, nc = _vc_cos_exprs(exact=False)
     per_cell = (
         persisted.join(F.broadcast(spark.read.parquet(f"{path}/cents")), "cell")
         .select(
@@ -1804,14 +1918,30 @@ def build_ivf_pq_index(
         if n_valid
         else 0.0
     )
-    spark.createDataFrame(
-        [(n_lists, m, pq_k, dim, w, n_vectors)],
-        "n_lists int, m int, pq_k int, dim int, w int, n_vectors bigint",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    spark.createDataFrame(
-        [(0, "build", n_vectors, base_dist)],
-        "seq int, event string, n bigint, mean_dist double",
-    ).write.mode("overwrite").parquet(f"{path}/health")
+    _write_driver_parquet(
+        f"{path}/meta",
+        _pa.table(
+            {
+                "n_lists": _pa.array([n_lists], _pa.int32()),
+                "m": _pa.array([m], _pa.int32()),
+                "pq_k": _pa.array([pq_k], _pa.int32()),
+                "dim": _pa.array([dim], _pa.int32()),
+                "w": _pa.array([w], _pa.int32()),
+                "n_vectors": _pa.array([n_vectors], _pa.int64()),
+            }
+        ),
+    )
+    _write_driver_parquet(
+        f"{path}/health",
+        _pa.table(
+            {
+                "seq": _pa.array([0], _pa.int32()),
+                "event": _pa.array(["build"], _pa.string()),
+                "n": _pa.array([n_vectors], _pa.int64()),
+                "mean_dist": _pa.array([base_dist], _pa.float64()),
+            }
+        ),
+    )
     # the returned stats frame is a LAZY scan of the persisted index —
     # the builder's plan contract (tests/test_plans.py) asserts callers
     # can re-derive stats from disk; the collected per_cell rows above
@@ -1957,23 +2087,34 @@ def ivf_pq_index_append(
         seq = spark.read.parquet(f"{path}/health").count()
     except Exception:
         seq = 1  # pre-health index: first append starts the history
-    spark.createDataFrame(
-        [(int(seq), "append", int(n_new), batch_dist)],
-        "seq int, event string, n bigint, mean_dist double",
-    ).write.mode("append").parquet(f"{path}/health")
-    spark.createDataFrame(
-        [
-            (
-                int(idx.meta["n_lists"]),
-                m,
-                int(idx.meta["pq_k"]),
-                int(idx.meta["dim"]),
-                w,
-                int(idx.meta["n_vectors"]) + n_new,
-            )
-        ],
-        "n_lists int, m int, pq_k int, dim int, w int, n_vectors bigint",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    import pyarrow as _pa
+
+    _append_driver_parquet(
+        f"{path}/health",
+        _pa.table(
+            {
+                "seq": _pa.array([int(seq)], _pa.int32()),
+                "event": _pa.array(["append"], _pa.string()),
+                "n": _pa.array([int(n_new)], _pa.int64()),
+                "mean_dist": _pa.array([batch_dist], _pa.float64()),
+            }
+        ),
+    )
+    _write_driver_parquet(
+        f"{path}/meta",
+        _pa.table(
+            {
+                "n_lists": _pa.array([int(idx.meta["n_lists"])], _pa.int32()),
+                "m": _pa.array([m], _pa.int32()),
+                "pq_k": _pa.array([int(idx.meta["pq_k"])], _pa.int32()),
+                "dim": _pa.array([int(idx.meta["dim"])], _pa.int32()),
+                "w": _pa.array([w], _pa.int32()),
+                "n_vectors": _pa.array(
+                    [int(idx.meta["n_vectors"]) + n_new], _pa.int64()
+                ),
+            }
+        ),
+    )
     return n_new
 
 
@@ -1983,23 +2124,7 @@ def _mean_assign_dist(assigned: DataFrame, cents: DataFrame) -> float:
     coarse quantizer still fits the data. One broadcast join + one
     aggregate; double folds (monitoring statistic, not an
     oracle-checked value)."""
-    dot = F.aggregate(
-        F.zip_with(
-            "v", "cv", lambda a, b: a.cast("double") * b.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nv = F.aggregate(
-        F.transform("v", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nc = F.aggregate(
-        F.transform("cv", lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot, nv, nc = _vc_cos_exprs(exact=False)
     row = (
         assigned.join(F.broadcast(cents), "cell")
         .select((F.lit(1.0) - dot / (F.sqrt(nv) * F.sqrt(nc))).alias("d"))
