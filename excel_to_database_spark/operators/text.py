@@ -733,3 +733,94 @@ def ngram_repetition_stats(df, id_col: str, text_col: str, n: int = 2):
         / F.col("n_chars"),
         F.col("dup_chars").cast("double") / F.col("n_chars"),
     ).toDF("doc", "top_gram", "top_gram_frac", "dup_gram_frac")
+
+
+def dsir_importance(
+    df, id_col: str, text_col: str, is_target, buckets: int = 256
+):
+    """DSIR-shaped importance weights: score every document by how
+    much its hashed-unigram distribution looks like a TARGET domain
+    relative to the whole corpus (Data Selection via Importance
+    Resampling — the standard pretraining-mixture selection move:
+    estimate p_target and p_corpus over hashed n-gram features, weight
+    each document by the probability ratio, resample by weight).
+
+    ``is_target`` is a boolean Column over ``df``'s columns selecting
+    the target slice (e.g. ``F.col("lang") == "de"``). Features are
+    md5-hashed unigram buckets (default 256); both distributions get
+    add-½ smoothing over the bucket space. The per-word ratio
+    p_t(b)/p_c(b) = (2·t_b+1)(2·C+B) / ((2·c_b+1)(2·T+B)) is ONE IEEE
+    division of exactly-representable integer products — bit-equal in
+    any IEEE engine — and the per-doc mean routes through a
+    decimal(30,12) sum, the same oracle-exactness discipline as
+    ``bigram_lm_fluency`` (classic DSIR takes the log-ratio product;
+    the mean-ratio form keeps the same ordering signal while staying
+    transcendental-free, so the score itself is value-checkable).
+
+    Returns (doc, n_words, score). Scale shape: both bucket tables are
+    ≤``buckets`` rows (broadcast joins), the totals join as broadcast
+    1-row frames, and the only Σ-words shuffles are the two bucket
+    hash-aggregates and the final per-doc mean — nothing pairwise,
+    nothing driver-side."""
+    toks = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            is_target.alias("tgt"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc",
+            "tgt",
+            F.pmod(
+                F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long"),
+                F.lit(buckets),
+            ).alias("b"),
+        )
+    )
+    cb = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    tb = (
+        toks.filter("tgt")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tb"))
+    )
+    totals = F.broadcast(
+        toks.agg(
+            F.count(F.lit(1)).alias("c_total"),
+            F.count_if(F.col("tgt")).alias("t_total"),
+        )
+    )
+    ratio = (
+        (
+            (2 * F.coalesce(F.col("tb"), F.lit(0)) + 1)
+            * (2 * F.col("c_total") + buckets)
+        ).cast("double")
+        / (
+            (2 * F.col("cb") + 1) * (2 * F.col("t_total") + buckets)
+        ).cast("double")
+    ).cast("decimal(30,12)")
+    terms = (
+        toks.join(F.broadcast(cb), "b")
+        .join(F.broadcast(tb), "b", "left")
+        .crossJoin(totals)
+        .select("doc", ratio.alias("r"))
+    )
+    return terms.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        (F.sum("r").cast("double") / F.count(F.lit(1))).alias("score"),
+    )
+
+
+def dsir_resample(
+    df, id_col: str, text_col: str, is_target, k: int, buckets: int = 256
+):
+    """Deterministic top-k DSIR selection: the ``k`` documents whose
+    hashed-unigram distribution is closest to the target domain
+    (ties broken by doc id). Classic DSIR adds Gumbel noise for
+    diversity; the top-k variant keeps the selection reproducible and
+    oracle-checkable — swap the sort key for score·noise when
+    statistical resampling is wanted. Plans as one
+    TakeOrderedAndProject over the importance frame."""
+    imp = dsir_importance(df, id_col, text_col, is_target, buckets)
+    return imp.orderBy(F.desc("score"), F.asc("doc")).limit(k)

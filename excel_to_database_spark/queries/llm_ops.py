@@ -2043,3 +2043,45 @@ def q148_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+@query(
+    "q166_dsir_resample",
+    """
+    WITH toks0 AS (SELECT doc_id AS doc, lang = 'de' AS tgt,
+                          UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                   FROM documents),
+    tk AS (SELECT doc, tgt,
+                  (strpos('0123456789abcdef', substring(md5(w), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(md5(w), 4, 1)) - 1) AS b
+           FROM toks0 WHERE w <> ''),
+    cb AS (SELECT b, COUNT(*) AS cb FROM tk GROUP BY b),
+    tb AS (SELECT b, COUNT(*) AS tb FROM tk WHERE tgt GROUP BY b),
+    tot AS (SELECT COUNT(*) AS c_total, COUNT(*) FILTER (WHERE tgt) AS t_total FROM tk),
+    terms AS (SELECT tk.doc,
+                     CAST(CAST((2 * COALESCE(tb.tb, 0) + 1) * (2 * tot.c_total + 256)
+                               AS DOUBLE)
+                          / CAST((2 * cb.cb + 1) * (2 * tot.t_total + 256)
+                                 AS DOUBLE)
+                          AS DECIMAL(30,12)) AS r
+              FROM tk JOIN cb USING (b) LEFT JOIN tb USING (b) CROSS JOIN tot)
+    SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(r) AS DOUBLE) / COUNT(*) AS score
+    FROM terms GROUP BY doc
+    ORDER BY score DESC, doc LIMIT 100
+    """,
+)
+def q166_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling toward a target domain
+    (operators/text.dsir_resample): hashed-unigram bucket
+    distributions for the lang='de' slice vs the whole corpus,
+    per-document mean probability ratio with add-½ smoothing, top-100
+    selection. The md5-bucket hash, the integer-product IEEE division,
+    and the decimal mean make even this 'statistical' selection
+    value-exact against the SQL oracle; the bucket tables are bounded
+    (256 rows, broadcast) so the plan carries no pairwise work at any
+    corpus size — the pretraining data-mixture selection shape."""
+    d = t(spark, sf_dir, "documents")
+    return T.dsir_resample(
+        d, "doc_id", "text", F.col("lang") == "de", k=100
+    )

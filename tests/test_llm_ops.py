@@ -1928,3 +1928,64 @@ def test_scale_synthesis_invariants(spark, tmp_path):
     import shutil
 
     shutil.rmtree(scaled, ignore_errors=True)
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """DSIR importance: documents whose words match the target slice's
+    vocabulary must outscore documents drawn from the disjoint
+    background vocabulary, and a mixed doc must land strictly between.
+    Weights are mean smoothed probability ratios, so the target-pure
+    doc's score > 1 > background-pure doc's score whenever the
+    vocabularies are disjoint and the target slice is a minority."""
+    rows = [
+        # target slice (is_tgt=True): 'alpha beta' vocabulary
+        (0, "alpha beta alpha beta", True),
+        (1, "beta alpha beta alpha", True),
+        # background: disjoint 'gamma delta' vocabulary
+        (2, "gamma delta gamma delta", False),
+        (3, "delta gamma delta gamma", False),
+        (4, "gamma delta delta gamma", False),
+        # candidates to score: pure-target-like, mixed, pure-background
+        (5, "alpha beta beta alpha", False),
+        (6, "alpha beta gamma delta", False),
+        (7, "delta delta gamma gamma", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    got = {
+        r["doc"]: r["score"]
+        for r in T.dsir_importance(
+            df, "doc_id", "text", F.col("is_tgt"), buckets=256
+        ).collect()
+    }
+    assert got[5] > got[6] > got[7]
+    assert got[0] == got[1] == got[5]  # identical bags of words
+    # n_words counts non-empty tokens only
+    nw = {
+        r["doc"]: r["n_words"]
+        for r in T.dsir_importance(
+            df.unionByName(
+                spark.createDataFrame(
+                    [(9, "   ", False)], "doc_id long, text string, is_tgt boolean"
+                )
+            ),
+            "doc_id", "text", F.col("is_tgt"),
+        ).collect()
+    }
+    assert 9 not in nw  # whitespace-only doc has no tokens
+    assert nw[5] == 4
+
+
+def test_dsir_resample_topk_deterministic(spark):
+    """dsir_resample returns exactly k docs, ordered by score then doc
+    id — rerunning gives the identical selection (no RNG state)."""
+    rows = [
+        (i, ("tgt" if i % 3 == 0 else "bg") + f" w{i % 5} w{(i + 1) % 5}", i % 3 == 0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    a = T.dsir_resample(df, "doc_id", "text", F.col("is_tgt"), k=7).collect()
+    b = T.dsir_resample(df, "doc_id", "text", F.col("is_tgt"), k=7).collect()
+    assert [r["doc"] for r in a] == [r["doc"] for r in b]
+    assert len(a) == 7
+    scores = [r["score"] for r in a]
+    assert scores == sorted(scores, reverse=True)

@@ -213,3 +213,16 @@ def test_ivf_pq_corpus_views_are_column_pruned(spark, sf_dir):
     assert scans
     for l in scans:
         assert not ("v#" in l and "codes#" in l), f"unpruned corpus scan: {l.strip()[:160]}"
+
+
+def test_dsir_bucket_joins_broadcast_q166(spark, sf_dir):
+    """DSIR importance: the bucket-distribution tables (≤256 rows) and
+    the totals frame must BROADCAST onto the Σ-words token stream —
+    a shuffled or sort-merge bucket join would move the whole token
+    stream twice for a bounded dimension, and the selection is a
+    TakeOrderedAndProject (never a global sort)."""
+    plan = _plan(spark, sf_dir, "q166_dsir_resample")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # cb inner + tb left
+    assert "TakeOrderedAndProject" in plan
