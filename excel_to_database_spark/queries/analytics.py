@@ -333,9 +333,25 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scaled run), re-measured at ~2.5x in isolation
     from excel_to_database_spark.operators.caching import pin
 
-    edges_deg = pin(edges.withColumn("deg", F.count(F.lit(1)).over(w_deg)))
+    # explicit repartition(P, src) BEFORE the window: the window alone
+    # also hash-partitions on src, but AQE coalesces that exchange, and
+    # a cache whose partition count no longer matches the supersteps'
+    # requirement gets RE-EXCHANGED inside every superstep join (5
+    # adjacency shuffles measured, the single largest per-rep cost).
+    # AQE honors a user repartition with an explicit count, so the
+    # cached partitioning satisfies each superstep join as-is; the
+    # window then needs no exchange of its own.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_deg = pin(
+        edges.repartition(n_shuffle, "src").withColumn(
+            "deg", F.count(F.lit(1)).over(w_deg)
+        )
+    )
     deg = edges_deg.select("src", "deg").distinct()
-    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    # pin: nn is broadcast into the rank update of EVERY superstep, and
+    # its subtree contains the |E|-scan distinct — unpinned, each
+    # superstep re-ran that full aggregation (6 cache scans measured)
+    nn = pin(deg.agg(F.count(F.lit(1)).alias("n")))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"),
         F.expr("1000000000000 div n").cast("bigint").alias("rank"),
