@@ -93,6 +93,9 @@ HEADLINE = [
     # round-9 addition: event-time-timer gap sessionization (typed
     # state, watermark-driven expiry)
     "q161_stream_event_time_sessions",
+    # round-10 addition: DSIR importance resampling (data-mixture
+    # selection; bounded broadcast bucket tables)
+    "q166_dsir_resample",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
