@@ -96,6 +96,11 @@ HEADLINE = [
     # round-10 addition: DSIR importance resampling (data-mixture
     # selection; bounded broadcast bucket tables)
     "q166_dsir_resample",
+    # round-10 additions: CCNet per-language quality terciles
+    # (distributed bin-histogram rank) and SoftDeDup 1/|cluster|
+    # reweighting over the near-dup graph
+    "q167_ccnet_quality_buckets",
+    "q168_soft_dedup_weights",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

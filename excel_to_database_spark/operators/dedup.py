@@ -1440,3 +1440,54 @@ def dedup_cluster_labels(spark, path: str) -> DataFrame:
     except AnalysisException:
         labels = labels.select("doc", F.col("label").alias("cluster"))
     return labels.groupBy("doc").agg(F.min("cluster").alias("cluster"))
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Soft dedup: DOWN-WEIGHT near-duplicates instead of dropping
+    them — every document's sampling weight is 1 / |its duplicate
+    cluster| (SoftDeDup-style; removing all-but-one copy loses the
+    mild quality signal duplication carries, while equal weights
+    over-train on it; 1/n makes each cluster contribute one
+    document's worth of expected tokens to the training mixture).
+
+    ``docs`` is one row per document (``id_col``, ``tokens_col``);
+    ``pairs`` is any near-dup pair frame (minhash/jaccard/simhash
+    output). Clusters come from :func:`connected_components`
+    (contracted min-label propagation); documents in no pair form
+    singleton clusters via the left join + coalesce — never an
+    O(corpus) closure. Returns (doc, cluster, cluster_size BIGINT,
+    n_tokens BIGINT, weight DOUBLE, eff_tokens DOUBLE); both doubles
+    are single IEEE divisions of exact integers, so the whole frame
+    is value-exact against a recursive-CTE SQL oracle. Scale shape:
+    the cluster-size frame is bounded by #clusters and every join is
+    an equi-join on doc or cluster (AQE broadcasts while duplicate
+    volume is small)."""
+    cc = connected_components(pairs, a, b)
+    labeled = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        )
+        .join(cc, "doc", "left")
+        .withColumn("cluster", F.coalesce("cluster", F.col("doc")))
+    )
+    sizes = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster").select(
+        "doc",
+        "cluster",
+        "cluster_size",
+        "n_tokens",
+        (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+        (F.col("n_tokens").cast("double") / F.col("cluster_size")).alias(
+            "eff_tokens"
+        ),
+    )

@@ -824,3 +824,70 @@ def dsir_resample(
     TakeOrderedAndProject over the importance frame."""
     imp = dsir_importance(df, id_col, text_col, is_target, buckets)
     return imp.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+
+def quality_rank_buckets(
+    scored,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+    bins: int = 1 << 20,
+):
+    """CCNet-style per-group quality partitions (head / middle / tail):
+    every row gets its exact rank within its group — ordered
+    (score DESC, id ASC) — and the bucket
+    ``1 + (n_buckets · (rank−1)) div n_group``, the equal-split
+    assignment pretraining pipelines use to keep only the head/middle
+    slices per language.
+
+    Scale shape — a distributed per-group rank, NOT one window
+    partition per group (a billion-document language would serialize
+    its whole score list into one task): scores quantize into ``bins``
+    monotone integer bins; the per-(group, bin) histogram cumulates in
+    a window whose input is one row per occupied BIN (bounded by
+    ``bins``, never by rows); each row's rank is then its bin's
+    preceding-count offset plus an intra-bin ``row_number`` whose
+    partition is (group, bin) — bounded by bin occupancy, which the
+    operator controls via ``bins``. Because the bin function is
+    monotone in the score, the output is INDEPENDENT of ``bins``
+    (pytest pins bins=4 ≡ bins=2^20); heavy score ties all land in one
+    bin by definition — exactly the rows a per-group sort would also
+    have to co-locate for the tiebreak.
+
+    Returns the input columns plus (rank_in_group BIGINT,
+    n_in_group BIGINT, bucket INT). Scores must be non-null."""
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col)
+    base = scored.withColumn(
+        "_qb", F.floor(s * F.lit(float(bins))).cast("bigint")
+    )
+    hist = base.groupBy(group_col, "_qb").agg(F.count(F.lit(1)).alias("_c"))
+    wg = Window.partitionBy(group_col).orderBy(F.col("_qb").desc())
+    offsets = hist.select(
+        group_col,
+        "_qb",
+        (F.sum("_c").over(wg) - F.col("_c")).alias("_off"),
+    )
+    totals = hist.groupBy(group_col).agg(F.sum("_c").alias("n_in_group"))
+    wb = Window.partitionBy(group_col, "_qb").orderBy(
+        s.desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        base.join(offsets, [group_col, "_qb"])
+        .join(F.broadcast(totals), group_col)
+        .withColumn(
+            "rank_in_group",
+            (F.col("_off") + F.row_number().over(wb)).cast("bigint"),
+        )
+    )
+    return ranked.select(
+        *scored.columns,
+        "rank_in_group",
+        F.col("n_in_group").cast("bigint").alias("n_in_group"),
+        F.expr(
+            f"CAST(1 + ({n_buckets} * (rank_in_group - 1)) div n_in_group"
+            " AS INT)"
+        ).alias("bucket"),
+    )

@@ -143,6 +143,28 @@ _SQL_SHINGLES = """
            FROM ws)
 """
 
+_SQL_FLUENCY = """
+    ws AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+    bg AS (SELECT doc_id AS doc, w[i] AS w1, w[i+1] AS w2
+           FROM ws CROSS JOIN UNNEST(range(1, len(w))) AS s(i)
+           WHERE len(w) >= 2),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT UNNEST(w) AS tok FROM ws)),
+    terms AS (SELECT bg.doc,
+                     CAST(CAST(2 * c2.c2 + 1 AS DOUBLE)
+                          / CAST(2 * c1.c1 + v.v AS DOUBLE)
+                          AS DECIMAL(30,12)) AS p
+              FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+              CROSS JOIN v),
+    fl AS (SELECT doc,
+                  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_prob
+           FROM terms GROUP BY doc)
+"""
+
 _SQL_JACCARD = """
     sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
     common AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS c
@@ -1892,26 +1914,9 @@ def q141_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q159_bigram_lm_fluency",
-    """
-    WITH ws AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-                FROM documents),
-    bg AS (SELECT doc_id AS doc, w[i] AS w1, w[i+1] AS w2
-           FROM ws CROSS JOIN UNNEST(range(1, len(w))) AS s(i)
-           WHERE len(w) >= 2),
-    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
-    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
-    v AS (SELECT COUNT(DISTINCT tok) AS v
-          FROM (SELECT UNNEST(w) AS tok FROM ws)),
-    terms AS (SELECT bg.doc,
-                     CAST(CAST(2 * c2.c2 + 1 AS DOUBLE)
-                          / CAST(2 * c1.c1 + v.v AS DOUBLE)
-                          AS DECIMAL(30,12)) AS p
-              FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-              CROSS JOIN v)
-    SELECT doc AS doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_prob
-    FROM terms GROUP BY doc
+    f"""
+    WITH {_SQL_FLUENCY}
+    SELECT doc AS doc_id, n_bigrams, mean_prob FROM fl
     """,
 )
 def q159_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2084,4 +2089,103 @@ def q166_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return T.dsir_resample(
         d, "doc_id", "text", F.col("lang") == "de", k=100
+    )
+
+
+@query(
+    "q167_ccnet_quality_buckets",
+    f"""
+    WITH {_SQL_FLUENCY},
+    j AS (SELECT fl.doc AS doc_id, d.lang, fl.mean_prob
+          FROM fl JOIN documents d ON d.doc_id = fl.doc),
+    r AS (SELECT doc_id, lang, mean_prob,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY mean_prob DESC, doc_id)
+                     AS lang_rank,
+                 COUNT(*) OVER (PARTITION BY lang) AS lang_n
+          FROM j)
+    SELECT doc_id, lang, mean_prob,
+           CAST(lang_rank AS BIGINT) AS lang_rank,
+           CAST(lang_n AS BIGINT) AS lang_n,
+           CAST(1 + (3 * (lang_rank - 1)) // lang_n AS INT) AS bucket
+    FROM r
+    """,
+)
+def q167_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality partitions per language: every
+    document's exact rank by corpus-LM fluency within its language and
+    the equal-split tercile bucket — the step that turns a perplexity
+    score into keep/maybe/drop slices per language
+    (operators/text.quality_rank_buckets over
+    operators/text.bigram_lm_fluency). The rank is DISTRIBUTED — a
+    score-bin histogram provides per-bin offsets so no window ever
+    holds a whole language partition (the oracle's per-lang
+    ROW_NUMBER is exactly what the operator avoids computing that
+    way); output is pinned bins-independent in pytest. mean_prob
+    inherits q159's value-exactness, so rank, n, and bucket are all
+    oracle-exact."""
+    d = t(spark, sf_dir, "documents")
+    fl = T.bigram_lm_fluency(d, "doc_id", "text")
+    scored = fl.join(
+        d.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    ).select("doc", "lang", "mean_prob")
+    out = T.quality_rank_buckets(scored, "lang", "mean_prob", "doc")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "lang",
+        "mean_prob",
+        F.col("rank_in_group").alias("lang_rank"),
+        F.col("n_in_group").alias("lang_n"),
+        "bucket",
+    )
+
+
+@query(
+    "q168_soft_dedup_weights",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_JACCARD},
+    p AS (SELECT da, db FROM jac WHERE jaccard >= 0.6),
+    sym AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    labels AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+               FROM reach GROUP BY src),
+    docs AS (SELECT doc_id AS doc,
+                    CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                         AS BIGINT) AS n_tokens
+             FROM documents),
+    lab AS (SELECT d.doc, COALESCE(l.cluster, d.doc) AS cluster, d.n_tokens
+            FROM docs d LEFT JOIN labels l ON l.doc = d.doc),
+    cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY cluster)
+    SELECT lab.doc AS doc_id, lab.cluster, cs.cluster_size, lab.n_tokens,
+           CAST(1 AS DOUBLE) / cs.cluster_size AS weight,
+           CAST(lab.n_tokens AS DOUBLE) / cs.cluster_size AS eff_tokens
+    FROM lab JOIN cs USING (cluster)
+    """,
+)
+def q168_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (operators/dedup.soft_dedup_weights): near-dup
+    clusters from the exact-Jaccard pair graph, but instead of
+    dropping duplicates every document gets sampling weight
+    1/|cluster| and its effective token contribution — the
+    SoftDeDup-style reweighting that keeps duplicated content at one
+    document's worth of expected training mass. Singletons (most of
+    the corpus) never enter the closure — a left join + coalesce
+    labels them — and both emitted doubles are single IEEE divisions
+    of exact integers, so the whole frame is value-exact against the
+    recursive-CTE oracle."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
+    docs = d.select("doc_id", T.token_count_ws(F.col("text")).alias("n_tokens"))
+    return D.soft_dedup_weights(docs, pairs, "doc_id", "n_tokens").select(
+        F.col("doc").alias("doc_id"),
+        "cluster",
+        "cluster_size",
+        "n_tokens",
+        "weight",
+        "eff_tokens",
     )

@@ -1989,3 +1989,68 @@ def test_dsir_resample_topk_deterministic(spark):
     assert len(a) == 7
     scores = [r["score"] for r in a]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_quality_rank_buckets_matches_naive_window(spark):
+    # deterministic scores with cross-group and within-group ties:
+    # the bin-histogram rank must equal the naive per-group window
+    # rank at ANY bin count (binning is monotone => bins-independent)
+    from pyspark.sql.window import Window
+
+    rows = [
+        (g, i, float(s))
+        for g in ("en", "de")
+        for i, s in enumerate([0.9, 0.1, 0.5, 0.5, 0.5, 0.30000001, 0.3, 0.7])
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc long, score double")
+    naive = df.withColumn(
+        "rank_in_group",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("score").desc(), F.col("doc").asc()
+            )
+        ).cast("bigint"),
+    ).withColumn(
+        "n_in_group",
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).cast("bigint"),
+    ).withColumn(
+        "bucket",
+        F.expr("CAST(1 + (3 * (rank_in_group - 1)) div n_in_group AS INT)"),
+    )
+    want = sorted(map(tuple, naive.collect()))
+    for bins in (4, 1 << 20):
+        got = sorted(
+            map(
+                tuple,
+                T.quality_rank_buckets(
+                    df, "lang", "score", "doc", n_buckets=3, bins=bins
+                ).collect(),
+            )
+        )
+        assert got == want, f"bins={bins}"
+    # tercile split of 8: sizes 3/3/2 under the floor-div assignment
+    one = T.quality_rank_buckets(df, "lang", "score", "doc").collect()
+    sizes = {}
+    for r in one:
+        if r["lang"] == "en":
+            sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert sizes == {1: 3, 2: 3, 3: 2}
+
+
+def test_soft_dedup_weights_clusters_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)],
+        "doc_id long, n_tokens long",
+    )
+    # 1-2-3 chained into one cluster; 4, 5 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc"]: r
+        for r in D.soft_dedup_weights(docs, pairs, "doc_id", "n_tokens").collect()
+    }
+    assert {d: out[d]["cluster"] for d in out} == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    assert out[2]["cluster_size"] == 3 and out[4]["cluster_size"] == 1
+    assert out[3]["weight"] == 1.0 / 3 and out[5]["weight"] == 1.0
+    assert out[1]["eff_tokens"] == 10 / 3 and out[4]["eff_tokens"] == 40.0
