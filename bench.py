@@ -101,6 +101,9 @@ HEADLINE = [
     # reweighting over the near-dup graph
     "q167_ccnet_quality_buckets",
     "q168_soft_dedup_weights",
+    # round-10 addition: cluster-balanced diversity sampling over the
+    # decimal-exact IVF cells
+    "q169_semantic_balanced_sample",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -2321,3 +2321,53 @@ def whiten_embeddings(
     return base.mapInPandas(
         project, f"id {id_type}, white_vec array<double>"
     )
+
+
+def semantic_balanced_sample(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_lists: int | None = None,
+    salt: str = "sbs",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling: quantize every vector into
+    IVF cells (decimal-exact nearest-centroid, the q125 discipline —
+    centroids = the ``n_lists`` lowest-id vectors, ``n_lists=None``
+    derives ⌈√N⌉ from a bounded count) and keep a deterministic
+    md5-ordered ``k`` per cell. The embedding-space analogue of
+    per-source ``group_sample``: a uniform sample over-represents
+    dense regions of embedding space, while k-per-cell keeps every
+    semantic neighborhood represented — the diversity-subset /
+    eval-set construction step (k-center-style coverage without the
+    iterative farthest-point passes).
+
+    Returns (id, cell, n_in_cell BIGINT, sample_rank) for the
+    survivors. Every step — the √N derivation, the assignment, the
+    md5 sample order — is engine-portable, so the sampled set is
+    value-exact against the SQL oracle. Scale shape: centroids
+    broadcast; assignment is the Arrow sieve + near-tie decimal
+    rescore (one narrow corpus pass); the per-cell rank window
+    partitions on cell — bounded by cell occupancy, the same dial as
+    the dedup blocking."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_lists is None:
+        import math
+
+        n = base.limit(_NL_COUNT_CAP).count()
+        n_lists = max(1, min(_NL_MAX, math.ceil(math.sqrt(n))))
+    cents = (
+        base.orderBy(F.asc("id"))
+        .limit(n_lists)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
+    )
+    assigned = _ivf_nearest_cell(base, cents, exact=True)
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string")))
+    w = Window.partitionBy("cell").orderBy(h.asc(), F.col("id").asc())
+    wn = Window.partitionBy("cell")
+    return (
+        assigned.withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("n_in_cell", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+        .select("id", "cell", "n_in_cell", "sample_rank")
+    )

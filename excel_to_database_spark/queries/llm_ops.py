@@ -1653,9 +1653,10 @@ def q115_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared by q125 (pairs) and q160 (survivor clusters over the pairs)
-_SQL_SEMANTIC_PAIRS = """
-    WITH dims AS (SELECT DISTINCT UNNEST(generate_series(1, len(embedding))) AS i
+# decimal-exact √N-cell IVF assignment — shared by q125/q160 (via
+# _SQL_SEMANTIC_PAIRS) and q169 (balanced sample over the same cells)
+_SQL_SEMANTIC_ASSIGN = """
+    dims AS (SELECT DISTINCT UNNEST(generate_series(1, len(embedding))) AS i
                   FROM embeddings),
     vn AS (SELECT vec_id,
                   CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
@@ -1679,7 +1680,12 @@ _SQL_SEMANTIC_PAIRS = """
                             ORDER BY s.dot / (SQRT(v.n2) * SQRT(cn.n2)) DESC, s.cell) AS rn
                  FROM sims s JOIN vn v ON v.vec_id = s.vec_id
                  JOIN vn cn ON cn.vec_id = s.cell)
-               WHERE rn = 1),
+               WHERE rn = 1)
+"""
+
+# shared by q125 (pairs) and q160 (survivor clusters over the pairs)
+_SQL_SEMANTIC_PAIRS = f"""
+    WITH {_SQL_SEMANTIC_ASSIGN},
     asz AS (SELECT cell, COUNT(*) AS cn FROM assign GROUP BY cell),
     assign2 AS (SELECT a.vec_id, a.cell,
                        CASE WHEN s.cn > 4096
@@ -2188,4 +2194,38 @@ def q168_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "weight",
         "eff_tokens",
+    )
+
+
+@query(
+    "q169_semantic_balanced_sample",
+    f"""
+    WITH {_SQL_SEMANTIC_ASSIGN},
+    r AS (SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                     ORDER BY md5('sbs:' || CAST(vec_id AS VARCHAR)), vec_id)
+                     AS sample_rank,
+                 COUNT(*) OVER (PARTITION BY cell) AS n_in_cell
+          FROM assign)
+    SELECT vec_id, cell, CAST(n_in_cell AS BIGINT) AS n_in_cell,
+           CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 5
+    """,
+)
+def q169_semantic_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (operators/similarity.semantic_balanced_sample): every embedding
+    assigned to its ⌈√N⌉-cell IVF quantizer (the q125 decimal-exact
+    assignment — each vector's CELL is itself oracle-matched), then a
+    deterministic md5-ordered k=5 kept per cell — the
+    diversity-subset / eval-set construction that a uniform sample
+    gets wrong (dense embedding regions swamp sparse ones). Same
+    sampled set on any engine, partitioning, or rerun."""
+    e = t(spark, sf_dir, "embeddings")
+    out = S.semantic_balanced_sample(e, "vec_id", "embedding", k=5)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "cell",
+        "n_in_cell",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
     )

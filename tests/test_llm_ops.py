@@ -2054,3 +2054,34 @@ def test_soft_dedup_weights_clusters_and_singletons(spark):
     assert out[2]["cluster_size"] == 3 and out[4]["cluster_size"] == 1
     assert out[3]["weight"] == 1.0 / 3 and out[5]["weight"] == 1.0
     assert out[1]["eff_tokens"] == 10 / 3 and out[4]["eff_tokens"] == 40.0
+
+
+def test_semantic_balanced_sample_coverage_and_determinism(spark):
+    # three well-separated directions, sharply unbalanced populations:
+    # a uniform sample would swamp the big cluster; k-per-cell keeps
+    # every direction represented
+    rows = []
+    for i in range(12):
+        rows.append((i, [1.0 + 0.001 * i, 0.0, 0.0]))
+    for i in range(12, 15):
+        rows.append((i, [0.0, 1.0 + 0.001 * i, 0.0]))
+    rows.append((15, [0.0, 0.0, 1.0]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_balanced_sample(
+        e, "vec_id", "embedding", k=2, n_lists=4
+    )
+    got = out.collect()
+    per_cell = {}
+    for r in got:
+        per_cell.setdefault(r["cell"], []).append(r)
+    assert all(len(v) <= 2 for v in per_cell.values())
+    assert all(r["sample_rank"] <= 2 for r in got)
+    # every populated cell is represented and n_in_cell counts the
+    # FULL cell, not the survivors
+    assert sum(v[0]["n_in_cell"] for v in per_cell.values()) == 16
+    # deterministic under a different partitioning
+    got2 = S.semantic_balanced_sample(
+        e.repartition(7), "vec_id", "embedding", k=2, n_lists=4
+    ).collect()
+    key = lambda r: (r["cell"], r["sample_rank"])
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
