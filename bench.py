@@ -104,6 +104,9 @@ HEADLINE = [
     # round-10 addition: cluster-balanced diversity sampling over the
     # decimal-exact IVF cells
     "q169_semantic_balanced_sample",
+    # round-10 addition: decontamination decision form (integer-exact
+    # keep/drop of train docs vs the benchmark shingle set)
+    "q170_decontaminate_train",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -1491,3 +1491,56 @@ def soft_dedup_weights(
             "eff_tokens"
         ),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    corpus: str = "train",
+    benchmark: str = "test",
+    n: int = 3,
+    max_rate: float = 0.2,
+) -> DataFrame:
+    """Decontamination DECISION form (:func:`shingle_contamination`
+    probes the other direction — test docs vs the train set — and
+    only reports): for every ``corpus``-split document, the share of
+    its distinct word n-gram shingles that occur in ANY
+    ``benchmark``-split document, and the keep/drop verdict at
+    ``max_rate`` — what a pretraining pipeline actually executes
+    before training on web data that may embed eval benchmarks.
+
+    The keep decision compares INTEGERS (n_contaminated · 1/max_rate
+    ≤ n_shingles, with max_rate a dyadic/decimal constant), so the
+    verdict is engine-exact even where a float ratio would sit on the
+    boundary; shingle-less documents (< n words) are trivially clean
+    and keep a NULL rate. Returns (doc, n_shingles, n_contaminated,
+    contamination_rate, keep). Plan: the deduplicated benchmark
+    shingle set builds once (two-phase hash agg), the corpus side
+    probes it with one equi-join on the shingle key — never doc×doc;
+    the join-back attaching shingle-less docs is on the doc key."""
+    per = shingle_contamination(
+        docs, id_col, text_col, split_col, train=benchmark, test=corpus, n=n
+    )
+    base = docs.filter(F.col(split_col) == corpus).select(
+        F.col(id_col).alias("doc")
+    )
+    # max_rate as an exact rational: keep iff n_cont <= max_rate * n_sh
+    # <=> n_cont * denom <= num * n_sh with max_rate = num/denom
+    from fractions import Fraction
+
+    fr = Fraction(max_rate).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+    out = base.join(per, "doc", "left")
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("bigint")
+    n_ct = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint")
+    return out.select(
+        "doc",
+        n_sh.alias("n_shingles"),
+        n_ct.alias("n_contaminated"),
+        F.when(n_sh > 0, n_ct.cast("double") / n_sh).alias(
+            "contamination_rate"
+        ),
+        (n_ct * F.lit(den) <= F.lit(num) * n_sh).alias("keep"),
+    )

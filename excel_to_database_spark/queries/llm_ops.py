@@ -2229,3 +2229,44 @@ def q169_semantic_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_in_cell",
         F.col("sample_rank").cast("int").alias("sample_rank"),
     )
+
+
+@query(
+    "q170_decontaminate_train",
+    f"""
+    WITH {_SQL_SHINGLES}, {_SQL_SPLIT},
+    be AS (SELECT DISTINCT shingle FROM sh JOIN split ON sh.doc = split.doc_id
+           WHERE split.split = 'test'),
+    tr AS (SELECT sh.doc, sh.shingle FROM sh JOIN split ON sh.doc = split.doc_id
+           WHERE split.split = 'train'),
+    per AS (SELECT tr.doc,
+                   COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN be.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_contaminated
+            FROM tr LEFT JOIN be ON tr.shingle = be.shingle
+            GROUP BY tr.doc)
+    SELECT s.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                THEN CAST(p.n_contaminated AS DOUBLE) / p.n_shingles
+           END AS contamination_rate,
+           COALESCE(p.n_contaminated, 0) * 5 <= COALESCE(p.n_shingles, 0)
+               AS keep
+    FROM split s LEFT JOIN per p ON p.doc = s.doc_id
+    WHERE s.split = 'train'
+    """,
+)
+def q170_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination taken to its DECISION
+    (operators/dedup.decontaminate): every train-split document scored
+    by the share of its 3-gram shingles found in ANY test-split
+    document and kept iff ≤ 20% — the pre-training drop step, where
+    q93 is the post-hoc per-language report. The verdict compares
+    integers (5·hits ≤ shingles), so even boundary documents decide
+    identically in both engines; shingle-less docs are trivially
+    clean (NULL rate, kept)."""
+    d = t(spark, sf_dir, "documents")
+    split = T.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = D.decontaminate(split, "doc_id", "text", max_rate=0.2)
+    return out.withColumnRenamed("doc", "doc_id")

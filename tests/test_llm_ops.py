@@ -2085,3 +2085,23 @@ def test_semantic_balanced_sample_coverage_and_determinism(spark):
     ).collect()
     key = lambda r: (r["cell"], r["sample_rank"])
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_decontaminate_boundary_and_short_docs(spark):
+    # benchmark doc contributes shingles "a b c", "b c d"; train doc 1
+    # has exactly 1 of 5 shingles contaminated (20% -> keep at the
+    # boundary), train doc 2 is fully contaminated (drop), doc 3 is
+    # too short to shingle (trivially clean, NULL rate, keep)
+    rows = [
+        (1, "a b c x y z w", "train"),     # shingles: abc bcx cxy xyz yzw -> 1/5 hit
+        (2, "a b c d", "train"),           # abc bcd -> 2/2 hit
+        (3, "hi there", "train"),          # no 3-gram shingles
+        (9, "a b c d", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    out = {r["doc"]: r for r in D.decontaminate(df, "doc_id", "text").collect()}
+    assert out[1]["n_shingles"] == 5 and out[1]["n_contaminated"] == 1
+    assert out[1]["keep"] is True          # exactly max_rate: kept
+    assert out[2]["keep"] is False
+    assert out[3]["n_shingles"] == 0 and out[3]["contamination_rate"] is None
+    assert out[3]["keep"] is True
