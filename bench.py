@@ -107,6 +107,9 @@ HEADLINE = [
     # round-10 addition: decontamination decision form (integer-exact
     # keep/drop of train docs vs the benchmark shingle set)
     "q170_decontaminate_train",
+    # round-10 addition: SSL-prototypes pruning (per-cell centroid
+    # cosine, hard-tail retention)
+    "q171_prototypicality_prune",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -2371,3 +2371,104 @@ def semantic_balanced_sample(
         .filter(F.col("sample_rank") <= k)
         .select("id", "cell", "n_in_cell", "sample_rank")
     )
+
+
+def prototypicality_prune(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int | None = None,
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """SSL-prototypes data pruning: score every vector by its cosine
+    to its cluster's centroid (its 'prototypicality') and keep the
+    LEAST prototypical ``keep_frac`` per cell — the
+    easy-example-pruning rule that beats random subsetting at scale
+    (prototypical/redundant examples teach a large model little; the
+    hard tail carries the information). Clusters are the same
+    ⌈√N⌉-cell decimal-exact IVF quantizer as the dedup/sampling
+    family.
+
+    Exactness: the centroid is the per-dimension DECIMAL(30,6) sum of
+    member values (cosine is scale-invariant, so the un-divided sum
+    vector scores identically to the mean and costs no division);
+    dot/norms route double products through DECIMAL(30,12); the final
+    score is sqrt/mult/divide — all correctly-rounded IEEE ops in
+    both engines — so score, rank, and verdict are oracle-exact. The
+    keep verdict compares integers (rank·den ≤ num·n).
+
+    Scale shape: one posexplode pass builds (cell, dim) centroid sums
+    — map-side combinable, shuffling n_cells×dim partials, the
+    quantize_embeddings discipline; the dot products equi-join the
+    exploded members to the broadcastable centroid table on
+    (cell, pos); the per-cell rank window is bounded by cell
+    occupancy, the family's standard dial."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_lists is None:
+        import math
+
+        n = base.limit(_NL_COUNT_CAP).count()
+        n_lists = max(1, min(_NL_MAX, math.ceil(math.sqrt(n))))
+    cents = (
+        base.orderBy(F.asc("id"))
+        .limit(n_lists)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
+    )
+    assigned = _ivf_nearest_cell(base, cents, exact=True)
+    # widen float32 elements to double BEFORE any decimal cast or
+    # product — float→decimal goes through the float's short string
+    # repr and float×float stays single-precision, both of which
+    # diverge from the oracle's CAST(… AS DOUBLE) arithmetic
+    ex = assigned.select(
+        "id", "cell", F.posexplode("v").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cs = ex.groupBy("cell", "pos").agg(
+        F.sum(F.col("val").cast("decimal(30,6)")).cast("double").alias("s")
+    )
+    cn2 = cs.groupBy("cell").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sn2")
+    )
+    vn2 = ex.groupBy("id").agg(
+        F.sum((F.col("val") * F.col("val")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("vn2")
+    )
+    dots = (
+        ex.join(F.broadcast(cs), ["cell", "pos"])
+        .groupBy("id", "cell")
+        .agg(
+            F.sum((F.col("val") * F.col("s")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    score = F.when(
+        (F.col("vn2") > 0) & (F.col("sn2") > 0),
+        F.col("dot") / (F.sqrt("vn2") * F.sqrt("sn2")),
+    )
+    scored = (
+        dots.join(vn2, "id")
+        .join(F.broadcast(cn2), "cell")
+        .select("id", "cell", score.alias("proto_cos"))
+    )
+    from fractions import Fraction
+
+    fr = Fraction(keep_frac).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+    w = Window.partitionBy("cell").orderBy(
+        F.coalesce(F.col("proto_cos"), F.lit(-2.0)).asc(), F.col("id").asc()
+    )
+    wn = Window.partitionBy("cell")
+    return (
+        scored.withColumn(
+            "cell_rank", F.row_number().over(w).cast("bigint")
+        )
+        .withColumn("n_in_cell", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .withColumn(
+            "keep",
+            F.col("cell_rank") * F.lit(den) <= F.lit(num) * F.col("n_in_cell"),
+        )
+        .select("id", "cell", "proto_cos", "cell_rank", "n_in_cell", "keep")
+    )

@@ -2270,3 +2270,56 @@ def q170_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = T.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     out = D.decontaminate(split, "doc_id", "text", max_rate=0.2)
     return out.withColumnRenamed("doc", "doc_id")
+
+
+@query(
+    "q171_prototypicality_prune",
+    f"""
+    WITH {_SQL_SEMANTIC_ASSIGN},
+    ex AS (SELECT a.vec_id, a.cell, dims.i,
+                  CAST(e.embedding[i] AS DOUBLE) AS val
+           FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+           CROSS JOIN dims),
+    cs AS (SELECT cell, i,
+                  CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) AS s
+           FROM ex GROUP BY cell, i),
+    cn2 AS (SELECT cell,
+                   CAST(SUM(CAST(s * s AS DECIMAL(30,12))) AS DOUBLE) AS sn2
+            FROM cs GROUP BY cell),
+    dots AS (SELECT ex.vec_id, ex.cell,
+                    CAST(SUM(CAST(ex.val * cs.s AS DECIMAL(30,12))) AS DOUBLE)
+                        AS dot
+             FROM ex JOIN cs ON cs.cell = ex.cell AND cs.i = ex.i
+             GROUP BY ex.vec_id, ex.cell),
+    sc AS (SELECT d.vec_id, d.cell,
+                  CASE WHEN v.n2 > 0 AND c.sn2 > 0
+                       THEN d.dot / (SQRT(v.n2) * SQRT(c.sn2))
+                  END AS proto_cos
+           FROM dots d JOIN vn v ON v.vec_id = d.vec_id
+           JOIN cn2 c ON c.cell = d.cell),
+    r AS (SELECT vec_id, cell, proto_cos,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                     ORDER BY COALESCE(proto_cos, -2), vec_id) AS cell_rank,
+                 COUNT(*) OVER (PARTITION BY cell) AS n_in_cell
+          FROM sc)
+    SELECT vec_id, cell, proto_cos,
+           CAST(cell_rank AS BIGINT) AS cell_rank,
+           CAST(n_in_cell AS BIGINT) AS n_in_cell,
+           cell_rank * 2 <= n_in_cell AS keep
+    FROM r
+    """,
+)
+def q171_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes data pruning
+    (operators/similarity.prototypicality_prune): every embedding
+    scored by cosine to its ⌈√N⌉-IVF-cell centroid and the LEAST
+    prototypical half kept per cell — prototypical/redundant examples
+    teach little at scale; the hard tail carries the signal. The
+    centroid is the per-dim decimal sum (cosine is scale-invariant,
+    so the un-divided sum scores identically to the mean with no
+    division rounding), products route through decimal, and the keep
+    verdict compares integers — score, rank, and verdict all
+    oracle-exact."""
+    e = t(spark, sf_dir, "embeddings")
+    out = S.prototypicality_prune(e, "vec_id", "embedding", keep_frac=0.5)
+    return out.withColumnRenamed("id", "vec_id")

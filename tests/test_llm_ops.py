@@ -2105,3 +2105,42 @@ def test_decontaminate_boundary_and_short_docs(spark):
     assert out[2]["keep"] is False
     assert out[3]["n_shingles"] == 0 and out[3]["contamination_rate"] is None
     assert out[3]["keep"] is True
+
+
+def test_prototypicality_prune_keeps_hard_tail(spark):
+    # centroid seeds are the two LOWEST ids: cell 0 ~ [1,0] with three
+    # prototypical members plus one rotated outlier; keep_frac=0.5 of
+    # 4 -> 2 kept, outlier ranked least prototypical
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.01]),
+        (3, [1.0, -0.01]),
+        (5, [0.6, 0.4]),    # the hard example of cell 0
+        (4, [0.01, 1.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: r
+        for r in S.prototypicality_prune(
+            e, "vec_id", "embedding", n_lists=2, keep_frac=0.5
+        ).collect()
+    }
+    cell0 = [r for r in out.values() if r["cell"] == 0]
+    assert len(cell0) == 4
+    # the outlier ranks least prototypical and is kept
+    assert out[5]["cell_rank"] == 1 and out[5]["keep"] is True
+    assert sum(r["keep"] for r in cell0) == 2
+    # the most prototypical member is dropped
+    worst = max(cell0, key=lambda r: r["proto_cos"])
+    assert worst["keep"] is False
+    # deterministic under another partitioning
+    again = {
+        r["id"]: r
+        for r in S.prototypicality_prune(
+            e.repartition(5), "vec_id", "embedding", n_lists=2, keep_frac=0.5
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
