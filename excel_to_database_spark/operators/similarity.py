@@ -2418,10 +2418,14 @@ def prototypicality_prune(
     # widen float32 elements to double BEFORE any decimal cast or
     # product — float→decimal goes through the float's short string
     # repr and float×float stays single-precision, both of which
-    # diverge from the oracle's CAST(… AS DOUBLE) arithmetic
-    ex = assigned.select(
-        "id", "cell", F.posexplode("v").alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double"))
+    # diverge from the oracle's CAST(… AS DOUBLE) arithmetic.
+    # Pinned: three consumers (centroid sums, |v|², dots) would each
+    # re-run the assignment sieve otherwise.
+    ex = pin(
+        assigned.select(
+            "id", "cell", F.posexplode("v").alias("pos", "val")
+        ).withColumn("val", F.col("val").cast("double"))
+    )
     cs = ex.groupBy("cell", "pos").agg(
         F.sum(F.col("val").cast("decimal(30,6)")).cast("double").alias("s")
     )

@@ -859,9 +859,16 @@ def quality_rank_buckets(
     n_in_group BIGINT, bucket INT). Scores must be non-null."""
     from pyspark.sql.window import Window
 
+    from excel_to_database_spark.operators.caching import pin
+
     s = F.col(score_col)
-    base = scored.withColumn(
-        "_qb", F.floor(s * F.lit(float(bins))).cast("bigint")
+    # pinned: the histogram, the per-group totals, and the final rank
+    # join all consume this frame — an expensive upstream score
+    # pipeline (e.g. the q167 corpus LM) would re-run per consumer
+    base = pin(
+        scored.withColumn(
+            "_qb", F.floor(s * F.lit(float(bins))).cast("bigint")
+        )
     )
     hist = base.groupBy(group_col, "_qb").agg(F.count(F.lit(1)).alias("_c"))
     wg = Window.partitionBy(group_col).orderBy(F.col("_qb").desc())
