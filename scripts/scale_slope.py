@@ -57,6 +57,10 @@ SLOPE_QUERIES = [
     # round-7: corpus-trained bigram LM — two hash aggregates + one
     # type-level join; its slope certifies the LM stays agg-shaped
     "q159_bigram_lm_fluency",
+    # round-10: SSL-prototypes pruning — its slope certifies the
+    # posexplode centroid aggregation and the per-cell rank window
+    # stay bounded as cells grow √N-style with the corpus
+    "q171_prototypicality_prune",
 ]
 
 
