@@ -110,6 +110,9 @@ HEADLINE = [
     # round-10 addition: SSL-prototypes pruning (per-cell centroid
     # cosine, hard-tail retention)
     "q171_prototypicality_prune",
+    # round-10 addition: snapshot drift monitoring (integer-exact TV
+    # distance over hashed-unigram buckets)
+    "q172_corpus_drift",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

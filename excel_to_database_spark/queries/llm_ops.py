@@ -2323,3 +2323,69 @@ def q171_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     out = S.prototypicality_prune(e, "vec_id", "embedding", keep_frac=0.5)
     return out.withColumnRenamed("id", "vec_id")
+
+
+@query(
+    "q172_corpus_drift",
+    """
+    WITH tk0 AS (SELECT source,
+                        CASE WHEN strpos('0123456789abcdef',
+                                 substring(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 8
+                             THEN 'old' ELSE 'new' END AS snap,
+                        UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                 FROM documents),
+    tk AS (SELECT source, snap,
+                  (strpos('0123456789abcdef', substring(md5(w), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(md5(w), 4, 1)) - 1) AS b
+           FROM tk0 WHERE w <> ''),
+    per AS (SELECT source, b,
+                   COUNT(*) FILTER (WHERE snap = 'old') AS c_old,
+                   COUNT(*) FILTER (WHERE snap = 'new') AS c_new
+            FROM tk GROUP BY source, b),
+    tot AS (SELECT source, SUM(c_old) AS n_old, SUM(c_new) AS n_new
+            FROM per GROUP BY source),
+    agg AS (SELECT p.source,
+                   SUM(ABS(CAST(p.c_old AS HUGEINT) * t.n_new
+                           - CAST(p.c_new AS HUGEINT) * t.n_old)) AS num
+            FROM per p JOIN tot t USING (source) GROUP BY p.source)
+    SELECT a.source,
+           CAST(t.n_old AS BIGINT) AS n_old,
+           CAST(t.n_new AS BIGINT) AS n_new,
+           CAST(a.num AS DOUBLE)
+               / (CAST(t.n_old AS DOUBLE) * CAST(t.n_new AS DOUBLE)
+                  * CAST(2 AS DOUBLE)) AS tv_distance,
+           a.num * 10 >= CAST(t.n_old AS HUGEINT) * t.n_new * 2 AS drifted
+    FROM agg a JOIN tot t USING (source)
+    """,
+)
+def q172_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitoring (operators/text.corpus_drift): total
+    variation distance between two snapshots' hashed-unigram
+    distributions per source — the check a continuously-refreshed
+    pretraining mixture runs before a new crawl joins it. Snapshots
+    here are deterministic md5 halves of the corpus (stable
+    stand-ins for crawl N / crawl N+1); the distance is an
+    integer-exact bucket sum with ONE final double division, and the
+    drift verdict compares big integers, so both are value-exact
+    against the oracle."""
+    d = t(spark, sf_dir, "documents")
+    snap = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("snap:"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < 8,
+        "old",
+    ).otherwise("new")
+    return T.corpus_drift(
+        d.withColumn("snap", snap),
+        "text",
+        "snap",
+        group_col="source",
+        threshold=0.1,
+    )

@@ -2144,3 +2144,26 @@ def test_prototypicality_prune_keeps_hard_tail(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_corpus_drift_exact_tv_and_verdict(spark):
+    # g1: old = {alpha:2, beta:1}, new = {alpha:1, beta:3}
+    #   num = |2*4-1*3| + |1*4-3*3| = 10; TV = 10/(3*4*2) = 5/12
+    # g2: identical distributions -> TV 0, not drifted
+    rows = [
+        ("g1", "old", "alpha alpha beta"),
+        ("g1", "new", "alpha beta beta beta"),
+        ("g2", "old", "gamma delta"),
+        ("g2", "new", "gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "source string, snap string, text string")
+    out = {
+        r["source"]: r
+        for r in T.corpus_drift(
+            df, "text", "snap", group_col="source", threshold=0.1
+        ).collect()
+    }
+    assert out["g1"]["n_old"] == 3 and out["g1"]["n_new"] == 4
+    assert out["g1"]["tv_distance"] == 10 / 24
+    assert out["g1"]["drifted"] is True
+    assert out["g2"]["tv_distance"] == 0.0 and out["g2"]["drifted"] is False
