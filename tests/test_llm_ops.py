@@ -2167,3 +2167,107 @@ def test_corpus_drift_exact_tv_and_verdict(spark):
     assert out["g1"]["tv_distance"] == 10 / 24
     assert out["g1"]["drifted"] is True
     assert out["g2"]["tv_distance"] == 0.0 and out["g2"]["drifted"] is False
+
+
+def test_quality_rank_buckets_matches_naive_randomized(spark):
+    """Pin the bin-histogram distributed rank against a naive
+    per-group sort over random data drawn from a SMALL discrete score
+    set — ties across and within groups are the risky structure (the
+    intra-bin tiebreak and the bin-boundary offsets must compose to
+    exactly the naive (score DESC, id ASC) order). Exact-set
+    equality at two bin counts, including a bins value small enough
+    that many distinct scores share a bin."""
+    import random
+
+    rng = random.Random(20260815)
+    rows = [
+        (rng.choice(["g1", "g2", "g3"]), i,
+         rng.choice([0.1, 0.25, 0.25000001, 0.5, 0.75, 0.9]))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "grp string, doc long, score double")
+    naive = {}
+    for g in ("g1", "g2", "g3"):
+        members = sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (-r[2], r[1])
+        )
+        n = len(members)
+        for rank, (_, doc, score) in enumerate(members, 1):
+            naive[doc] = (g, score, rank, n, 1 + (4 * (rank - 1)) // n)
+    for bins in (8, 1 << 20):
+        got = {
+            r["doc"]: (r["grp"], r["score"], r["rank_in_group"],
+                       r["n_in_group"], r["bucket"])
+            for r in T.quality_rank_buckets(
+                df, "grp", "score", "doc", n_buckets=4, bins=bins
+            ).collect()
+        }
+        assert got == naive, f"bins={bins}"
+
+
+def test_corpus_drift_matches_hand_computation_randomized(spark):
+    """Pin corpus_drift's integer-exact TV against a from-scratch
+    Python computation (same md5 buckets, same big-int sum, same
+    IEEE division order) over random word streams — including the
+    verdict at a threshold the random data straddles."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    streams = {}
+    for g in ("s1", "s2"):
+        for snap in ("old", "new"):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(30, 80))]
+            streams[(g, snap)] = toks
+            rows.append((g, snap, " ".join(toks)))
+    df = spark.createDataFrame(rows, "source string, snap string, text string")
+    out = {
+        r["source"]: r
+        for r in T.corpus_drift(
+            df, "text", "snap", group_col="source", threshold=0.05
+        ).collect()
+    }
+    for g in ("s1", "s2"):
+        def counts(snap):
+            c = {}
+            for w in streams[(g, snap)]:
+                b = int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 256
+                c[b] = c.get(b, 0) + 1
+            return c
+        co, cn = counts("old"), counts("new")
+        C, D = sum(co.values()), sum(cn.values())
+        num = sum(
+            abs(co.get(b, 0) * D - cn.get(b, 0) * C)
+            for b in set(co) | set(cn)
+        )
+        assert out[g]["n_old"] == C and out[g]["n_new"] == D
+        assert out[g]["tv_distance"] == num / (float(C) * float(D) * 2.0)
+        assert out[g]["drifted"] == (num * 20 >= 2 * C * D)
+
+
+def test_soft_dedup_weights_cluster_invariants_randomized(spark):
+    """Random pair graphs: every cluster's weights sum to exactly 1
+    (each duplicate cluster contributes one document's worth of
+    sampling mass) and eff_tokens is n_tokens/size per member."""
+    import random
+
+    rng = random.Random(20260815)
+    docs = spark.createDataFrame(
+        [(i, 10 + i) for i in range(40)], "doc_id long, n_tokens long"
+    )
+    pairs = list({
+        tuple(sorted(rng.sample(range(40), 2))) for _ in range(25)
+    })
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    rows = D.soft_dedup_weights(docs, pdf, "doc_id", "n_tokens").collect()
+    assert len(rows) == 40
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        assert len(members) == members[0]["cluster_size"]
+        assert abs(sum(m["weight"] for m in members) - 1.0) < 1e-9
+        for m in members:
+            assert m["eff_tokens"] == m["n_tokens"] / m["cluster_size"]
