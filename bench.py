@@ -113,6 +113,9 @@ HEADLINE = [
     # round-10 addition: snapshot drift monitoring (integer-exact TV
     # distance over hashed-unigram buckets)
     "q172_corpus_drift",
+    # round-10 addition: corpus overlap matrix (exact pairwise shingle
+    # Jaccard + MinHash union-sketch estimate)
+    "q173_source_overlap",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

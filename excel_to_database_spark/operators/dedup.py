@@ -1544,3 +1544,92 @@ def decontaminate(
         ),
         (n_ct * F.lit(den) <= F.lit(num) * n_sh).alias("keep"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Corpus overlap matrix: for every pair of GROUPS (sources,
+    snapshots, whole corpora) the exact Jaccard of their distinct word
+    n-gram shingle sets, next to the MinHash UNION-sketch estimate —
+    'how much does crawl X overlap wiki?', the corpus-comparison
+    question asked before adding a source to a mixture. The union
+    sketch is the point at scale: each group's signature is the
+    per-member MIN over ALL its shingles (set-union semantics — the
+    same ``minhash_signatures`` family as document LSH, fed group
+    rows), so two corpora compare through 2·num_hashes hex strings
+    instead of their shingle sets, and signatures of disjoint corpus
+    shards union by taking mins again.
+
+    Returns (grp_a, grp_b, n_a, n_b, n_common, jaccard,
+    est_jaccard) for grp_a < grp_b. Exact side: deduplicated
+    (group, shingle) inverted-index join — pair volume is bounded by
+    shared shingle types × groups-per-shingle, never |corpus|². Both
+    emitted doubles are single IEEE divisions of exact integers, and
+    the sketch itself is deterministic (md5 rotations), so even the
+    ESTIMATE is value-exact against the SQL oracle."""
+    src = docs.select(
+        F.col(id_col).alias("doc"), F.col(group_col).alias("grp")
+    )
+    gs = pin(
+        shingles(docs, id_col, text_col, n)
+        .join(src, "doc")
+        .select("grp", "shingle")
+        .distinct()
+    )
+    sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = gs.select(F.col("grp").alias("grp_a"), "shingle")
+    b = gs.select(F.col("grp").alias("grp_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sig = minhash_signatures(
+        gs.select(F.col("grp").alias("doc"), "shingle"), num_hashes
+    )
+    siga = sig.select(
+        F.col("doc").alias("grp_a"),
+        *[F.col(f"h{i}").alias(f"_ha{i}") for i in range(num_hashes)],
+    )
+    sigb = sig.select(
+        F.col("doc").alias("grp_b"),
+        *[F.col(f"h{i}").alias(f"_hb{i}") for i in range(num_hashes)],
+    )
+    pairs = (
+        sizes.select(F.col("grp").alias("grp_a"), F.col("n_sh").alias("n_a"))
+        .crossJoin(
+            sizes.select(
+                F.col("grp").alias("grp_b"), F.col("n_sh").alias("n_b")
+            )
+        )
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    matches = sum(
+        (F.col(f"_ha{i}") == F.col(f"_hb{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    out = (
+        pairs.join(common, ["grp_a", "grp_b"], "left")
+        .join(F.broadcast(siga), "grp_a")
+        .join(F.broadcast(sigb), "grp_b")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("bigint"))
+    )
+    return out.select(
+        "grp_a",
+        "grp_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("jaccard"),
+        (matches.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+    )

@@ -2389,3 +2389,46 @@ def q172_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="source",
         threshold=0.1,
     )
+
+
+@query(
+    "q173_source_overlap",
+    f"""
+    WITH {_SQL_SHINGLES},
+    gsh AS (SELECT DISTINCT d.source AS grp, sh.shingle
+            FROM sh JOIN documents d ON d.doc_id = sh.doc),
+    sizes AS (SELECT grp, COUNT(*) AS n FROM gsh GROUP BY grp),
+    common AS (SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS c
+               FROM gsh a JOIN gsh b
+                 ON a.shingle = b.shingle AND a.grp < b.grp
+               GROUP BY a.grp, b.grp),
+    sigsrc AS (SELECT grp AS doc, md5(shingle) AS h FROM gsh),
+    sig AS (SELECT doc, {_sql_rot_mins(16)} FROM sigsrc GROUP BY doc),
+    pairs AS (SELECT sa.grp AS grp_a, sb.grp AS grp_b,
+                     sa.n AS n_a, sb.n AS n_b
+              FROM sizes sa JOIN sizes sb ON sa.grp < sb.grp)
+    SELECT p.grp_a, p.grp_b,
+           CAST(p.n_a AS BIGINT) AS n_a,
+           CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(c.c, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(c.c, 0) AS DOUBLE)
+               / (p.n_a + p.n_b - COALESCE(c.c, 0)) AS jaccard,
+           CAST({" + ".join(f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END"
+                            for i in range(16))} AS DOUBLE) / 16
+               AS est_jaccard
+    FROM pairs p
+    LEFT JOIN common c ON c.grp_a = p.grp_a AND c.grp_b = p.grp_b
+    JOIN sig x ON x.doc = p.grp_a
+    JOIN sig y ON y.doc = p.grp_b
+    """,
+)
+def q173_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus overlap matrix (operators/dedup.source_overlap): exact
+    pairwise shingle-set Jaccard between sources next to the MinHash
+    UNION-sketch estimate — the corpus-comparison run before a new
+    source joins a training mixture. The sketch compares whole corpora
+    through 16 hex strings (min-wise union semantics, shard-mergeable
+    by taking mins again); both the exact ratio and the deterministic
+    estimate are value-exact against the oracle."""
+    d = t(spark, sf_dir, "documents")
+    return D.source_overlap(d, "doc_id", "text", "source")

@@ -2271,3 +2271,24 @@ def test_soft_dedup_weights_cluster_invariants_randomized(spark):
         assert abs(sum(m["weight"] for m in members) - 1.0) < 1e-9
         for m in members:
             assert m["eff_tokens"] == m["n_tokens"] / m["cluster_size"]
+
+
+def test_source_overlap_exact_and_sketch(spark):
+    # g1 and g2 share their text exactly -> jaccard 1.0 AND the union
+    # sketch is identical (est 1.0); g3 is disjoint -> jaccard 0.0
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "g1"),
+        (2, "alpha beta gamma delta epsilon", "g2"),
+        (3, "one two three four five six", "g3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in D.source_overlap(df, "doc_id", "text", "source").collect()
+    }
+    assert set(out) == {("g1", "g2"), ("g1", "g3"), ("g2", "g3")}
+    r12 = out[("g1", "g2")]
+    assert r12["n_a"] == 3 and r12["n_b"] == 3 and r12["n_common"] == 3
+    assert r12["jaccard"] == 1.0 and r12["est_jaccard"] == 1.0
+    assert out[("g1", "g3")]["jaccard"] == 0.0
+    assert out[("g1", "g3")]["n_common"] == 0
