@@ -116,6 +116,9 @@ HEADLINE = [
     # round-10 addition: corpus overlap matrix (exact pairwise shingle
     # Jaccard + MinHash union-sketch estimate)
     "q173_source_overlap",
+    # round-10 addition: warehouse numeric-column drift (bucket_drift
+    # core on quantized o_totalprice)
+    "q174_numeric_drift",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

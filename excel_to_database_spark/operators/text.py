@@ -933,8 +933,6 @@ def corpus_drift(
     — map-side combinable, ≤ groups×buckets rows; totals and the
     distance are aggregations OVER that table, so raw text is scanned
     once and nothing bigger than the bucket table ever shuffles."""
-    from fractions import Fraction
-
     g = [group_col] if group_col else []
     toks = (
         spread(df)
@@ -953,9 +951,34 @@ def corpus_drift(
             ).alias("b"),
         )
     )
-    per = toks.groupBy(*g, "b").agg(
-        F.count_if(F.col("_snap") == old).alias("c_old"),
-        F.count_if(F.col("_snap") == new).alias("c_new"),
+    return bucket_drift(
+        toks, "b", "_snap", old, new, group_col=group_col, threshold=threshold
+    )
+
+
+def bucket_drift(
+    df,
+    bucket_col: str,
+    snapshot_col: str,
+    old: str = "old",
+    new: str = "new",
+    group_col: str | None = None,
+    threshold: float = 0.1,
+):
+    """The TV-distance core of :func:`corpus_drift` over an ALREADY
+    bucketed observation frame — one row per observation with its
+    bucket value, snapshot tag, and optional group. Feed it hashed
+    unigrams (text drift), quantized numeric columns (warehouse
+    column drift), category codes, or any other discrete feature; the
+    integer-exact distance, the big-int-compared verdict, and the
+    (group × buckets)-bounded shuffle shape are shared. Returns
+    (group?, n_old, n_new, tv_distance, drifted)."""
+    from fractions import Fraction
+
+    g = [group_col] if group_col else []
+    per = df.groupBy(*g, bucket_col).agg(
+        F.count_if(F.col(snapshot_col) == old).alias("c_old"),
+        F.count_if(F.col(snapshot_col) == new).alias("c_new"),
     )
     tot = per.groupBy(*g).agg(
         F.sum("c_old").cast("bigint").alias("n_old"),

@@ -2432,3 +2432,73 @@ def q173_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate are value-exact against the oracle."""
     d = t(spark, sf_dir, "documents")
     return D.source_overlap(d, "doc_id", "text", "source")
+
+
+@query(
+    "q174_numeric_drift",
+    """
+    WITH obs AS (SELECT o_orderpriority AS grp,
+                        CASE WHEN strpos('0123456789abcdef',
+                                 substring(md5('snap:' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 < 8
+                             THEN 'old' ELSE 'new' END AS snap,
+                        CAST(FLOOR(o_totalprice / CAST(10000 AS DOUBLE)) AS BIGINT) AS b
+                 FROM orders),
+    per AS (SELECT grp, b,
+                   COUNT(*) FILTER (WHERE snap = 'old') AS c_old,
+                   COUNT(*) FILTER (WHERE snap = 'new') AS c_new
+            FROM obs GROUP BY grp, b),
+    tot AS (SELECT grp, SUM(c_old) AS n_old, SUM(c_new) AS n_new
+            FROM per GROUP BY grp),
+    agg AS (SELECT p.grp,
+                   SUM(ABS(CAST(p.c_old AS HUGEINT) * t.n_new
+                           - CAST(p.c_new AS HUGEINT) * t.n_old)) AS num
+            FROM per p JOIN tot t USING (grp) GROUP BY p.grp)
+    SELECT a.grp AS o_orderpriority,
+           CAST(t.n_old AS BIGINT) AS n_old,
+           CAST(t.n_new AS BIGINT) AS n_new,
+           CAST(a.num AS DOUBLE)
+               / (CAST(t.n_old AS DOUBLE) * CAST(t.n_new AS DOUBLE)
+                  * CAST(2 AS DOUBLE)) AS tv_distance,
+           a.num * 20 >= CAST(t.n_old AS HUGEINT) * t.n_new * 2 AS drifted
+    FROM agg a JOIN tot t USING (grp)
+    """,
+)
+def q174_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse column drift (operators/text.bucket_drift, the
+    corpus_drift TV core on a quantized NUMERIC column): per-priority
+    total-variation distance of the order-price distribution between
+    two deterministic snapshot halves — the schema-free data-quality
+    check a warehouse sync runs between loads. Same integer-exact
+    distance and big-int verdict as q172; the only new surface is the
+    bucket function (floor(price/10000), one deterministic IEEE
+    division + floor in both engines)."""
+    o = t(spark, sf_dir, "orders")
+    obs = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("snap:"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < 8,
+            "old",
+        )
+        .otherwise("new")
+        .alias("snap"),
+        F.floor(F.col("o_totalprice") / F.lit(10000.0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    out = T.bucket_drift(
+        obs, "b", "snap", group_col="grp", threshold=0.05
+    )
+    return out.withColumnRenamed("grp", "o_orderpriority")
