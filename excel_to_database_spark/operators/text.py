@@ -973,13 +973,28 @@ def bucket_drift(
     integer-exact distance, the big-int-compared verdict, and the
     (group × buckets)-bounded shuffle shape are shared. Returns
     (group?, n_old, n_new, tv_distance, drifted)."""
-    from fractions import Fraction
-
     g = [group_col] if group_col else []
     per = df.groupBy(*g, bucket_col).agg(
         F.count_if(F.col(snapshot_col) == old).alias("c_old"),
         F.count_if(F.col(snapshot_col) == new).alias("c_new"),
     )
+    return tv_from_counts(per, group_col=group_col, threshold=threshold)
+
+
+def tv_from_counts(
+    per,
+    group_col: str | None = None,
+    threshold: float = 0.1,
+):
+    """The distance/verdict tail of :func:`bucket_drift` over an
+    ALREADY-COUNTED frame — one row per (group?, bucket) with
+    ``c_old`` / ``c_new`` counts. Separated so pre-aggregated count
+    tables (a persisted baseline asset, a streaming micro-batch's
+    counts joined against it) reuse the exact same integer arithmetic
+    as the raw-observation path."""
+    from fractions import Fraction
+
+    g = [group_col] if group_col else []
     tot = per.groupBy(*g).agg(
         F.sum("c_old").cast("bigint").alias("n_old"),
         F.sum("c_new").cast("bigint").alias("n_new"),

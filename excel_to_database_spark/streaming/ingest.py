@@ -212,7 +212,17 @@ def _write_batch_keyed(spark, out: DataFrame, out_table: str) -> None:
     """Exactly-once foreachBatch sink: ``out`` must carry a
     ``__batch_id`` column; that partition is dynamically overwritten,
     so a re-delivered micro-batch replaces its own rows instead of
-    appending duplicates."""
+    appending duplicates.
+
+    The overwrite-mode conf is set on ``out``'s OWN session, not the
+    caller's: a foreachBatch plan whose left/root frame is a
+    batch-exterior asset (a persisted baseline, a loaded index) is
+    rooted in the MAIN session while ``batch_df.sparkSession`` is the
+    micro-batch CLONE — setting 'dynamic' on the clone would leave the
+    write executing under the main session's default 'static' and
+    silently wipe every earlier batch's partition (observed with
+    stream_bucket_drift's baseline-rooted join)."""
+    spark = out.sparkSession
     if spark.catalog.tableExists(out_table):
         cols = [f.name for f in spark.table(out_table).schema.fields]
         conf_key = "spark.sql.sources.partitionOverwriteMode"
@@ -571,6 +581,71 @@ def stream_ann_pq_probe(
 
     return (
         new_vecs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_bucket_drift(
+    obs: DataFrame,
+    baseline: DataFrame,
+    out_table: str,
+    bucket_col: str = "b",
+    group_col: str | None = None,
+    threshold: float = 0.1,
+    checkpoint: str = "/tmp/etds_drift_ckpt",
+):
+    """Continuous drift monitoring: every micro-batch's bucket
+    distribution compares against a PERSISTED baseline counts table
+    and appends one (``__batch_id``, group?, n_old, n_new,
+    tv_distance, drifted) row per group — the alert feed a
+    continuously-ingesting pipeline watches to catch a crawl or
+    upstream schema change SHIFTING the data before it contaminates
+    the mixture.
+
+    ``obs`` is the streaming frame carrying ``bucket_col`` (and
+    ``group_col``) per observation — bucketing is done upstream with
+    the same expressions as the batch path (hashed unigrams, quantized
+    numerics). ``baseline`` is the asset: a bounded
+    (group?, bucket, c_old) counts table built by the batch pipeline
+    (``bucket_drift``'s input aggregation), loaded once and reused
+    every batch. Same state story as ``stream_ann_probe``: the stream
+    keeps NO Spark state — the baseline table IS the state; per-batch
+    cost is one |batch| aggregation plus a join bounded by
+    groups×buckets. The distance/verdict math is literally
+    ``text.tv_from_counts`` — integer-exact, identical to the batch
+    q172/q174 path. Exactly-once via the batch-id-keyed sink."""
+    from excel_to_database_spark.operators.text import tv_from_counts
+
+    g = [group_col] if group_col else []
+    base = baseline.select(
+        *g, F.col(bucket_col), F.col("c_old").cast("bigint").alias("c_old")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bc = batch_df.groupBy(*g, bucket_col).agg(
+            F.count(F.lit(1)).alias("c_new")
+        )
+        per = (
+            base.join(bc, [*g, bucket_col], "full")
+            .withColumn("c_old", F.coalesce("c_old", F.lit(0)))
+            .withColumn("c_new", F.coalesce("c_new", F.lit(0)))
+        )
+        out = (
+            tv_from_counts(per, group_col=group_col, threshold=threshold)
+            # a group absent from one side has no distribution to
+            # compare (0/0): report only groups both sides observed —
+            # a brand-new group is its own alert, not a TV number
+            .filter((F.col("n_old") > 0) & (F.col("n_new") > 0))
+            .withColumn("__batch_id", F.lit(batch_id))
+        )
+        _write_batch_keyed(batch_df.sparkSession, out, out_table)
+
+    return (
+        obs.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -1158,3 +1158,85 @@ def test_event_time_fallback_boundary_strict(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.table("t_fb_boundary").collect() == []
     spark.sql("DROP TABLE IF EXISTS t_fb_boundary")
+
+
+def test_stream_bucket_drift_matches_batch(spark, sf_dir, tmp_path):
+    """Per-micro-batch drift vs a persisted baseline must equal the
+    batch tv_from_counts over the same (baseline, batch-slice) count
+    pairs — two triggers, each checked independently; groups absent
+    from a slice are skipped, not flagged."""
+    from excel_to_database_spark.operators.text import tv_from_counts
+    from excel_to_database_spark.streaming.ingest import stream_bucket_drift
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        if False
+        else spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+    obs = ev.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") / F.lit(10000.0))
+        .cast("bigint")
+        .alias("b"),
+        F.col("o_orderkey"),
+    )
+    base_slice = obs.filter(F.col("o_orderkey") % 3 == 0)
+    stream_slice = obs.filter(F.col("o_orderkey") % 3 != 0)
+    baseline = base_slice.groupBy("grp", "b").agg(
+        F.count(F.lit(1)).alias("c_old")
+    )
+
+    src = tmp_path / "obs"
+    half = F.col("o_orderkey") % 2 == 0
+    stream_slice.filter(half).coalesce(1).write.parquet(str(src / "a"))
+    stream_slice.filter(~half).coalesce(1).write.parquet(str(src / "b"))
+
+    def expect_for(sl):
+        bc = sl.groupBy("grp", "b").agg(F.count(F.lit(1)).alias("c_new"))
+        per = (
+            baseline.join(bc, ["grp", "b"], "full")
+            .withColumn("c_old", F.coalesce("c_old", F.lit(0)))
+            .withColumn("c_new", F.coalesce("c_new", F.lit(0)))
+        )
+        return {
+            r["grp"]: (r["n_old"], r["n_new"], r["tv_distance"], r["drifted"])
+            for r in tv_from_counts(per, group_col="grp", threshold=0.05)
+            .filter((F.col("n_old") > 0) & (F.col("n_new") > 0))
+            .collect()
+        }
+
+    spark.sql("DROP TABLE IF EXISTS t_stream_drift")
+    stream = (
+        spark.readStream.schema(stream_slice.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = stream_bucket_drift(
+        stream,
+        baseline,
+        "t_stream_drift",
+        bucket_col="b",
+        group_col="grp",
+        threshold=0.05,
+        checkpoint=str(tmp_path / "ckpt_drift"),
+    )
+    q.awaitTermination()
+    rows = spark.table("t_stream_drift").collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["__batch_id"], {})[r["grp"]] = (
+            r["n_old"], r["n_new"], r["tv_distance"], r["drifted"]
+        )
+    assert len(by_batch) == 2
+    slices = {True: expect_for(stream_slice.filter(half)),
+              False: expect_for(stream_slice.filter(~half))}
+    # batch order = file order (one file per trigger); match each
+    # emitted batch to whichever slice it equals, both must be hit
+    matched = set()
+    for _, got in by_batch.items():
+        hit = [k for k, want in slices.items() if want == got]
+        assert hit, f"no slice matches {got}"
+        matched.add(hit[0])
+    assert matched == {True, False}
+    spark.sql("DROP TABLE IF EXISTS t_stream_drift")
