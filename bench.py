@@ -119,6 +119,9 @@ HEADLINE = [
     # round-10 addition: warehouse numeric-column drift (bucket_drift
     # core on quantized o_totalprice)
     "q174_numeric_drift",
+    # round-10 addition: per-micro-batch drift vs a persisted baseline
+    # (stream ≡ batch ≡ oracle)
+    "q175_stream_drift_monitor",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

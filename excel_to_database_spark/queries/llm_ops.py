@@ -2502,3 +2502,107 @@ def q174_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs, "b", "snap", group_col="grp", threshold=0.05
     )
     return out.withColumnRenamed("grp", "o_orderpriority")
+
+
+@query(
+    "q175_stream_drift_monitor",
+    """
+    WITH obs AS (SELECT o_orderpriority AS grp,
+                        CAST(FLOOR(o_totalprice / CAST(10000 AS DOUBLE)) AS BIGINT) AS b,
+                        o_orderkey
+                 FROM orders),
+    base AS (SELECT grp, b, COUNT(*) AS c_old
+             FROM obs WHERE o_orderkey % 3 = 0 GROUP BY grp, b),
+    slice_a AS (SELECT grp, b, COUNT(*) AS c_new FROM obs
+                WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+                GROUP BY grp, b),
+    slice_b AS (SELECT grp, b, COUNT(*) AS c_new FROM obs
+                WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+                GROUP BY grp, b),
+    sides AS (SELECT 'a' AS sl, COALESCE(base.grp, s.grp) AS grp,
+                    COALESCE(base.c_old, 0) AS c_old, COALESCE(s.c_new, 0) AS c_new
+             FROM base FULL JOIN slice_a s ON base.grp = s.grp AND base.b = s.b
+             UNION ALL
+             SELECT 'b', COALESCE(base.grp, s.grp),
+                    COALESCE(base.c_old, 0), COALESCE(s.c_new, 0)
+             FROM base FULL JOIN slice_b s ON base.grp = s.grp AND base.b = s.b),
+    tot AS (SELECT sl, grp, SUM(c_old) AS n_old, SUM(c_new) AS n_new
+            FROM sides GROUP BY sl, grp),
+    agg AS (SELECT b.sl, b.grp,
+                   SUM(ABS(CAST(b.c_old AS HUGEINT) * t.n_new
+                           - CAST(b.c_new AS HUGEINT) * t.n_old)) AS num
+            FROM sides b JOIN tot t ON t.sl = b.sl AND t.grp = b.grp
+            GROUP BY b.sl, b.grp)
+    SELECT a.grp,
+           CAST(t.n_old AS BIGINT) AS n_old,
+           CAST(t.n_new AS BIGINT) AS n_new,
+           CAST(a.num AS DOUBLE)
+               / (CAST(t.n_old AS DOUBLE) * CAST(t.n_new AS DOUBLE)
+                  * CAST(2 AS DOUBLE)) AS tv_distance,
+           a.num * 20 >= CAST(t.n_old AS HUGEINT) * t.n_new * 2 AS drifted
+    FROM agg a JOIN tot t ON t.sl = a.sl AND t.grp = a.grp
+    WHERE t.n_old > 0 AND t.n_new > 0
+    """,
+)
+def q175_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitoring
+    (streaming/ingest.stream_bucket_drift): the q174 numeric-drift
+    check run per MICRO-BATCH against a persisted baseline counts
+    table — two availableNow triggers, one file each, each batch
+    emitting its own per-priority TV row through the exactly-once
+    batch-keyed sink. The result drops the batch id and compares as a
+    multiset, so trigger order is irrelevant and the oracle is the
+    plain batch SQL of both slices — stream ≡ batch ≡ oracle, the
+    q143 discipline applied to the monitoring family."""
+    import shutil
+    import tempfile
+
+    from excel_to_database_spark.streaming.ingest import stream_bucket_drift
+
+    o = t(spark, sf_dir, "orders")
+    obs = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") / F.lit(10000.0))
+        .cast("bigint")
+        .alias("b"),
+        "o_orderkey",
+    )
+    baseline = (
+        obs.filter(F.col("o_orderkey") % 3 == 0)
+        .groupBy("grp", "b")
+        .agg(F.count(F.lit(1)).alias("c_old"))
+    )
+    stream_slice = obs.filter(F.col("o_orderkey") % 3 != 0)
+    tmp = tempfile.mkdtemp(prefix="etds_q175_")
+    table = "q175_stream_drift"
+    try:
+        half = F.col("o_orderkey") % 2 == 0
+        stream_slice.filter(half).coalesce(1).write.parquet(f"{tmp}/obs/a")
+        stream_slice.filter(~half).coalesce(1).write.parquet(f"{tmp}/obs/b")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        stream = (
+            spark.readStream.schema(stream_slice.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{tmp}/obs")
+        )
+        q = stream_bucket_drift(
+            stream,
+            baseline,
+            table,
+            bucket_col="b",
+            group_col="grp",
+            threshold=0.05,
+            checkpoint=f"{tmp}/ckpt",
+        )
+        q.awaitTermination()
+        # materialize BEFORE the temp/table cleanup (the q158 lesson:
+        # a lazy frame must not outlive the storage it reads)
+        return (
+            spark.table(table)
+            .select("grp", "n_old", "n_new", "tv_distance", "drifted")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
