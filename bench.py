@@ -122,6 +122,9 @@ HEADLINE = [
     # round-10 addition: per-micro-batch drift vs a persisted baseline
     # (stream ≡ batch ≡ oracle)
     "q175_stream_drift_monitor",
+    # round-10 addition: snapshot table diff (one full outer join,
+    # added/removed/changed + changed-column list)
+    "q176_table_diff",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -2606,3 +2606,95 @@ def q175_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_DIFF_BYTE = (
+    "(strpos('0123456789abcdef', substring(md5('diff:' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substring(md5('diff:' || CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@query(
+    "q176_table_diff",
+    f"""
+    WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                      {_SQL_DIFF_BYTE} AS byte
+               FROM orders),
+    new AS (SELECT o_orderkey,
+                   CASE WHEN byte >= 13 AND byte < 38 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN byte >= 13 AND byte < 38 THEN o_totalprice + 100.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM b WHERE byte >= 13
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+            FROM b WHERE o_orderkey % 97 = 0),
+    old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    j AS (SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+                 old.o_orderkey IS NOT NULL AS in_old,
+                 new.o_orderkey IS NOT NULL AS in_new,
+                 concat_ws(',',
+                   CASE WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                        THEN 'o_orderstatus' END,
+                   CASE WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                        THEN 'o_totalprice' END) AS cc
+          FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN cc <> '' THEN 'changed' END AS change,
+           CASE WHEN in_old AND in_new THEN cc ELSE '' END AS changed_cols
+    FROM j
+    WHERE (NOT in_old) OR (NOT in_new) OR cc <> ''
+    """,
+)
+def q176_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table diff (sync/merge.table_diff): orders vs a
+    deterministic mutation of itself (md5-selected ~5% removed, ~10%
+    changed in two columns, every 97th key cloned above the key range
+    as an addition) — one full outer join on the key classifying
+    every differing row as added/removed/changed with its name-sorted
+    changed-column list. The between-loads inspection behind every
+    CDC/merge decision; every classification and changed-column
+    string is oracle-exact."""
+    from excel_to_database_spark.sync.merge import table_diff
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    byte = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("diff:"), F.col("o_orderkey").cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    b = o.withColumn("byte", byte)
+    mutated = F.col("byte").between(13, 37)
+    new = (
+        b.filter(F.col("byte") >= 13)
+        .select(
+            "o_orderkey",
+            F.when(mutated, "X").otherwise(F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(mutated, F.col("o_totalprice") + F.lit(100.0))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            b.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return table_diff(
+        o, new, keys=["o_orderkey"], compare=["o_orderstatus", "o_totalprice"]
+    )

@@ -153,3 +153,71 @@ def compact_table(spark: SparkSession, table: str, target_partitions: int) -> No
     that keeps per-scan task counts proportional to data volume rather
     than to ingest history."""
     _rewrite_via_temp(spark, table, spark.table(table).repartition(target_partitions))
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table — the
+    inspection tool behind every CDC/merge decision ('what actually
+    changed between yesterday's load and today's?'): one row per key
+    present in either snapshot whose content differs, with
+    ``change ∈ {added, removed, changed}`` and the (name-sorted,
+    comma-joined) list of changed columns. Unchanged keys are
+    filtered out before anything wide is materialized.
+
+    ``compare`` defaults to the non-key columns present in BOTH
+    snapshots (a column added/dropped from the schema is schema
+    evolution, not row drift — diff it by name, not here). Value
+    comparison is null-safe (NULL↔NULL is unchanged, NULL↔value is a
+    change). Plan: ONE full outer join on the key — shuffle-hash /
+    sort-merge on the key columns at scale, no windows, no second
+    pass; the changed-columns string is a codegen'd concat of CASE
+    marks, so the diff costs exactly one join over the two scans."""
+    compare = compare or sorted(
+        (set(old.columns) & set(new.columns)) - set(keys)
+    )
+    o = old.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ko_{k}") == F.col(f"_kn_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ko_{keys[0]}").isNotNull()
+    in_new = F.col(f"_kn_{keys[0]}").isNotNull()
+    marks = [
+        F.when(
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+        )
+        for c in compare  # `compare` is sorted -> names join in order
+    ]
+    changed_cols = F.concat_ws(",", *marks) if marks else F.lit("")
+    change = (
+        F.when(~in_old, "added")
+        .when(~in_new, "removed")
+        .when(changed_cols != "", "changed")
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k)
+        for k in keys
+    ]
+    return (
+        j.select(
+            *out_keys,
+            change.alias("change"),
+            F.when(in_old & in_new, changed_cols)
+            .otherwise(F.lit(""))
+            .alias("changed_cols"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

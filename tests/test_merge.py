@@ -114,3 +114,31 @@ def test_compact_table(spark):
     assert spark.table("m_compact").count() == 1000
     got = {r["k"] for r in spark.table("m_compact").collect()}
     assert got == set(range(1000))
+
+
+def test_table_diff_classification_and_null_semantics(spark):
+    from excel_to_database_spark.sync.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged -> filtered out
+         (2, "b", None),          # NULL == NULL -> unchanged
+         (3, "zz", 30.0),         # one column changed
+         (5, "e", 50.0)],         # added; 4 removed
+        "k long, s string, v double",
+    )
+    out = {r["k"]: (r["change"], r["changed_cols"])
+           for r in table_diff(old, new, keys=["k"]).collect()}
+    assert out == {
+        3: ("changed", "s"),
+        4: ("removed", ""),
+        5: ("added", ""),
+    }
+    # NULL -> value IS a change, and multiple columns list name-sorted
+    new2 = spark.createDataFrame([(2, "x", 9.0)], "k long, s string, v double")
+    out2 = {r["k"]: (r["change"], r["changed_cols"])
+            for r in table_diff(old.filter("k = 2"), new2, keys=["k"]).collect()}
+    assert out2 == {2: ("changed", "s,v")}
