@@ -125,6 +125,9 @@ HEADLINE = [
     # round-10 addition: snapshot table diff (one full outer join,
     # added/removed/changed + changed-column list)
     "q176_table_diff",
+    # round-10 addition: quality-signal agreement matrix (integer
+    # quantized co-moments -> exact Pearson)
+    "q177_signal_agreement",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -2698,3 +2698,132 @@ def q176_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         o, new, keys=["o_orderkey"], compare=["o_orderstatus", "o_totalprice"]
     )
+
+
+@query(
+    "q177_signal_agreement",
+    f"""
+    WITH {_SQL_FLUENCY},
+    nv AS (SELECT bg2.doc, CAST(SUM(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END)
+                                AS DOUBLE) / COUNT(*) AS novelty
+           FROM (SELECT doc_id AS doc,
+                        UNNEST(list_distinct([w[i] || ' ' || w[i+1]
+                                              FOR i IN range(1, len(w))])) AS bigram
+                 FROM ws) bg2
+           JOIN (SELECT bigram, COUNT(DISTINCT doc) AS df
+                 FROM (SELECT doc_id AS doc,
+                              UNNEST(list_distinct([w[i] || ' ' || w[i+1]
+                                                    FOR i IN range(1, len(w))])) AS bigram
+                       FROM ws) GROUP BY bigram) dfq USING (bigram)
+           GROUP BY bg2.doc),
+    qs AS (SELECT doc_id AS doc, {T.sql_quality_score('text')} AS q FROM documents),
+    sig AS (SELECT fl.doc, qs.q AS x_quality, fl.mean_prob AS x_fluency,
+                   nv.novelty AS x_novelty
+            FROM fl JOIN nv ON nv.doc = fl.doc JOIN qs ON qs.doc = fl.doc),
+    qz AS (SELECT doc,
+                  {", ".join(
+                      f"CAST(FLOOR(x_{a} * 1048576) AS BIGINT) AS x_{a}"
+                      for a in ("quality", "fluency", "novelty"))}
+           FROM sig),
+    mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  {", ".join(
+                      f"CAST(SUM(CAST(x_{a} AS HUGEINT)) AS DOUBLE) AS s_{a}, "
+                      f"CAST(SUM(CAST(x_{a} AS HUGEINT) * x_{a}) AS DOUBLE) AS ss_{a}"
+                      for a in ("quality", "fluency", "novelty"))},
+                  {", ".join(
+                      f"CAST(SUM(CAST(x_{a} AS HUGEINT) * x_{b}) AS DOUBLE) AS sp_{a}_{b}"
+                      for a, b in (("quality", "fluency"),
+                                   ("quality", "novelty"),
+                                   ("fluency", "novelty")))}
+           FROM qz)
+    {" UNION ALL ".join(
+        f"SELECT '{a}' AS signal_a, '{b}' AS signal_b, n, "
+        f"(n * sp_{a}_{b} - s_{a} * s_{b}) "
+        f"/ (SQRT(n * ss_{a} - s_{a} * s_{a}) * SQRT(n * ss_{b} - s_{b} * s_{b})) AS pearson_r "
+        f"FROM mo"
+        for a, b in (("quality", "fluency"),
+                     ("quality", "novelty"),
+                     ("fluency", "novelty")))}
+    """,
+)
+def q177_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal agreement matrix: pairwise Pearson correlation
+    between three independent per-document quality signals (heuristic
+    quality score, corpus-LM fluency, bigram novelty) over the common
+    document universe — the redundancy analysis run before stacking
+    filters into a pipeline (two signals at r≈1 gate the same
+    documents twice; r≈0 signals compose). Signals quantize onto a
+    2^-20 grid first (floor of one IEEE product — identical in both
+    engines; double-product→decimal casts round differently across
+    engines, convention 8), ONE aggregation computes every co-moment
+    as an INTEGER sum, and each correlation is pure IEEE arithmetic
+    over those exact sums — all three r values oracle-exact."""
+    d = t(spark, sf_dir, "documents")
+    fl = T.bigram_lm_fluency(d, "doc_id", "text")
+    nv = T.bigram_novelty(d, "doc_id", "text").select("doc", "novelty")
+    qs = d.select(
+        F.col("doc_id").alias("doc"), T.quality_score(F.col("text")).alias("q")
+    )
+    sig = (
+        fl.select("doc", F.col("mean_prob").alias("x_fluency"))
+        .join(nv.withColumnRenamed("novelty", "x_novelty"), "doc")
+        .join(qs.withColumnRenamed("q", "x_quality"), "doc")
+    )
+    names = ("quality", "fluency", "novelty")
+    # signals quantize onto a 2^-20 grid FIRST (floor of one IEEE
+    # product — identical in both engines), so every co-moment is an
+    # INTEGER sum (decimal(38,0) for scale headroom): the double->
+    # decimal cast of a product is the one step whose rounding the
+    # engines implement differently (convention 8), and quantized
+    # correlations carry the same signal-agreement information
+    qz = sig.select(
+        "doc",
+        *[
+            F.floor(F.col(f"x_{a}") * F.lit(1048576.0))
+            .cast("bigint")
+            .alias(f"x_{a}")
+            for a in names
+        ],
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for a in names:
+        xa = F.col(f"x_{a}")
+        aggs.append(
+            F.sum(xa.cast("decimal(38,0)")).cast("double").alias(f"s_{a}")
+        )
+        aggs.append(
+            F.sum((xa.cast("decimal(19,0)") * xa).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"ss_{a}")
+        )
+    pairs = (("quality", "fluency"), ("quality", "novelty"), ("fluency", "novelty"))
+    for a, b in pairs:
+        aggs.append(
+            F.sum(
+                (F.col(f"x_{a}").cast("decimal(19,0)") * F.col(f"x_{b}")).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("double")
+            .alias(f"sp_{a}_{b}")
+        )
+    mo = qz.agg(*aggs)
+    outs = []
+    for a, b in pairs:
+        n = F.col("n")
+        r = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")) / (
+            F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        outs.append(
+            mo.select(
+                F.lit(a).alias("signal_a"),
+                F.lit(b).alias("signal_b"),
+                "n",
+                r.alias("pearson_r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

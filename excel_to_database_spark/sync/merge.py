@@ -221,3 +221,26 @@ def table_diff(
         )
         .filter(F.col("change").isNotNull())
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-evolution companion to :func:`table_diff`: one row per
+    column added, removed, or type-changed between two snapshots —
+    the check a sync job runs BEFORE attempting a row diff or merge
+    (a type change makes row comparison meaningless; the reference's
+    truncate-vs-drop policy is exactly a schema-drift decision).
+    Driver-side metadata only (no job runs); returned as a DataFrame
+    so reports compose with the row-diff output."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(o.keys() | n.keys()):
+        if c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "type_changed", o[c], n[c]))
+    return old.sparkSession.createDataFrame(
+        rows, "column string, change string, old_type string, new_type string"
+    )

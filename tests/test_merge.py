@@ -142,3 +142,18 @@ def test_table_diff_classification_and_null_semantics(spark):
     out2 = {r["k"]: (r["change"], r["changed_cols"])
             for r in table_diff(old.filter("k = 2"), new2, keys=["k"]).collect()}
     assert out2 == {2: ("changed", "s,v")}
+
+
+def test_schema_diff(spark):
+    from excel_to_database_spark.sync.merge import schema_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double")
+    new = spark.createDataFrame([(1, 2, True)], "k long, s int, w boolean")
+    out = {r["column"]: (r["change"], r["old_type"], r["new_type"])
+           for r in schema_diff(old, new).collect()}
+    assert out == {
+        "s": ("type_changed", "string", "int"),
+        "v": ("removed", "double", None),
+        "w": ("added", None, "boolean"),
+    }
+    assert schema_diff(old, old).count() == 0
