@@ -128,6 +128,9 @@ HEADLINE = [
     # round-10 addition: quality-signal agreement matrix (integer
     # quantized co-moments -> exact Pearson)
     "q177_signal_agreement",
+    # round-10 addition: in-engine LSH recall/precision audit vs the
+    # exact-Jaccard truth
+    "q178_lsh_recall_audit",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

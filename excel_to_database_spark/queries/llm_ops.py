@@ -2827,3 +2827,62 @@ def q177_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query(
+    "q178_lsh_recall_audit",
+    f"""
+    WITH {_SQL_SHINGLES}, {_sql_minhash()}, {_SQL_JACCARD},
+    tp AS (SELECT da, db FROM jac WHERE jaccard >= 0.6),
+    hit AS (SELECT c.da FROM cand c JOIN tp ON tp.da = c.da AND tp.db = c.db),
+    ns AS (SELECT (SELECT COUNT(*) FROM tp) AS n_true,
+                  (SELECT COUNT(*) FROM cand) AS n_candidates,
+                  (SELECT COUNT(*) FROM hit) AS n_hit)
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_true > 0
+                THEN CAST(n_hit AS DOUBLE) / n_true END AS lsh_recall,
+           CASE WHEN n_candidates > 0
+                THEN CAST(n_hit AS DOUBLE) / n_candidates END AS lsh_precision
+    FROM ns
+    """,
+)
+def q178_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine sketch-quality audit: the MinHash-LSH candidate set's
+    RECALL and PRECISION against the exact-Jaccard truth pairs, both
+    computable in the same engine because the whole sketch is
+    deterministic — the measurement a pipeline runs when tuning
+    bands/rows before trusting the sketch at a scale where the exact
+    join is unaffordable (audit on a sample, deploy the sketch on the
+    corpus). Counts are integers; the two ratios are single IEEE
+    divisions — the audit itself is oracle-exact."""
+    d = t(spark, sf_dir, "documents")
+    from excel_to_database_spark.operators.caching import pin
+
+    sh = pin(D.shingles(d, "doc_id", "text", 3))
+    cand = D.lsh_candidates(
+        D.minhash_signatures(sh, num_hashes=16), bands=4, rows=4
+    )
+    truth = D.jaccard_pairs(sh, threshold=0.6).select("doc_a", "doc_b")
+    hit = cand.join(truth, ["doc_a", "doc_b"])
+    ns = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        )
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+    )
+    return ns.select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_hit").cast("double") / F.col("n_true"),
+        ).alias("lsh_recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_hit").cast("double") / F.col("n_candidates"),
+        ).alias("lsh_precision"),
+    )
