@@ -991,7 +991,18 @@ def tv_from_counts(
     ``c_old`` / ``c_new`` counts. Separated so pre-aggregated count
     tables (a persisted baseline asset, a streaming micro-batch's
     counts joined against it) reuse the exact same integer arithmetic
-    as the raw-observation path."""
+    as the raw-observation path.
+
+    Exactness bound: the verdict compares ``num*den`` against
+    ``2*nt*n_old*n_new`` in decimal(38,0); both sides overflow (and,
+    non-ANSI, would go NULL) once ``n_old*n_new*max(den, 2*nt)``
+    exceeds ~1e38. With the default threshold (den ≤ 1e6) that needs
+    n_old*n_new ≥ 1e32 — snapshot sizes of ~1e16 rows each, four
+    orders of magnitude past a 100 TB corpus — but the verdict is
+    guarded anyway: on overflow it falls back to the double-precision
+    ``tv_distance >= threshold`` comparison rather than returning
+    NULL. (The DuckDB oracle's own cast bound, ~2^53 on the raw
+    products, is the tighter one and is caveated at the call sites.)"""
     from fractions import Fraction
 
     g = [group_col] if group_col else []
@@ -1016,9 +1027,15 @@ def tv_from_counts(
         * F.col("n_new").cast("double")
         * F.lit(2.0)
     )
-    drifted = F.col("num") * F.lit(den) >= (
-        d19("n_old") * d19("n_new") * F.lit(2 * nt)
-    )
+    # Exact integer verdict, with an overflow guard: if either
+    # decimal(38,0) product NULLs out (non-ANSI overflow — see the
+    # docstring bound), fall back to the double comparison instead of
+    # emitting a NULL verdict.
+    lhs = F.col("num") * F.lit(den)
+    rhs = d19("n_old") * d19("n_new") * F.lit(2 * nt)
+    drifted = F.when(
+        lhs.isNotNull() & rhs.isNotNull(), lhs >= rhs
+    ).otherwise(tv >= F.lit(float(threshold)))
     return out.select(
         *g,
         "n_old",

@@ -169,32 +169,40 @@ def table_diff(
     comma-joined) list of changed columns. Unchanged keys are
     filtered out before anything wide is materialized.
 
-    ``compare`` defaults to the non-key columns present in BOTH
-    snapshots (a column added/dropped from the schema is schema
-    evolution, not row drift — diff it by name, not here). Value
-    comparison is null-safe (NULL↔NULL is unchanged, NULL↔value is a
-    change). Plan: ONE full outer join on the key — shuffle-hash /
-    sort-merge on the key columns at scale, no windows, no second
-    pass; the changed-columns string is a codegen'd concat of CASE
-    marks, so the diff costs exactly one join over the two scans."""
-    compare = compare or sorted(
-        (set(old.columns) & set(new.columns)) - set(keys)
-    )
+    ``compare`` defaults (when None) to the non-key columns present
+    in BOTH snapshots (a column added/dropped from the schema is
+    schema evolution, not row drift — diff it by name, not here); an
+    explicit empty list means a keys-only presence diff
+    (added/removed classification, never 'changed'). Value AND key
+    comparison are null-safe (NULL↔NULL matches, NULL↔value is a
+    change), so composite keys with nullable components classify
+    correctly; row presence is tracked by explicit per-side marker
+    columns rather than key-null sniffing. Plan: ONE full outer join
+    on the key — shuffle-hash / sort-merge on the key columns at
+    scale, no windows, no second pass; the changed-columns string is
+    a codegen'd concat of CASE marks, so the diff costs exactly one
+    join over the two scans."""
+    if compare is None:
+        compare = sorted(
+            (set(old.columns) & set(new.columns)) - set(keys)
+        )
     o = old.select(
         *[F.col(k).alias(f"_ko_{k}") for k in keys],
         *[F.col(c).alias(f"_o_{c}") for c in compare],
+        F.lit(True).alias("_o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"_kn_{k}") for k in keys],
         *[F.col(c).alias(f"_n_{c}") for c in compare],
+        F.lit(True).alias("_n_present"),
     )
     cond = None
     for k in keys:
-        eq = F.col(f"_ko_{k}") == F.col(f"_kn_{k}")
+        eq = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_ko_{keys[0]}").isNotNull()
-    in_new = F.col(f"_kn_{keys[0]}").isNotNull()
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
     marks = [
         F.when(
             ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)

@@ -401,7 +401,7 @@ def test_stream_rollup_compaction_spares_inflight_batch(spark, sf_dir, tmp_path)
     replay = time_bucket_partials(
         events.filter(~half).unionByName(late)
     ).withColumn("__batch_id", F.lit(1))
-    _write_batch_keyed(spark, replay, "t_late_rollup")
+    _write_batch_keyed(replay, "t_late_rollup")
     assert merged() == want
     spark.sql("DROP TABLE IF EXISTS t_late_rollup")
 
