@@ -91,6 +91,20 @@ def deep_evict(spark) -> int:
         spark.sparkContext._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     except Exception:
         pass
+    # throwaway tmpfs checkpoints from bounded replays: deleted only
+    # HERE, after StateStore.stop(), so no maintenance thread is still
+    # uploading a snapshot into the dir (deleting earlier is how the
+    # q158-style FileNotFound teardown noise happens)
+    try:
+        import shutil
+
+        from excel_to_database_spark.streaming.ingest import _EPHEMERAL_CKPTS
+
+        for d in _EPHEMERAL_CKPTS:
+            shutil.rmtree(d, ignore_errors=True)
+        _EPHEMERAL_CKPTS.clear()
+    except Exception:
+        pass
     gc.collect()
     try:
         spark.sparkContext._jvm.System.gc()

@@ -20,8 +20,33 @@ key cardinalities far beyond executor memory.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import TYPE_CHECKING
 
-import pandas as pd
+
+class _LazyPandas:
+    """Module-level ``pd`` placeholder that resolves to the real
+    pandas on first attribute access. Kept lazy on purpose: this
+    module is unpickled inside EVERY cold Python worker Spark spawns
+    for transformWithState — including the driver-side pre-init
+    runner that only calls ``init()`` to collect state schemas and
+    never touches a DataFrame — and a top-level ``import pandas``
+    adds ~0.4s to each such spawn (measured; it is the single largest
+    slice of the streaming replays' queryPlanning time). Executor
+    workers pay the import exactly once, on the first emitted batch,
+    where they would have paid it anyway."""
+
+    def __getattr__(self, name):
+        import pandas
+
+        globals()["pd"] = pandas  # swap in the real module
+        return getattr(pandas, name)
+
+
+if TYPE_CHECKING:
+    import pandas as pd
+else:
+    pd = _LazyPandas()
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
