@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from excel_to_database_spark.operators.caching import pin
 from excel_to_database_spark.operators.text import spread, words
+from excel_to_database_spark.operators.io_util import maybe_read_parquet as _maybe_read_parquet
+
 
 def normalized_text(text):
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
@@ -1285,16 +1287,8 @@ def dedup_cluster_update(
     driver never materializes the duplicate graph. Both paths produce
     identical canon content (min-label roots over the same closure),
     which ``tests`` assert on a shared fixture."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        canon = spark.read.parquet(f"{path}/canon")
-    except AnalysisException:
-        canon = None
-    try:
-        labels = spark.read.parquet(f"{path}/labels")
-    except AnalysisException:
-        labels = None
+    canon = _maybe_read_parquet(spark, f"{path}/canon")
+    labels = _maybe_read_parquet(spark, f"{path}/labels")
 
     new0 = new_ids.toDF("doc").select(
         "doc", F.col("doc").alias("label")
@@ -1429,15 +1423,13 @@ def dedup_cluster_labels(spark, path: str) -> DataFrame:
     append-only canon delta log — a superseded label holds several
     canon rows, and because the canonical root is always the MINIMUM
     member, min picks the newest mapping exactly."""
-    from pyspark.errors import AnalysisException
-
     labels = spark.read.parquet(f"{path}/labels")
-    try:
-        canon = spark.read.parquet(f"{path}/canon")
+    canon = _maybe_read_parquet(spark, f"{path}/canon")
+    if canon is not None:
         labels = labels.join(canon, "label", "left").select(
             "doc", F.coalesce("canon", "label").alias("cluster")
         )
-    except AnalysisException:
+    else:
         labels = labels.select("doc", F.col("label").alias("cluster"))
     return labels.groupBy("doc").agg(F.min("cluster").alias("cluster"))
 

@@ -136,11 +136,10 @@ def dedup_cluster_compact(
     out = {
         "labels": compact_parquet_dir(spark, f"{path}/labels", target_files)
     }
-    from pyspark.errors import AnalysisException
+    from excel_to_database_spark.operators.io_util import maybe_read_parquet
 
-    try:
-        canon = spark.read.parquet(f"{path}/canon")
-    except AnalysisException:
+    canon = maybe_read_parquet(spark, f"{path}/canon")
+    if canon is None:
         return out
     rows_before = canon.count()
     folded = (

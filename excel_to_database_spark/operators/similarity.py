@@ -1960,14 +1960,14 @@ def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
     ONE table (id, v, cell, codes); the assigned and codes views are
     column-pruned scans of it. A pre-v3 index (separate assigned +
     codes tables) still loads."""
-    from pyspark.errors import AnalysisException
+    from excel_to_database_spark.operators.io_util import maybe_read_parquet
 
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
-    try:
-        corpus = spark.read.parquet(f"{path}/corpus")
+    corpus = maybe_read_parquet(spark, f"{path}/corpus")
+    if corpus is not None:
         assigned = corpus.select("id", "v", "cell")
         codes = corpus.select(F.col("id").alias("nid"), "codes")
-    except AnalysisException:
+    else:
         assigned = spark.read.parquet(f"{path}/assigned")
         codes = spark.read.parquet(f"{path}/codes")
     return IvfPqIndex(
@@ -2067,13 +2067,14 @@ def ivf_pq_index_append(
         w,
         id_t,
     )
-    try:
-        spark.read.parquet(f"{path}/corpus").schema
+    from excel_to_database_spark.operators.io_util import parquet_exists
+
+    if parquet_exists(spark, f"{path}/corpus"):
         combined_new.write.mode("append").parquet(f"{path}/corpus")
         n_new = spark.read.parquet(f"{path}/corpus").count() - int(
             idx.meta["n_vectors"]
         )
-    except AnalysisException:
+    else:
         # pre-v3 layout: append to the separate tables it was built with
         assigned_new.write.mode("append").parquet(f"{path}/assigned")
         combined_new.select(F.col("id").alias("nid"), "codes").write.mode(
@@ -2083,10 +2084,10 @@ def ivf_pq_index_append(
             idx.meta["n_vectors"]
         )
     batch_dist = _mean_assign_dist(assigned_new, idx.cents)
-    try:
-        seq = spark.read.parquet(f"{path}/health").count()
-    except Exception:
-        seq = 1  # pre-health index: first append starts the history
+    from excel_to_database_spark.operators.io_util import maybe_read_parquet
+
+    _h = maybe_read_parquet(spark, f"{path}/health")
+    seq = _h.count() if _h is not None else 1  # pre-health index: first append starts the history
     import pyarrow as _pa
 
     _append_driver_parquet(
@@ -2158,15 +2159,10 @@ def ivf_pq_index_health(
     was removed) yields a neutral no-history report instead of an
     error — upgrading an existing index must not break the monitoring
     entry point."""
-    from pyspark.errors import AnalysisException
+    from excel_to_database_spark.operators.io_util import maybe_read_parquet
 
-    try:
-        h = sorted(
-            spark.read.parquet(f"{path}/health").collect(),
-            key=lambda r: r["seq"],
-        )
-    except AnalysisException:
-        h = []
+    _h = maybe_read_parquet(spark, f"{path}/health")
+    h = sorted(_h.collect(), key=lambda r: r["seq"]) if _h is not None else []
     if not h:
         return {
             "baseline_mean_dist": None,

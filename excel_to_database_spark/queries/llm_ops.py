@@ -849,17 +849,16 @@ def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the embeddings IVF-PQ index iff its meta table is absent —
     the build-once half of the lifecycle. Returns the index path.
 
-    Existence is probed THROUGH Spark (read ``path/meta``, catch the
-    path-not-found AnalysisException), not os.path.exists: the path may
-    be an HDFS/S3 URI via SPARK_GRAFT_INDEX_DIR, where a local-fs stat
-    is always False and would silently rebuild (and overwrite) the
-    persisted index on every query invocation."""
-    from pyspark.errors import AnalysisException
+    Existence is probed via :func:`parquet_exists`, which stats local
+    paths driver-side (no FileStreamSink-probe WARN noise) but goes
+    THROUGH Spark for remote URIs — the path may be an HDFS/S3 URI via
+    SPARK_GRAFT_INDEX_DIR, where a local-fs stat is always False and
+    would silently rebuild (and overwrite) the persisted index on
+    every query invocation."""
+    from excel_to_database_spark.operators.io_util import parquet_exists
 
     path = _ivf_pq_index_path(sf_dir)
-    try:
-        spark.read.parquet(f"{path}/meta").schema
-    except AnalysisException:
+    if not parquet_exists(spark, f"{path}/meta"):
         e = t(spark, sf_dir, "embeddings")
         S.build_ivf_pq_index(
             e, "vec_id", "embedding", path, **_IVF_PQ_PARAMS

@@ -474,8 +474,10 @@ def stream_dedup_clusters(
         # parquet read may or may not re-list appended files — the
         # explicit ordering removes the ambiguity; in-batch pairs come
         # from the dedicated band join above)
-        try:
-            index = spark.read.parquet(f"{index_path}/bands")
+        from excel_to_database_spark.operators.io_util import maybe_read_parquet
+
+        index = maybe_read_parquet(spark, f"{index_path}/bands")
+        if index is not None:
             vs_corpus = D.lsh_matches_against_index(
                 sig, index, bands, rows
             ).select(
@@ -483,7 +485,7 @@ def stream_dedup_clusters(
                 F.col("doc_corpus").alias("doc_b"),
             )
             pairs = within.unionByName(vs_corpus)
-        except AnalysisException:
+        else:
             pairs = None
         D.dedup_cluster_update(
             spark, labels_path, batch_df.select(id_col),
