@@ -292,6 +292,22 @@ def main() -> None:
         for q, sl in out["scale_slope"]["slope"].items():
             print(f"# slope {q}: {sl}x at {factor}x rows", file=sys.stderr)
 
+    # 30x slope: the same fresh-session-per-query protocol at a deeper
+    # factor, RECORDED per round (round 10 kept the 30x check as a
+    # one-off PLANS.md table; the round-9 artifact-vs-claim discrepancy
+    # was only caught because a recorded number existed, so the deeper
+    # factor now ships in the artifact too). min-of-2 per scale, same
+    # as the 10x block. Disable with SPARK_GRAFT_SCALE_SLOPE_30X=0.
+    if (
+        os.environ.get("SPARK_GRAFT_SCALE_SLOPE", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_SCALE_SLOPE_30X", "1") != "0"
+    ):
+        from scripts.scale_slope import run_slope
+
+        out["scale_slope_30x"] = run_slope(spark, sf_dir, 30)
+        for q, sl in out["scale_slope_30x"]["slope"].items():
+            print(f"# slope {q}: {sl}x at 30x rows", file=sys.stderr)
+
     # the driver captures only the TAIL of stdout and parses the JSON
     # line out of it; round 7 showed the full line (with scale_slope,
     # ~4k chars) overflows that window and loses its head, so the
@@ -302,10 +318,18 @@ def main() -> None:
                            "bench_result.json"), "w") as f:
         f.write(full_line + "\n")
     compact = {
-        k: v for k, v in out.items() if k not in ("scale_slope", "query_reps")
+        k: v
+        for k, v in out.items()
+        if k not in ("scale_slope", "scale_slope_30x", "query_reps")
     }
     if "scale_slope" in out:
         compact["scale_slope_file"] = "bench_result.json"
+        # slope ratios inline (base/scaled seconds stay in the full
+        # file): the driver's tail window is small, and the recorded
+        # artifact must carry the slope numbers themselves
+        compact["slope_10x"] = out["scale_slope"]["slope"]
+    if "scale_slope_30x" in out:
+        compact["slope_30x"] = out["scale_slope_30x"]["slope"]
     print(json.dumps(compact, separators=(",", ":")))
 
 

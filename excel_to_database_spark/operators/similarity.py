@@ -318,11 +318,26 @@ def semantic_dedup_blocked(
     scored), the same dial as ``n_lists`` itself. ``max_cell=None``
     disables the split."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if n_lists is None:
-        import math
+    # CPU-dense, byte-light pipeline: the interpreted decimal folds and
+    # the per-cell Gram cost orders of magnitude more CPU per byte than
+    # a normal scan, so neither the input's file-split count (2 files
+    # at slope-test scale) nor AQE's byte-based coalescing sizes the
+    # stages correctly — both serialized the 30x run onto 2 of 32
+    # cores. Explicit round-robin repartition (exempt from AQE
+    # coalescing) spreads the fold work; skipped when the source
+    # already has enough splits (any real-scale table).
+    import math
 
-        n = base.limit(_NL_COUNT_CAP).count()
+    n = base.limit(_NL_COUNT_CAP).count()
+    if n_lists is None:
         n_lists = max(1, min(_NL_MAX, math.ceil(math.sqrt(n))))
+    # width ∝ corpus (≥256 vectors per task) so a small corpus doesn't
+    # pay 32-task scheduling overhead for microseconds of fold work
+    _P = max(1, min(
+        emb.sparkSession.sparkContext.defaultParallelism, math.ceil(n / 256)
+    ))
+    if base.rdd.getNumPartitions() < _P:
+        base = base.repartition(_P)
 
     def dfold(arr):
         return F.aggregate(
@@ -479,7 +494,10 @@ def semantic_dedup_blocked(
         return _pd.DataFrame({"cell": cell, "qid": q, "nid": n})
 
     id_t = dict(emb.dtypes)[id_col]
-    cand = assign.groupBy(*group_keys).applyInPandas(
+    # pre-partition by the group keys at full width: groupBy reuses the
+    # compatible user partitioning, and the CPU-bound Gram stage keeps
+    # one task per core instead of AQE's byte-coalesced handful
+    cand = assign.repartition(_P, *group_keys).groupBy(*group_keys).applyInPandas(
         _gram_sieve, schema=f"cell {id_t}, qid {id_t}, nid {id_t}"
     )
     qside = assign.select(
@@ -488,7 +506,10 @@ def semantic_dedup_blocked(
     nside = assign.select(
         F.col("id").alias("nid"), F.col("v").alias("nv"), F.col("n2").alias("nn2")
     )
-    pairs = cand.join(qside, "qid").join(nside, "nid")
+    # the survivor rescore is the same CPU-per-byte story: spread the
+    # interpreted decimal folds across cores (AQE would coalesce the
+    # post-join stage to a couple of tasks on byte size alone)
+    pairs = cand.join(qside, "qid").join(nside, "nid").repartition(_P)
     dot = dfold(
         F.zip_with(
             "qv", "nv",
@@ -2347,11 +2368,26 @@ def semantic_balanced_sample(
     partitions on cell — bounded by cell occupancy, the same dial as
     the dedup blocking."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if n_lists is None:
-        import math
+    # CPU-dense, byte-light pipeline: the interpreted decimal folds and
+    # the per-cell Gram cost orders of magnitude more CPU per byte than
+    # a normal scan, so neither the input's file-split count (2 files
+    # at slope-test scale) nor AQE's byte-based coalescing sizes the
+    # stages correctly — both serialized the 30x run onto 2 of 32
+    # cores. Explicit round-robin repartition (exempt from AQE
+    # coalescing) spreads the fold work; skipped when the source
+    # already has enough splits (any real-scale table).
+    import math
 
-        n = base.limit(_NL_COUNT_CAP).count()
+    n = base.limit(_NL_COUNT_CAP).count()
+    if n_lists is None:
         n_lists = max(1, min(_NL_MAX, math.ceil(math.sqrt(n))))
+    # width ∝ corpus (≥256 vectors per task) so a small corpus doesn't
+    # pay 32-task scheduling overhead for microseconds of fold work
+    _P = max(1, min(
+        emb.sparkSession.sparkContext.defaultParallelism, math.ceil(n / 256)
+    ))
+    if base.rdd.getNumPartitions() < _P:
+        base = base.repartition(_P)
     cents = (
         base.orderBy(F.asc("id"))
         .limit(n_lists)
@@ -2400,11 +2436,26 @@ def prototypicality_prune(
     (cell, pos); the per-cell rank window is bounded by cell
     occupancy, the family's standard dial."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if n_lists is None:
-        import math
+    # CPU-dense, byte-light pipeline: the interpreted decimal folds and
+    # the per-cell Gram cost orders of magnitude more CPU per byte than
+    # a normal scan, so neither the input's file-split count (2 files
+    # at slope-test scale) nor AQE's byte-based coalescing sizes the
+    # stages correctly — both serialized the 30x run onto 2 of 32
+    # cores. Explicit round-robin repartition (exempt from AQE
+    # coalescing) spreads the fold work; skipped when the source
+    # already has enough splits (any real-scale table).
+    import math
 
-        n = base.limit(_NL_COUNT_CAP).count()
+    n = base.limit(_NL_COUNT_CAP).count()
+    if n_lists is None:
         n_lists = max(1, min(_NL_MAX, math.ceil(math.sqrt(n))))
+    # width ∝ corpus (≥256 vectors per task) so a small corpus doesn't
+    # pay 32-task scheduling overhead for microseconds of fold work
+    _P = max(1, min(
+        emb.sparkSession.sparkContext.defaultParallelism, math.ceil(n / 256)
+    ))
+    if base.rdd.getNumPartitions() < _P:
+        base = base.repartition(_P)
     cents = (
         base.orderBy(F.asc("id"))
         .limit(n_lists)
