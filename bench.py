@@ -131,6 +131,9 @@ HEADLINE = [
     # round-10 addition: in-engine LSH recall/precision audit vs the
     # exact-Jaccard truth
     "q178_lsh_recall_audit",
+    # round-11 addition: the decision loop on top of the audit — the
+    # (bands, rows) sweep with an integer-exact Pareto frontier
+    "q179_lsh_tuner",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -1625,3 +1625,154 @@ def source_overlap(
         ).alias("jaccard"),
         (matches.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
     )
+
+
+#: default (bands, rows) grid for :func:`lsh_tune` — spans the LSH
+#: S-curve from the most selective single 16-row band to the most
+#: permissive sixteen 1-row bands, all within the 16-member rotation
+#: signature family
+LSH_TUNE_GRID: tuple[tuple[int, int], ...] = (
+    (1, 16),
+    (2, 8),
+    (4, 4),
+    (8, 2),
+    (16, 1),
+)
+
+
+def lsh_tune(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    grid: tuple[tuple[int, int], ...] = LSH_TUNE_GRID,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """LSH parameter TUNER: sweep ``grid`` of (bands, rows) settings
+    over one corpus sample, score each against the exact-Jaccard truth
+    pairs, and mark the recall/precision Pareto frontier — the
+    decision loop on top of the q178-style audit measurement (run the
+    sweep on a sample, pick a frontier point, deploy the sketch on the
+    corpus where the exact join is unaffordable).
+
+    One row per grid point: (bands, rows_per_band, n_true,
+    n_candidates, n_hit, lsh_recall, lsh_precision, on_frontier).
+    Shingles, the 16-member rotation signature, and the truth pairs
+    are computed ONCE (pinned); each grid point reads its bands out of
+    the same signature columns, so the sweep costs one shingle pass +
+    one signature aggregation + |grid| band self-joins — never |grid|
+    corpus passes. Candidates run unguarded (``max_bucket=None``):
+    the tuner must measure the raw sketch operating point, not the
+    hot-bucket fallback's star edges.
+
+    Determinism/exactness: counts are integers; recall/precision are
+    single IEEE divisions (defined as 0.0 when the denominator is 0,
+    so the frontier is total); frontier dominance is evaluated on
+    INTEGER cross-products, never on the derived doubles — recall
+    ordering reduces to ``n_hit`` (shared ``n_true``), and precision
+    ordering is ``n_hit_o·n_cand_m ≥ n_hit_m·n_cand_o`` with the
+    zero-candidate cases split out — so the on_frontier verdict is
+    bit-identical in any engine. A point is ON the frontier iff no
+    other grid point weakly dominates it with at least one strict
+    improvement (duplicate operating points therefore stay on the
+    frontier together)."""
+    for b, r in grid:
+        if b * r > num_hashes:
+            raise ValueError(f"grid point {(b, r)} needs {b * r} > {num_hashes} members")
+    sh = pin(shingles(docs, id_col, text_col, n))
+    sig = pin(minhash_signatures(sh, num_hashes))
+    truth = pin(jaccard_pairs(sh, threshold=threshold).select("doc_a", "doc_b"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+
+    per_point = None
+    for b, r in grid:
+        cand = lsh_candidates(sig, bands=b, rows=r, max_bucket=None)
+        hit = cand.join(truth, ["doc_a", "doc_b"])
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_hit",
+            )
+        )
+        per_point = row if per_point is None else per_point.unionByName(row)
+
+    res = per_point.crossJoin(F.broadcast(n_true)).select(
+        "bands",
+        "rows_per_band",
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_hit").cast("double") / F.col("n_true"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lsh_recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_hit").cast("double") / F.col("n_candidates"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lsh_precision"),
+    )
+    res = pin(res)  # |grid| rows; both frontier join sides read it
+
+    o = res.select(
+        F.col("bands").alias("_ob"),
+        F.col("rows_per_band").alias("_or"),
+        F.col("n_candidates").alias("_oc"),
+        F.col("n_hit").alias("_oh"),
+    )
+    # integer precision comparison p(o) ? p(m), total under the
+    # 0-candidates ⇒ 0.0 convention (n_cand = 0 forces n_hit = 0)
+    p_geq = (
+        F.when(F.col("n_candidates") == 0, F.lit(True))  # p(m) = 0
+        .when(F.col("_oc") == 0, F.col("n_hit") == 0)  # p(o) = 0
+        .otherwise(
+            F.col("_oh") * F.col("n_candidates") >= F.col("n_hit") * F.col("_oc")
+        )
+    )
+    p_gt = (
+        F.when(F.col("_oc") == 0, F.lit(False))  # p(o) = 0 ≤ p(m)
+        .when(F.col("n_candidates") == 0, F.col("_oh") > 0)  # p(m)=0 < p(o)
+        .otherwise(
+            F.col("_oh") * F.col("n_candidates") > F.col("n_hit") * F.col("_oc")
+        )
+    )
+    not_self = (F.col("_ob") != F.col("bands")) | (
+        F.col("_or") != F.col("rows_per_band")
+    )
+    dominates = (
+        not_self
+        & (F.col("_oh") >= F.col("n_hit"))  # recall: shared n_true
+        & p_geq
+        & ((F.col("_oh") > F.col("n_hit")) | p_gt)
+    )
+    dom_cnt = (
+        res.join(F.broadcast(o), dominates, "left")
+        .groupBy(
+            "bands",
+            "rows_per_band",
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            "lsh_recall",
+            "lsh_precision",
+        )
+        .agg(F.count("_ob").alias("_ndom"))
+    )
+    return dom_cnt.select(
+        "bands",
+        "rows_per_band",
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        "lsh_recall",
+        "lsh_precision",
+        (F.col("_ndom") == 0).alias("on_frontier"),
+    )

@@ -2885,3 +2885,87 @@ def q178_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hit").cast("double") / F.col("n_candidates"),
         ).alias("lsh_precision"),
     )
+
+
+def _sql_lsh_tune_grid() -> str:
+    """Per-grid-point banded/candidate/metric CTEs mirroring
+    operators/dedup.lsh_tune: bands b of a (B, R) point concatenate
+    signature members h(b·R)..h(b·R+R−1), candidates are the distinct
+    banded self-join, metrics are plain counts."""
+    from excel_to_database_spark.operators.dedup import LSH_TUNE_GRID
+
+    parts, mets = [], []
+    for B, R in LSH_TUNE_GRID:
+        tag = f"{B}x{R}"
+        band_sel = " UNION ALL ".join(
+            "SELECT doc, {b} AS band, {sig} AS sig FROM sig".format(
+                b=b,
+                sig=" || '|' || ".join(f"h{b * R + r}" for r in range(R)),
+            )
+            for b in range(B)
+        )
+        parts.append(f"bands_{tag} AS ({band_sel})")
+        parts.append(
+            f"""cand_{tag} AS (SELECT DISTINCT a.doc AS da, b.doc AS db
+               FROM bands_{tag} a
+               JOIN bands_{tag} b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc)"""
+        )
+        mets.append(
+            f"""SELECT {B} AS bands, {R} AS rows_per_band,
+                   (SELECT COUNT(*) FROM cand_{tag}) AS n_candidates,
+                   (SELECT COUNT(*) FROM cand_{tag} c
+                    JOIN tp ON tp.da = c.da AND tp.db = c.db) AS n_hit"""
+        )
+    parts.append("met AS ({})".format(" UNION ALL ".join(mets)))
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q179_lsh_tuner",
+    f"""
+    WITH {_SQL_SHINGLES}, {_sql_minhash()}, {_SQL_JACCARD},
+    tp AS (SELECT da, db FROM jac WHERE jaccard >= 0.6),
+    {_sql_lsh_tune_grid()},
+    res AS (SELECT CAST(bands AS INT) AS bands,
+                   CAST(rows_per_band AS INT) AS rows_per_band,
+                   CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_true,
+                   CAST(n_candidates AS BIGINT) AS n_candidates,
+                   CAST(n_hit AS BIGINT) AS n_hit
+            FROM met)
+    SELECT m.bands, m.rows_per_band, m.n_true, m.n_candidates, m.n_hit,
+           CASE WHEN m.n_true > 0
+                THEN CAST(m.n_hit AS DOUBLE) / m.n_true ELSE 0.0 END AS lsh_recall,
+           CASE WHEN m.n_candidates > 0
+                THEN CAST(m.n_hit AS DOUBLE) / m.n_candidates ELSE 0.0 END AS lsh_precision,
+           NOT EXISTS (
+               SELECT 1 FROM res o
+               WHERE (o.bands != m.bands OR o.rows_per_band != m.rows_per_band)
+                 AND o.n_hit >= m.n_hit
+                 AND (CASE WHEN m.n_candidates = 0 THEN TRUE
+                           WHEN o.n_candidates = 0 THEN m.n_hit = 0
+                           ELSE o.n_hit * m.n_candidates >= m.n_hit * o.n_candidates
+                      END)
+                 AND (o.n_hit > m.n_hit OR
+                      CASE WHEN o.n_candidates = 0 THEN FALSE
+                           WHEN m.n_candidates = 0 THEN o.n_hit > 0
+                           ELSE o.n_hit * m.n_candidates > m.n_hit * o.n_candidates
+                      END)
+           ) AS on_frontier
+    FROM res m
+    """,
+)
+def q179_lsh_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter TUNER (operators/dedup.lsh_tune): sweep the fixed
+    (bands, rows) grid over the corpus sample, score every point's
+    candidate set against the exact-Jaccard truth, and mark the
+    recall/precision Pareto frontier — the decision loop the q178
+    audit measurement feeds (tune on a sample, deploy the chosen
+    frontier point on the corpus where the exact join is
+    unaffordable). One shingle pass + one 16-member signature
+    aggregation serve all grid points; the frontier verdict is
+    integer-exact (dominance on cross-products, never on the derived
+    doubles), so the whole sweep — counts, ratios, and the frontier
+    booleans — is oracle-exact."""
+    d = t(spark, sf_dir, "documents")
+    return D.lsh_tune(d, "doc_id", "text")

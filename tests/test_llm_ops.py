@@ -2292,3 +2292,35 @@ def test_source_overlap_exact_and_sketch(spark):
     assert r12["jaccard"] == 1.0 and r12["est_jaccard"] == 1.0
     assert out[("g1", "g3")]["jaccard"] == 0.0
     assert out[("g1", "g3")]["n_common"] == 0
+
+
+def test_lsh_tune_frontier(spark, docs):
+    """lsh_tune sweeps the fixed grid once over the sample; sanity
+    properties that hold for ANY corpus: more bands (same member
+    budget) can only widen the candidate set (monotone n_candidates
+    and n_hit along the grid's band-count order), every grid point
+    shares n_true, hits never exceed candidates or truth, the
+    ratio columns obey the 0-denominator = 0.0 convention, and at
+    least one point is on the Pareto frontier — with the max-n_hit
+    point necessarily among the frontier survivors it dominates."""
+    out = {(r["bands"], r["rows_per_band"]): r for r in D.lsh_tune(docs, "doc_id", "text").collect()}
+    assert set(out) == set(D.LSH_TUNE_GRID)
+    n_true = {r["n_true"] for r in out.values()}
+    assert len(n_true) == 1
+    order = [(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)]
+    cands = [out[p]["n_candidates"] for p in order]
+    hits = [out[p]["n_hit"] for p in order]
+    assert cands == sorted(cands) and hits == sorted(hits)
+    for r in out.values():
+        assert r["n_hit"] <= r["n_candidates"] and r["n_hit"] <= r["n_true"]
+        if r["n_candidates"] == 0:
+            assert r["lsh_precision"] == 0.0
+        else:
+            assert r["lsh_precision"] == r["n_hit"] / r["n_candidates"]
+    front = [r for r in out.values() if r["on_frontier"]]
+    assert front
+    best_hit = max(r["n_hit"] for r in out.values())
+    # some point with max n_hit must be undominated on recall; among
+    # those the max-precision one is on the frontier
+    maxers = [r for r in out.values() if r["n_hit"] == best_hit]
+    assert any(r["on_frontier"] for r in maxers)
