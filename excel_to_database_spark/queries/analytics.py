@@ -322,8 +322,10 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    # adjacency with the out-degree folded in — each superstep then
-    # needs a single src join instead of ranks⋈deg followed by ⋈edges
+    w_deg = Window.partitionBy("src")
+    # adjacency with the out-degree folded in (one window pass, no
+    # second shuffle) — each superstep then needs a single src join
+    # instead of ranks⋈deg followed by ⋈edges
     # pin (not a bare .persist): the registry is what lets the bench /
     # slope harnesses actually free the adjacency between runs — an
     # unregistered persist accumulated across runs and showed up as a
@@ -340,22 +342,11 @@ def q122_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached partitioning satisfies each superstep join as-is; the
     # window then needs no exchange of its own.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ep = edges.repartition(n_shuffle, "src")
-    # degree fold WITHOUT the window: a window partitioned by src must
-    # SORT every partition's |E| rows before counting — the round-11
-    # stage metrics showed that sort (+ the columnar cache build behind
-    # it) as the single largest CPU block of the whole query at 30x.
-    # The hash aggregate computes the same (src, deg) sort-free, and a
-    # BROADCAST join folds it onto the edges so the streamed side's
-    # explicit repartition stays the cache's reported partitioning
-    # (a shuffled join under the pin reports opaque partitioning and
-    # re-introduces the Exchange-over-InMemoryTableScan in every
-    # superstep — the round-10 lesson). deg is |V|-sized (entity
-    # count, not edge count); if |V| ever outgrows the broadcast
-    # limit, swap the broadcast for a shuffle_hash hint plus a final
-    # repartition(n, src) before the pin.
-    deg_by_src = ep.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = pin(ep.join(F.broadcast(deg_by_src), "src"))
+    edges_deg = pin(
+        edges.repartition(n_shuffle, "src").withColumn(
+            "deg", F.count(F.lit(1)).over(w_deg)
+        )
+    )
     deg = edges_deg.select("src", "deg").distinct()
     # pin: nn is broadcast into the rank update of EVERY superstep, and
     # its subtree contains the |E|-scan distinct — unpinned, each
