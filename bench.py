@@ -134,6 +134,9 @@ HEADLINE = [
     # round-11 addition: the decision loop on top of the audit — the
     # (bands, rows) sweep with an integer-exact Pareto frontier
     "q179_lsh_tuner",
+    # round-11 addition: cluster-aware train/val/test split with the
+    # leakage audit (0 cross-split near-dup pairs, proven in-output)
+    "q180_leakage_safe_split",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -1776,3 +1776,81 @@ def lsh_tune(
         "lsh_precision",
         (F.col("_ndom") == 0).alias("on_frontier"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions: dict[str, float] | None = None,
+    threshold: float = 0.6,
+    n: int = 3,
+    salt: str = "split",
+) -> DataFrame:
+    """CLUSTER-aware train/val/test split: every near-dup cluster goes
+    to exactly one split, so no near-duplicate pair ever crosses a
+    split boundary — the guard against self-contamination that a
+    doc-level split cannot give (a train document's near-duplicate in
+    the test set leaks the answer). This is the split a training
+    pipeline should run AFTER near-dup detection and BEFORE sharding.
+
+    Mechanics: near-dup pairs (word-n-gram Jaccard ≥ ``threshold``) →
+    min-label connected components → every doc labeled with its
+    cluster (singletons are their own cluster) → the deterministic
+    md5 ``hash_split`` applied to the CLUSTER id instead of the doc
+    id. Same-cluster docs therefore share a split by construction.
+
+    Returns one row per split: (split, n_docs, n_clusters,
+    leaked_pairs_cluster_split, leaked_pairs_doc_split). The two
+    global audit columns (repeated per row) count near-dup pairs whose
+    endpoints land in different splits — 0 by construction for the
+    cluster split, while the doc-level counterfactual (same salt, same
+    fractions, keyed on doc_id) shows what a naive split would have
+    leaked. Both audits are computed, not asserted: the output PROVES
+    the property on this corpus.
+
+    100 TB shape: one shingle pass, the bounded inverted-index pair
+    join, the contracted CC loop (the q100 plan), two md5 expressions,
+    and two pair⋈label equi-joins — nothing pairwise beyond the
+    near-dup machinery itself; the per-split aggregate is three rows."""
+    from excel_to_database_spark.operators.text import hash_split
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    sh = pin(shingles(docs, id_col, text_col, n))
+    prs = pin(
+        jaccard_pairs(sh, threshold=threshold).select("doc_a", "doc_b")
+    )
+    cc = connected_components(prs)
+    labeled = (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(cc, "doc", "left")
+        .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
+    )
+    lab = pin(hash_split(labeled, "cluster", fractions, salt=salt))
+    naive = hash_split(
+        labeled.select("doc"), "doc", fractions, salt=salt
+    ).select("doc", F.col("split").alias("nsplit"))
+
+    def leaked(frame: DataFrame, key: str, col: str) -> DataFrame:
+        a = frame.select(F.col("doc").alias("doc_a"), F.col(col).alias("_sa"))
+        b = frame.select(F.col("doc").alias("doc_b"), F.col(col).alias("_sb"))
+        return (
+            prs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter(F.col("_sa") != F.col("_sb"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(key))
+        )
+
+    leak_cluster = leaked(
+        lab.select("doc", "split"), "leaked_pairs_cluster_split", "split"
+    )
+    leak_doc = leaked(naive, "leaked_pairs_doc_split", "nsplit")
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak_cluster))
+        .crossJoin(F.broadcast(leak_doc))
+    )

@@ -2969,3 +2969,58 @@ def q179_lsh_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans — is oracle-exact."""
     d = t(spark, sf_dir, "documents")
     return D.lsh_tune(d, "doc_id", "text")
+
+
+def _sql_md5_split(key_expr: str) -> str:
+    """The hash_split 80/10/10 bucketing as a SQL CASE over ``key_expr``
+    (first two md5 hex digits of 'split:<key>'; 205/230 boundaries =
+    round(0.8*256)/round(0.9*256), matching operators/text.hash_split)."""
+    b = f"CAST(('0x' || substring(md5('split:' || CAST({key_expr} AS VARCHAR)), 1, 2)) AS INTEGER)"
+    return f"CASE WHEN {b} < 205 THEN 'train' WHEN {b} < 230 THEN 'val' ELSE 'test' END"
+
+
+@query(
+    "q180_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_JACCARD},
+    p AS (SELECT da, db FROM jac WHERE jaccard >= 0.6),
+    sym AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    ccl AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+            FROM reach GROUP BY src),
+    lab AS (SELECT d.doc_id AS doc, COALESCE(ccl.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN ccl ON ccl.doc = d.doc_id),
+    labs AS (SELECT doc, cluster, {_sql_md5_split('cluster')} AS split FROM lab),
+    nai AS (SELECT doc, {_sql_md5_split('doc')} AS split FROM lab),
+    leakc AS (SELECT COUNT(*) AS c FROM p
+              JOIN labs a ON a.doc = p.da JOIN labs b ON b.doc = p.db
+              WHERE a.split != b.split),
+    leakd AS (SELECT COUNT(*) AS c FROM p
+              JOIN nai a ON a.doc = p.da JOIN nai b ON b.doc = p.db
+              WHERE a.split != b.split)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST((SELECT c FROM leakc) AS BIGINT) AS leaked_pairs_cluster_split,
+           CAST((SELECT c FROM leakd) AS BIGINT) AS leaked_pairs_doc_split
+    FROM labs GROUP BY split
+    """,
+)
+def q180_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split
+    (operators/dedup.leakage_safe_split): whole near-dup clusters are
+    assigned to one split by hashing the CLUSTER id, so no
+    near-duplicate pair crosses a split boundary — the
+    train/test-contamination guard a doc-level split cannot give. The
+    output's two audit columns PROVE it on this corpus: the cluster
+    split leaks 0 pairs by construction while the doc-level
+    counterfactual (same salt, same fractions) shows the leakage a
+    naive split would have shipped. Everything — cluster labels, md5
+    split buckets, counts — is integer/string-deterministic, so the
+    whole decision artifact is oracle-exact."""
+    d = t(spark, sf_dir, "documents")
+    return D.leakage_safe_split(d, "doc_id", "text")

@@ -2324,3 +2324,33 @@ def test_lsh_tune_frontier(spark, docs):
     # those the max-precision one is on the frontier
     maxers = [r for r in out.values() if r["n_hit"] == best_hit]
     assert any(r["on_frontier"] for r in maxers)
+
+
+def test_leakage_safe_split_properties(spark):
+    """The cluster split must put near-dup clusters in ONE split
+    (leaked_pairs_cluster_split == 0 by construction), while a corpus
+    built so that a near-dup pair straddles the doc-level hash
+    boundary shows doc-level leakage > 0; totals and the audit
+    columns are consistent across the three rows."""
+    # craft docs where at least one near-dup pair's members hash to
+    # different doc-level splits: replicate a base text over many ids
+    # so SOME pair crosses the 80/10/10 doc-hash boundary
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + (" tail" if i % 7 == 0 else "")) for i in range(1, 61)]
+    rows += [(100 + i, f"unique document number {i} with its own words entirely") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.leakage_safe_split(d, "doc_id", "text").collect()
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in out) == 70
+    leaks_c = {r["leaked_pairs_cluster_split"] for r in out}
+    leaks_d = {r["leaked_pairs_doc_split"] for r in out}
+    assert leaks_c == {0}
+    assert len(leaks_d) == 1 and leaks_d.pop() > 0
+    # every doc of the big near-dup cluster must share one split:
+    # n_clusters summed over splits equals the distinct cluster count
+    lab = D.connected_components(
+        D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), 0.6)
+    )
+    n_clusters_graph = lab.select("cluster").distinct().count()
+    n_singletons = 70 - lab.select("doc").distinct().count()
+    assert sum(r["n_clusters"] for r in out) == n_clusters_graph + n_singletons
