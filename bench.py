@@ -290,11 +290,12 @@ def main() -> None:
     # scaling SLOPE (scaled/base, ~linear expected) next to the
     # absolute point. Not part of "value" — it is a different scale.
     # Disable with SPARK_GRAFT_SCALE_SLOPE=0.
+    factor = int(os.environ.get("SPARK_GRAFT_SLOPE_FACTOR", "10"))
     if os.environ.get("SPARK_GRAFT_SCALE_SLOPE", "1") != "0":
         from scripts.scale_slope import run_slope
 
-        factor = int(os.environ.get("SPARK_GRAFT_SLOPE_FACTOR", "10"))
         out["scale_slope"] = run_slope(spark, sf_dir, factor)
+        out["scale_slope"]["factor"] = factor
         for q, sl in out["scale_slope"]["slope"].items():
             print(f"# slope {q}: {sl}x at {factor}x rows", file=sys.stderr)
 
@@ -303,10 +304,13 @@ def main() -> None:
     # one-off PLANS.md table; the round-9 artifact-vs-claim discrepancy
     # was only caught because a recorded number existed, so the deeper
     # factor now ships in the artifact too). min-of-2 per scale, same
-    # as the 10x block. Disable with SPARK_GRAFT_SCALE_SLOPE_30X=0.
+    # as the first block. Skipped when SPARK_GRAFT_SLOPE_FACTOR already
+    # IS 30 (the first block covered it — no double-run, no mislabel).
+    # Disable with SPARK_GRAFT_SCALE_SLOPE_30X=0.
     if (
         os.environ.get("SPARK_GRAFT_SCALE_SLOPE", "1") != "0"
         and os.environ.get("SPARK_GRAFT_SCALE_SLOPE_30X", "1") != "0"
+        and factor != 30
     ):
         from scripts.scale_slope import run_slope
 
@@ -332,8 +336,9 @@ def main() -> None:
         compact["scale_slope_file"] = "bench_result.json"
         # slope ratios inline (base/scaled seconds stay in the full
         # file): the driver's tail window is small, and the recorded
-        # artifact must carry the slope numbers themselves
-        compact["slope_10x"] = out["scale_slope"]["slope"]
+        # artifact must carry the slope numbers themselves — keyed by
+        # the factor that actually ran, never a hardcoded label
+        compact[f"slope_{out['scale_slope']['factor']}x"] = out["scale_slope"]["slope"]
     if "scale_slope_30x" in out:
         compact["slope_30x"] = out["scale_slope_30x"]["slope"]
     print(json.dumps(compact, separators=(",", ":")))

@@ -1679,7 +1679,10 @@ def lsh_tune(
     frontier together)."""
     for b, r in grid:
         if b * r > num_hashes:
-            raise ValueError(f"grid point {(b, r)} needs {b * r} > {num_hashes} members")
+            raise ValueError(
+                f"grid point {(b, r)} needs {b * r} signature members "
+                f"but only {num_hashes} are available"
+            )
     sh = pin(shingles(docs, id_col, text_col, n))
     sig = pin(minhash_signatures(sh, num_hashes))
     truth = pin(jaccard_pairs(sh, threshold=threshold).select("doc_a", "doc_b"))

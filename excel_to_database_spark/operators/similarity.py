@@ -273,6 +273,35 @@ _NL_COUNT_CAP = 16_777_216
 _NL_MAX = 4096
 
 
+def _spread_cpu_dense(base: DataFrame, n_lists: int | None):
+    """Shared sizing step for the IVF-cell family's CPU-dense,
+    byte-light pipelines (interpreted decimal folds, per-cell Gram):
+    neither the input's file-split count (2 files at slope-test scale)
+    nor AQE's byte-based coalescing sizes those stages correctly —
+    both serialized a 30x run onto 2 of 32 cores. Derives ``n_lists``
+    (⌈√N⌉, the FAISS convention, from a bounded count) when None, and
+    spreads the rows by an explicit round-robin repartition (exempt
+    from AQE coalescing) at width ∝ corpus (≥256 vectors per task, so
+    a small corpus doesn't pay 32-task scheduling overhead), skipped
+    when the source already has enough splits (any real-scale table).
+    With an explicit ``n_lists`` the corpus is NOT counted (callers
+    opting into manual tuning keep their single-pass cost); the width
+    then defaults to full parallelism. Returns (base, n_lists, P)."""
+    import math
+
+    dp = base.sparkSession.sparkContext.defaultParallelism
+    if n_lists is None:
+        n = base.limit(_NL_COUNT_CAP).count()
+        n_lists = max(1, min(_NL_MAX, math.ceil(math.sqrt(n))))
+        p = max(1, min(dp, math.ceil(n / 256)))
+    else:
+        p = dp
+    if base.rdd.getNumPartitions() < p:
+        base = base.repartition(p)
+    return base, n_lists, p
+
+
+
 def semantic_dedup_blocked(
     emb: DataFrame,
     id_col: str,
@@ -318,26 +347,7 @@ def semantic_dedup_blocked(
     scored), the same dial as ``n_lists`` itself. ``max_cell=None``
     disables the split."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # CPU-dense, byte-light pipeline: the interpreted decimal folds and
-    # the per-cell Gram cost orders of magnitude more CPU per byte than
-    # a normal scan, so neither the input's file-split count (2 files
-    # at slope-test scale) nor AQE's byte-based coalescing sizes the
-    # stages correctly — both serialized the 30x run onto 2 of 32
-    # cores. Explicit round-robin repartition (exempt from AQE
-    # coalescing) spreads the fold work; skipped when the source
-    # already has enough splits (any real-scale table).
-    import math
-
-    n = base.limit(_NL_COUNT_CAP).count()
-    if n_lists is None:
-        n_lists = max(1, min(_NL_MAX, math.ceil(math.sqrt(n))))
-    # width ∝ corpus (≥256 vectors per task) so a small corpus doesn't
-    # pay 32-task scheduling overhead for microseconds of fold work
-    _P = max(1, min(
-        emb.sparkSession.sparkContext.defaultParallelism, math.ceil(n / 256)
-    ))
-    if base.rdd.getNumPartitions() < _P:
-        base = base.repartition(_P)
+    base, n_lists, _P = _spread_cpu_dense(base, n_lists)
 
     def dfold(arr):
         return F.aggregate(
@@ -2368,26 +2378,7 @@ def semantic_balanced_sample(
     partitions on cell — bounded by cell occupancy, the same dial as
     the dedup blocking."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # CPU-dense, byte-light pipeline: the interpreted decimal folds and
-    # the per-cell Gram cost orders of magnitude more CPU per byte than
-    # a normal scan, so neither the input's file-split count (2 files
-    # at slope-test scale) nor AQE's byte-based coalescing sizes the
-    # stages correctly — both serialized the 30x run onto 2 of 32
-    # cores. Explicit round-robin repartition (exempt from AQE
-    # coalescing) spreads the fold work; skipped when the source
-    # already has enough splits (any real-scale table).
-    import math
-
-    n = base.limit(_NL_COUNT_CAP).count()
-    if n_lists is None:
-        n_lists = max(1, min(_NL_MAX, math.ceil(math.sqrt(n))))
-    # width ∝ corpus (≥256 vectors per task) so a small corpus doesn't
-    # pay 32-task scheduling overhead for microseconds of fold work
-    _P = max(1, min(
-        emb.sparkSession.sparkContext.defaultParallelism, math.ceil(n / 256)
-    ))
-    if base.rdd.getNumPartitions() < _P:
-        base = base.repartition(_P)
+    base, n_lists, _P = _spread_cpu_dense(base, n_lists)
     cents = (
         base.orderBy(F.asc("id"))
         .limit(n_lists)
@@ -2436,26 +2427,7 @@ def prototypicality_prune(
     (cell, pos); the per-cell rank window is bounded by cell
     occupancy, the family's standard dial."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # CPU-dense, byte-light pipeline: the interpreted decimal folds and
-    # the per-cell Gram cost orders of magnitude more CPU per byte than
-    # a normal scan, so neither the input's file-split count (2 files
-    # at slope-test scale) nor AQE's byte-based coalescing sizes the
-    # stages correctly — both serialized the 30x run onto 2 of 32
-    # cores. Explicit round-robin repartition (exempt from AQE
-    # coalescing) spreads the fold work; skipped when the source
-    # already has enough splits (any real-scale table).
-    import math
-
-    n = base.limit(_NL_COUNT_CAP).count()
-    if n_lists is None:
-        n_lists = max(1, min(_NL_MAX, math.ceil(math.sqrt(n))))
-    # width ∝ corpus (≥256 vectors per task) so a small corpus doesn't
-    # pay 32-task scheduling overhead for microseconds of fold work
-    _P = max(1, min(
-        emb.sparkSession.sparkContext.defaultParallelism, math.ceil(n / 256)
-    ))
-    if base.rdd.getNumPartitions() < _P:
-        base = base.repartition(_P)
+    base, n_lists, _P = _spread_cpu_dense(base, n_lists)
     cents = (
         base.orderBy(F.asc("id"))
         .limit(n_lists)

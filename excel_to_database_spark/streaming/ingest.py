@@ -574,20 +574,30 @@ def run_stream_to_memory(
         .outputMode(output_mode)
         .trigger(availableNow=True)
     )
+    conf_rocks = "spark.sql.streaming.stateStore.rocksdb.localRootDir"
+    prev_rocks = spark.conf.get(conf_rocks, None)
     if scratch is not None:
         ckpt = f"{scratch}/etds_replay_ckpt/{name}_{uuid.uuid4().hex}"
         writer = writer.option("checkpointLocation", ckpt)
         _EPHEMERAL_CKPTS.append(ckpt)
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb.localRootDir",
-            f"{scratch}/etds_replay_rocksdb",
-        )
+        rocks = f"{scratch}/etds_replay_rocksdb"
+        spark.conf.set(conf_rocks, rocks)
+        if rocks not in _EPHEMERAL_CKPTS:
+            _EPHEMERAL_CKPTS.append(rocks)  # scratch RAM freed with the ckpts
     spark.conf.set(conf_parts, str(cap))
     try:
         q = writer.start()
         q.awaitTermination()
     finally:
+        # restore BOTH confs: the replay must not redirect a durable
+        # stream's RocksDB working set into tmpfs (state bigger than
+        # /dev/shm would fail it), nor leak the partition cap
         spark.conf.set(conf_parts, prev_parts)
+        if scratch is not None:
+            if prev_rocks is None:
+                spark.conf.unset(conf_rocks)
+            else:
+                spark.conf.set(conf_rocks, prev_rocks)
     _MEMORY_SINKS.append(name)
     return spark.table(name)
 
@@ -673,15 +683,21 @@ def stream_bucket_drift(
     q172/q174 path. Exactly-once via the batch-id-keyed sink."""
     from excel_to_database_spark.operators.text import tv_from_counts
 
+    from excel_to_database_spark.operators.caching import pin
+
     g = [group_col] if group_col else []
-    # Materialize the baseline ONCE before the loop starts —
-    # localCheckpoint(eager) truncates lineage so each micro-batch's
-    # join reads the pinned blocks instead of re-running the
-    # baseline's upstream aggregation/scan every trigger (the
-    # docstring's "loaded once" claim, made true).
-    base = baseline.select(
-        *g, F.col(bucket_col), F.col("c_old").cast("bigint").alias("c_old")
-    ).localCheckpoint(eager=True)
+    # Cache the baseline so each micro-batch's join reads the cached
+    # blocks instead of re-running the upstream aggregation/scan every
+    # trigger (the docstring's "loaded once" claim, made true after
+    # the first batch). pin (persist), NOT localCheckpoint: a
+    # checkpoint truncates lineage into non-recomputable blocks, so a
+    # long-running production stream would die permanently on the
+    # first executor loss — the cache self-heals by recomputation.
+    base = pin(
+        baseline.select(
+            *g, F.col(bucket_col), F.col("c_old").cast("bigint").alias("c_old")
+        )
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -177,7 +177,8 @@ def table_diff(
     comparison are null-safe (NULL↔NULL matches, NULL↔value is a
     change), so composite keys with nullable components classify
     correctly; row presence is tracked by explicit per-side marker
-    columns rather than key-null sniffing. Plan: ONE full outer join
+    columns (dunder-named so no ``_o_``-prefixed data column can
+    collide) rather than key-null sniffing. Plan: ONE full outer join
     on the key — shuffle-hash / sort-merge on the key columns at
     scale, no windows, no second pass; the changed-columns string is
     a codegen'd concat of CASE marks, so the diff costs exactly one
@@ -189,20 +190,20 @@ def table_diff(
     o = old.select(
         *[F.col(k).alias(f"_ko_{k}") for k in keys],
         *[F.col(c).alias(f"_o_{c}") for c in compare],
-        F.lit(True).alias("_o_present"),
+        F.lit(True).alias("__etds_in_old__"),
     )
     n = new.select(
         *[F.col(k).alias(f"_kn_{k}") for k in keys],
         *[F.col(c).alias(f"_n_{c}") for c in compare],
-        F.lit(True).alias("_n_present"),
+        F.lit(True).alias("__etds_in_new__"),
     )
     cond = None
     for k in keys:
         eq = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
-    in_old = F.col("_o_present").isNotNull()
-    in_new = F.col("_n_present").isNotNull()
+    in_old = F.col("__etds_in_old__").isNotNull()
+    in_new = F.col("__etds_in_new__").isNotNull()
     marks = [
         F.when(
             ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)

@@ -1240,3 +1240,32 @@ def test_stream_bucket_drift_matches_batch(spark, sf_dir, tmp_path):
         matched.add(hit[0])
     assert matched == {True, False}
     spark.sql("DROP TABLE IF EXISTS t_stream_drift")
+
+
+def test_replay_helper_conf_restore_and_ckpt_cleanup(spark):
+    """run_stream_to_memory must (a) cap replay state partitions
+    without leaking the cap into the session (the conf is restored
+    even though the cap only lowers, never raises, a small session
+    setting), and (b) register its tmpfs checkpoint for deep_evict
+    deletion AFTER StateStore.stop() — never leave dirs behind."""
+    import os
+
+    from excel_to_database_spark.operators.caching import deep_evict
+    from excel_to_database_spark.streaming import ingest as I
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    df = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    out = I.run_stream_to_memory(
+        spark, df.select("value"), "t_replay_helper", output_mode="append"
+    )
+    assert out.count() >= 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    if I._fast_scratch_root() is not None:
+        # list holds the per-query checkpoint dir (created) and the
+        # shared RocksDB scratch root (created only by stateful
+        # queries — a stateless rate-source replay never makes it)
+        dirs = list(I._EPHEMERAL_CKPTS)
+        assert any("etds_replay_ckpt" in d and os.path.isdir(d) for d in dirs)
+        deep_evict(spark)
+        assert not I._EPHEMERAL_CKPTS
+        assert not any(os.path.isdir(d) for d in dirs)
