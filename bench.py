@@ -137,6 +137,9 @@ HEADLINE = [
     # round-11 addition: cluster-aware train/val/test split with the
     # leakage audit (0 cross-split near-dup pairs, proven in-output)
     "q180_leakage_safe_split",
+    # round-11 addition: token-budget mixture waterfilling (integer
+    # saturation decisions, closed-form prefix pass)
+    "q181_token_budget_allocation",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

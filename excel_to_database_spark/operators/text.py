@@ -1043,3 +1043,102 @@ def tv_from_counts(
         tv.alias("tv_distance"),
         drifted.alias("drifted"),
     )
+
+
+def token_budget_allocation(
+    counts,
+    budget: int,
+    source_col: str = "source",
+    avail_col: str = "avail_tokens",
+    weight_col: str = "weight",
+):
+    """Token-budget MIXTURE ALLOCATION (waterfilling): given one row
+    per source with available tokens and a mixture weight, split an
+    overall token ``budget`` across sources proportionally to weight,
+    capping each source at its availability and redistributing the
+    excess over the unsaturated rest — the allocation step behind
+    every "hit B tokens at these domain proportions" training-mix
+    decision (the weights are the DoReMi/manual mixture; this operator
+    turns them into per-source token counts the sampler can execute).
+
+    Closed form, no iteration: sources sorted by avail/weight — the
+    budget-per-weight level at which each saturates — are
+    prefix-closed under saturation, so one pass of cumulative sums
+    decides every source: s (with the sorted prefix's sums ca/cw
+    before it) is saturated iff avail_s·(W−cw) ≤ (T−ca)·w_s, where
+    T = min(budget, Σavail) and W = Σweight; unsaturated sources get
+    ⌊(T−SA)·w_s/(W−SW)⌋ with SA/SW the saturated totals. All
+    decisions are INTEGER cross-products (the sort key's IEEE division
+    of the same integers is bit-identical across engines), so the
+    whole allocation — including the saturated booleans — is
+    oracle-exact. Flooring under-allocates by < #sources tokens,
+    documented rather than redistributed.
+
+    Returns (source, avail_tokens, weight, allocated_tokens,
+    sampling_rate, saturated). Scale shape: the input is one row per
+    SOURCE (domain), so the global-window pass is bounded by the
+    number of domains, never the corpus; building ``counts`` is the
+    caller's one aggregation over the corpus."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    c = counts.select(
+        F.col(source_col).alias("source"),
+        F.col(avail_col).cast("bigint").alias("avail_tokens"),
+        F.col(weight_col).cast("bigint").alias("weight"),
+    )
+    tot = c.agg(
+        F.sum("avail_tokens").alias("_ta"), F.sum("weight").alias("_tw")
+    )
+    c = c.crossJoin(F.broadcast(tot)).withColumn(
+        "_T", F.least(F.lit(int(budget)).cast("bigint"), F.col("_ta"))
+    )
+    from pyspark.sql import Window
+
+    ratio = F.col("avail_tokens") / F.col("weight")
+    w_ord = Window.orderBy(ratio.asc(), F.col("source").asc())
+    prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    c = c.withColumn(
+        "_ca", F.coalesce(F.sum("avail_tokens").over(prev), F.lit(0))
+    ).withColumn("_cw", F.coalesce(F.sum("weight").over(prev), F.lit(0)))
+    sat = (
+        F.col("avail_tokens") * (F.col("_tw") - F.col("_cw"))
+        <= (F.col("_T") - F.col("_ca")) * F.col("weight")
+    )
+    c = c.withColumn("saturated", sat)
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = c.withColumn(
+        "_sa",
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("avail_tokens"))).over(whole),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "_sw",
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("weight"))).over(whole),
+            F.lit(0),
+        ),
+    )
+    # greatest(...) guards the numerator: flooring semantics must never
+    # see a negative (Spark div truncates toward zero, DuckDB // floors
+    # toward -inf — they agree only on non-negatives)
+    alloc = F.when(F.col("saturated"), F.col("avail_tokens")).otherwise(
+        F.expr(
+            "CAST(greatest(_T - _sa, 0) * weight AS BIGINT) div (_tw - _sw)"
+        )
+    )
+    return c.select(
+        "source",
+        "avail_tokens",
+        "weight",
+        alloc.cast("bigint").alias("allocated_tokens"),
+        F.when(
+            F.col("avail_tokens") > 0,
+            alloc.cast("double") / F.col("avail_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sampling_rate"),
+        "saturated",
+    )

@@ -3024,3 +3024,63 @@ def q180_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole decision artifact is oracle-exact."""
     d = t(spark, sf_dir, "documents")
     return D.leakage_safe_split(d, "doc_id", "text")
+
+
+@query(
+    "q181_token_budget_allocation",
+    f"""
+    WITH cnt AS (SELECT source,
+                        CAST(SUM({T.SQL_TOKEN_COUNT_WS.format(t='text')}) AS BIGINT) AS avail,
+                        CAST(length(source) % 3 + 1 AS BIGINT) AS w
+                 FROM documents GROUP BY source),
+    tot AS (SELECT SUM(avail) AS ta, SUM(w) AS tw FROM cnt),
+    lvl AS (SELECT LEAST(ta // 2, ta) AS T, tw AS W FROM tot),
+    ord AS (SELECT cnt.*,
+                   COALESCE(SUM(avail) OVER (ORDER BY avail * 1.0 / w, source
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS ca,
+                   COALESCE(SUM(w) OVER (ORDER BY avail * 1.0 / w, source
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS cw
+            FROM cnt),
+    flag AS (SELECT ord.*,
+                    avail * ((SELECT W FROM lvl) - cw)
+                      <= ((SELECT T FROM lvl) - ca) * w AS sat
+             FROM ord),
+    sums AS (SELECT COALESCE(SUM(CASE WHEN sat THEN avail END), 0) AS sa,
+                    COALESCE(SUM(CASE WHEN sat THEN w END), 0) AS sw
+             FROM flag),
+    alloc AS (SELECT flag.*,
+                     CAST(CASE WHEN sat THEN avail
+                          ELSE GREATEST((SELECT T FROM lvl) - (SELECT sa FROM sums), 0)
+                               * w // ((SELECT W FROM lvl) - (SELECT sw FROM sums))
+                          END AS BIGINT) AS a
+              FROM flag)
+    SELECT source,
+           avail AS avail_tokens,
+           w AS weight,
+           a AS allocated_tokens,
+           CASE WHEN avail > 0 THEN CAST(a AS DOUBLE) / avail ELSE 0.0 END
+             AS sampling_rate,
+           sat AS saturated
+    FROM alloc
+    """,
+)
+def q181_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation
+    (operators/text.token_budget_allocation): waterfill HALF the
+    corpus's whitespace tokens across sources at deterministic weights
+    (len(source) % 3 + 1 — engine-portable stand-ins for the
+    DoReMi/manual mixture weights), capping each source at its
+    availability and redistributing the excess over the unsaturated
+    rest. The closed-form prefix pass makes every decision with
+    integer cross-products, so allocations, sampling rates, AND the
+    saturated booleans are oracle-exact. The budget scalar is one
+    bounded driver read of a 1-row aggregate (meta, not data plane)."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum(T.token_count_ws(F.col("text"))).cast("bigint").alias("avail_tokens"),
+        (F.length(F.first("source")) % 3 + 1).cast("bigint").alias("weight"),
+    )
+    total = counts.agg(F.sum("avail_tokens")).collect()[0][0]  # 1-row meta read
+    return T.token_budget_allocation(counts, budget=int(total) // 2)

@@ -2354,3 +2354,35 @@ def test_leakage_safe_split_properties(spark):
     n_clusters_graph = lab.select("cluster").distinct().count()
     n_singletons = 70 - lab.select("doc").distinct().count()
     assert sum(r["n_clusters"] for r in out) == n_clusters_graph + n_singletons
+
+
+def test_token_budget_allocation_waterfill(spark):
+    """Hand-computed waterfilling cases: saturation is prefix-closed in
+    avail/weight order, saturated sources keep their availability, the
+    unsaturated share the remainder by weight (floored), and the total
+    never exceeds the budget."""
+    def run(rows, budget):
+        c = spark.createDataFrame(rows, "source string, avail_tokens long, weight long")
+        return {r["source"]: r for r in T.token_budget_allocation(c, budget).collect()}
+
+    # A and B saturate, C absorbs the remainder exactly
+    out = run([("A", 100, 1), ("B", 1000, 1), ("C", 10000, 1)], 3000)
+    assert (out["A"]["allocated_tokens"], out["A"]["saturated"]) == (100, True)
+    assert (out["B"]["allocated_tokens"], out["B"]["saturated"]) == (1000, True)
+    assert (out["C"]["allocated_tokens"], out["C"]["saturated"]) == (1900, False)
+    assert out["C"]["sampling_rate"] == 1900 / 10000
+    assert sum(r["allocated_tokens"] for r in out.values()) == 3000
+
+    # budget >= availability: everything saturates at rate 1.0
+    out = run([("A", 10, 2), ("B", 20, 1)], 1000)
+    assert all(r["saturated"] and r["sampling_rate"] == 1.0 for r in out.values())
+    assert sum(r["allocated_tokens"] for r in out.values()) == 30
+
+    # nobody saturates: pure weight proportions, floored
+    out = run([("A", 300, 3), ("B", 300, 1)], 200)
+    assert (out["A"]["allocated_tokens"], out["A"]["saturated"]) == (150, False)
+    assert (out["B"]["allocated_tokens"], out["B"]["saturated"]) == (50, False)
+
+    # zero budget allocates nothing
+    out = run([("A", 300, 3), ("B", 300, 1)], 0)
+    assert all(r["allocated_tokens"] == 0 for r in out.values())
