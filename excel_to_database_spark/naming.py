@@ -1,11 +1,16 @@
 """Identifier sanitization rules.
 
 Reproduces the reference's naming semantics (cited for parity):
-  * ``to_alnum`` keeps only ``[A-Za-z0-9_]`` in column identifiers
-    (reference: app/data.py:24-27).
+  * ``to_alnum`` keeps characters for which ``str.isalnum()`` is true,
+    plus underscore — UNICODE-true, so ``café`` stays ``café`` and
+    ``名前`` stays ``名前`` (reference: app/data.py:24-27, a
+    ``char.isalnum() or char == '_'`` filter). The round-11 version
+    used an ASCII ``[A-Za-z0-9_]`` class, which silently renamed
+    non-ASCII headers differently than the reference would.
   * ``sqlify`` lower-cases and collapses non-alphanumeric runs to ``_``
-    for table names derived from sheet names (reference: app/data.py:84-85,
-    applied at app/home.py:27).
+    for table names derived from sheet names — deliberately ASCII,
+    matching the reference's own ASCII regex exactly (reference:
+    app/data.py:84-85, applied at app/home.py:27).
 
 Both are pure driver-side functions — they touch identifiers, never data.
 """
@@ -14,13 +19,14 @@ from __future__ import annotations
 
 import re
 
-_ALNUM_RE = re.compile(r"[^A-Za-z0-9_]")
 _SQLIFY_RE = re.compile(r"[^a-zA-Z0-9]+")
 
 
 def to_alnum(name: str) -> str:
-    """Strip every character outside ``[A-Za-z0-9_]`` from an identifier."""
-    return _ALNUM_RE.sub("", name)
+    """Keep only alphanumeric characters (``str.isalnum()``, i.e.
+    Unicode categories L*/Nd/Nl/No) and underscores — the reference's
+    exact filter semantics (app/data.py:24-27)."""
+    return "".join(c for c in name if c == "_" or c.isalnum())
 
 
 def sqlify(name: str) -> str:

@@ -9,14 +9,22 @@ def _local_path(spark, path: str) -> str | None:
     """Return the driver-local filesystem path for ``path`` when a
     driver-side stat is AUTHORITATIVE for it, else None.
 
-    Authoritative means: the path carries an explicit ``file:`` scheme
-    (any slash count — ``file:/x``, ``file:///x``), or it is
-    scheme-less AND the Hadoop ``fs.defaultFS`` is the local
+    Authoritative means: the master is ``local*`` (on a multi-node
+    cluster even a ``file:`` URI can name a shared mount that is
+    present on the executors but absent on the driver, so a driver
+    stat is never trusted there), AND the path carries an explicit
+    ``file:`` scheme (any slash count — ``file:/x``, ``file:///x``)
+    or is scheme-less with the Hadoop ``fs.defaultFS`` on the local
     filesystem. A scheme-less path on a cluster whose defaultFS is
     HDFS/S3 resolves REMOTELY inside Spark, so a local stat there
     would misreport an existing asset as absent — the silent-rebuild
-    hazard the IVF-PQ index gate documents. Those paths (and every
-    explicit remote URI) return None and take the Spark probe."""
+    hazard the IVF-PQ index gate documents. Non-authoritative paths
+    return None and take the Spark probe."""
+    try:
+        if not spark.sparkContext.master.startswith("local"):
+            return None
+    except Exception:
+        return None
     if path.startswith("file:"):
         p = path[len("file:"):]
         return "/" + p.lstrip("/") if p.startswith("/") else p
@@ -50,8 +58,12 @@ def maybe_read_parquet(spark, path: str):
 
     from pyspark.errors import AnalysisException
 
+    # os.path.exists, not isdir: a single parquet FILE is a perfectly
+    # readable spark.read.parquet target, and misreporting it as
+    # absent would feed the build-once gates the exact silent-rebuild
+    # hazard this module exists to avoid (round-11 advisor finding).
     local = _local_path(spark, path)
-    if local is not None and not os.path.isdir(local):
+    if local is not None and not os.path.exists(local):
         return None
     try:
         return spark.read.parquet(path)

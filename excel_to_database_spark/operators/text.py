@@ -1028,11 +1028,16 @@ def tv_from_counts(
         * F.lit(2.0)
     )
     # Exact integer verdict, with an overflow guard: if either
-    # decimal(38,0) product NULLs out (non-ANSI overflow — see the
-    # docstring bound), fall back to the double comparison instead of
-    # emitting a NULL verdict.
-    lhs = F.col("num") * F.lit(den)
-    rhs = d19("n_old") * d19("n_new") * F.lit(2 * nt)
+    # decimal(38,0) product NULLs out, fall back to the double
+    # comparison instead of emitting a NULL verdict. try_multiply, not
+    # `*`: under Spark 4's default ANSI mode a plain decimal overflow
+    # THROWS before isNotNull could ever see it, which made this guard
+    # dead code (round-11 advisor finding); try_multiply restores the
+    # overflow→NULL semantics the fallback was written for.
+    lhs = F.try_multiply(F.col("num"), F.lit(den))
+    rhs = F.try_multiply(
+        F.try_multiply(d19("n_old"), d19("n_new")), F.lit(2 * nt)
+    )
     drifted = F.when(
         lhs.isNotNull() & rhs.isNotNull(), lhs >= rhs
     ).otherwise(tv >= F.lit(float(threshold)))
@@ -1081,10 +1086,63 @@ def token_budget_allocation(
     caller's one aggregation over the corpus."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    # Weight validation + fractional-weight support (round-11 advisor
+    # finding: a bare bigint cast truncates DoReMi-style fractional
+    # weights — 0.3 → 0 — and the avail/weight sort key then divides
+    # by zero under ANSI). The probe is a 1-row aggregate over the
+    # per-SOURCE frame (bounded by |domains|, meta not data plane).
+    probe = counts.agg(
+        F.min(F.col(weight_col)).alias("w_min"),
+        F.sum(
+            F.when(F.col(weight_col).isNull(), 1).otherwise(0)
+        ).alias("n_null"),
+        F.sum(
+            F.when(
+                F.col(weight_col).cast("double")
+                != F.floor(F.col(weight_col).cast("double")).cast("double"),
+                1,
+            ).otherwise(0)
+        ).alias("n_frac"),
+    ).collect()[0]
+    if probe["n_null"] or probe["w_min"] is None or float(probe["w_min"]) <= 0:
+        raise ValueError(
+            "weights must be non-null and > 0 "
+            f"(min={probe['w_min']}, nulls={probe['n_null']})"
+        )
+    if probe["n_frac"]:
+        # Rescale fractional weights to exact integers so every
+        # downstream decision stays an integer cross-product: collect
+        # the distinct weights (bounded by |domains|), convert each to
+        # an exact Fraction, clear denominators with the LCM, reduce
+        # by the GCD.  The allocation is scale-invariant in the
+        # weights, so the result is identical to the real-valued
+        # waterfill; the OUTPUT weight column keeps the caller's
+        # original values.
+        import math
+        from fractions import Fraction
+
+        vals = [
+            r[0]
+            for r in counts.select(F.col(weight_col).cast("double")).distinct().collect()
+        ]
+        fracs = {v: Fraction(v).limit_denominator(1_000_000) for v in vals}
+        lcm = math.lcm(*[fr.denominator for fr in fracs.values()])
+        ints = {v: fr.numerator * (lcm // fr.denominator) for v, fr in fracs.items()}
+        g = math.gcd(*ints.values())
+        ints = {v: i // g for v, i in ints.items()}
+        mapping = F.create_map(
+            *[F.lit(x) for v, i in ints.items() for x in (v, i)]
+        )
+        int_weight = mapping[F.col(weight_col).cast("double")].cast("bigint")
+        out_weight = F.col(weight_col)
+    else:
+        int_weight = F.col(weight_col).cast("bigint")
+        out_weight = int_weight
     c = counts.select(
         F.col(source_col).alias("source"),
         F.col(avail_col).cast("bigint").alias("avail_tokens"),
-        F.col(weight_col).cast("bigint").alias("weight"),
+        int_weight.alias("weight"),
+        out_weight.alias("_weight_out"),
     )
     tot = c.agg(
         F.sum("avail_tokens").alias("_ta"), F.sum("weight").alias("_tw")
@@ -1100,9 +1158,14 @@ def token_budget_allocation(
     c = c.withColumn(
         "_ca", F.coalesce(F.sum("avail_tokens").over(prev), F.lit(0))
     ).withColumn("_cw", F.coalesce(F.sum("weight").over(prev), F.lit(0)))
+    # decimal(38,0) cross-products: with fractional weights rescaled to
+    # integers the bigint products can exceed 2^63 (avail ~1e15 ×
+    # Σweight ~1e10); decimal comparison is exact below 1e38 and never
+    # rounds.
+    d38 = lambda c: c.cast("decimal(38,0)")
     sat = (
-        F.col("avail_tokens") * (F.col("_tw") - F.col("_cw"))
-        <= (F.col("_T") - F.col("_ca")) * F.col("weight")
+        d38(F.col("avail_tokens")) * d38(F.col("_tw") - F.col("_cw"))
+        <= d38(F.col("_T") - F.col("_ca")) * d38(F.col("weight"))
     )
     c = c.withColumn("saturated", sat)
     whole = Window.rowsBetween(
@@ -1123,16 +1186,21 @@ def token_budget_allocation(
     )
     # greatest(...) guards the numerator: flooring semantics must never
     # see a negative (Spark div truncates toward zero, DuckDB // floors
-    # toward -inf — they agree only on non-negatives)
+    # toward -inf — they agree only on non-negatives).  The floor
+    # division is split N·w/D = (N div D)·w + ((N mod D)·w) div D so
+    # every intermediate stays within bigint even with rescaled
+    # fractional weights (N·w alone can pass 2^63); the identity is
+    # exact for non-negative operands.
     alloc = F.when(F.col("saturated"), F.col("avail_tokens")).otherwise(
         F.expr(
-            "CAST(greatest(_T - _sa, 0) * weight AS BIGINT) div (_tw - _sw)"
+            "(greatest(_T - _sa, 0) div (_tw - _sw)) * weight"
+            " + ((greatest(_T - _sa, 0) % (_tw - _sw)) * weight) div (_tw - _sw)"
         )
     )
     return c.select(
         "source",
         "avail_tokens",
-        "weight",
+        F.col("_weight_out").alias("weight"),
         alloc.cast("bigint").alias("allocated_tokens"),
         F.when(
             F.col("avail_tokens") > 0,

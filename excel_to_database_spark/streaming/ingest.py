@@ -518,11 +518,24 @@ def stream_dedup_clusters(
 _MEMORY_SINKS: list[str] = []
 
 
-#: throwaway checkpoint dirs created by bounded replays, deleted by
-#: ``deep_evict`` after the state-store providers are unloaded (never
-#: mid-flight — a RocksDB maintenance thread may still be uploading a
-#: snapshot into the dir when the query terminates).
+#: throwaway checkpoint dirs created by bounded replays. Each replay
+#: best-effort-deletes its own checkpoint right after termination (a
+#: long session driving many replays must not accumulate RAM-backed
+#: tmpfs); ``deep_evict`` remains the backstop that reaps anything a
+#: late RocksDB maintenance thread re-created, after the state-store
+#: providers are unloaded.
 _EPHEMERAL_CKPTS: list[str] = []
+
+#: serializes bounded replays: run_stream_to_memory temporarily
+#: rewrites session-global confs (shuffle-partition cap + RocksDB
+#: tmpfs localRootDir) around the replay, and two interleaved replays
+#: would clobber each other's restores. NOTE the lock only covers
+#: replays — starting a DURABLE stream from another thread during a
+#: replay window would still inherit the tmpfs RocksDB root (state
+#: bigger than /dev/shm fails it); don't do that.
+import threading as _threading
+
+_REPLAY_LOCK = _threading.Lock()
 
 
 def _fast_scratch_root() -> str | None:
@@ -562,42 +575,52 @@ def run_stream_to_memory(
       their setting; results are partition-count-independent (every
       registered stateful op folds commutatively, and the oracles
       verify it at a different count than bench runs)."""
+    import shutil
     import uuid
 
     scratch = _fast_scratch_root()
-    conf_parts = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(conf_parts)
-    cap = min(int(prev_parts), 16)
     writer = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
     )
+    conf_parts = "spark.sql.shuffle.partitions"
     conf_rocks = "spark.sql.streaming.stateStore.rocksdb.localRootDir"
-    prev_rocks = spark.conf.get(conf_rocks, None)
-    if scratch is not None:
-        ckpt = f"{scratch}/etds_replay_ckpt/{name}_{uuid.uuid4().hex}"
-        writer = writer.option("checkpointLocation", ckpt)
-        _EPHEMERAL_CKPTS.append(ckpt)
-        rocks = f"{scratch}/etds_replay_rocksdb"
-        spark.conf.set(conf_rocks, rocks)
-        if rocks not in _EPHEMERAL_CKPTS:
-            _EPHEMERAL_CKPTS.append(rocks)  # scratch RAM freed with the ckpts
-    spark.conf.set(conf_parts, str(cap))
-    try:
-        q = writer.start()
-        q.awaitTermination()
-    finally:
-        # restore BOTH confs: the replay must not redirect a durable
-        # stream's RocksDB working set into tmpfs (state bigger than
-        # /dev/shm would fail it), nor leak the partition cap
-        spark.conf.set(conf_parts, prev_parts)
+    ckpt = None
+    with _REPLAY_LOCK:
+        prev_parts = spark.conf.get(conf_parts)
+        cap = min(int(prev_parts), 16)
+        prev_rocks = spark.conf.get(conf_rocks, None)
         if scratch is not None:
-            if prev_rocks is None:
-                spark.conf.unset(conf_rocks)
-            else:
-                spark.conf.set(conf_rocks, prev_rocks)
+            ckpt = f"{scratch}/etds_replay_ckpt/{name}_{uuid.uuid4().hex}"
+            writer = writer.option("checkpointLocation", ckpt)
+            _EPHEMERAL_CKPTS.append(ckpt)
+            rocks = f"{scratch}/etds_replay_rocksdb"
+            spark.conf.set(conf_rocks, rocks)
+            if rocks not in _EPHEMERAL_CKPTS:
+                _EPHEMERAL_CKPTS.append(rocks)  # scratch RAM freed with ckpts
+        spark.conf.set(conf_parts, str(cap))
+        try:
+            q = writer.start()
+            q.awaitTermination()
+        finally:
+            # restore BOTH confs: the replay must not redirect a durable
+            # stream's RocksDB working set into tmpfs (state bigger than
+            # /dev/shm would fail it), nor leak the partition cap
+            spark.conf.set(conf_parts, prev_parts)
+            if scratch is not None:
+                if prev_rocks is None:
+                    spark.conf.unset(conf_rocks)
+                else:
+                    spark.conf.set(conf_rocks, prev_rocks)
+        if ckpt is not None:
+            # reclaim the RAM-backed checkpoint NOW (the query has
+            # terminated); ignore_errors because a RocksDB maintenance
+            # thread may still be finishing a snapshot upload — the
+            # _EPHEMERAL_CKPTS entry lets deep_evict reap any remnant
+            # after the providers unload.
+            shutil.rmtree(ckpt, ignore_errors=True)
     _MEMORY_SINKS.append(name)
     return spark.table(name)
 

@@ -2386,3 +2386,44 @@ def test_token_budget_allocation_waterfill(spark):
     # zero budget allocates nothing
     out = run([("A", 300, 3), ("B", 300, 1)], 0)
     assert all(r["allocated_tokens"] == 0 for r in out.values())
+
+
+def test_token_budget_allocation_fractional_weights(spark):
+    """Round-11 advisor finding: DoReMi-style fractional weights must
+    not truncate to zero in a bigint cast (0.3 → 0 then ANSI
+    divide-by-zero in the sort key).  Fractional weights are rescaled
+    to exact integers internally; the allocation equals the
+    integer-weight allocation at the same proportions, and the output
+    keeps the caller's original weight values."""
+    import pytest
+
+    def run(rows, budget):
+        c = spark.createDataFrame(
+            rows, "source string, avail_tokens long, weight double"
+        )
+        return {
+            r["source"]: r for r in T.token_budget_allocation(c, budget).collect()
+        }
+
+    # 0.75/0.25 ≡ 3/1 — must match the integer-weight case exactly
+    out = run([("A", 300, 0.75), ("B", 300, 0.25)], 200)
+    assert (out["A"]["allocated_tokens"], out["A"]["saturated"]) == (150, False)
+    assert (out["B"]["allocated_tokens"], out["B"]["saturated"]) == (50, False)
+    assert out["A"]["weight"] == 0.75 and out["B"]["weight"] == 0.25
+
+    # the advisor's reproducer: 0.3/0.7 (previously SparkArithmeticException)
+    out = run([("A", 100, 0.3), ("B", 1000, 0.7)], 500)
+    # A saturates at 100 (avail/weight 333 < 1000/0.7); B takes the rest
+    assert (out["A"]["allocated_tokens"], out["A"]["saturated"]) == (100, True)
+    assert (out["B"]["allocated_tokens"], out["B"]["saturated"]) == (400, False)
+
+    # invalid weights are rejected, not silently mis-allocated
+    for bad in ([("A", 10, 0.0), ("B", 10, 1.0)], [("A", 10, -0.5), ("B", 10, 1.0)]):
+        with pytest.raises(ValueError, match="weights"):
+            run(bad, 10)
+    with pytest.raises(ValueError, match="weights"):
+        c = spark.createDataFrame(
+            [("A", 10, None), ("B", 10, 1.0)],
+            "source string, avail_tokens long, weight double",
+        )
+        T.token_budget_allocation(c, 10).collect()
