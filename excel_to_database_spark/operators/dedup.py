@@ -1659,12 +1659,17 @@ def lsh_tune(
     One row per grid point: (bands, rows_per_band, n_true,
     n_candidates, n_hit, lsh_recall, lsh_precision, on_frontier).
     Shingles, the 16-member rotation signature, and the truth pairs
-    are computed ONCE (pinned); each grid point reads its bands out of
-    the same signature columns, so the sweep costs one shingle pass +
-    one signature aggregation + |grid| band self-joins — never |grid|
-    corpus passes. Candidates run unguarded (``max_bucket=None``):
-    the tuner must measure the raw sketch operating point, not the
-    hot-bucket fallback's star edges.
+    are computed ONCE (pinned), and the WHOLE grid shares ONE
+    candidate self-join: every grid point's bands are exploded out of
+    the same signature row tagged with the grid index (Σ bands = 31
+    rows per doc for the default grid), the self-join keys on
+    (grid, band, sig), and per-point counts are one groupBy — the
+    round-11 shape ran |grid| separate self-joins and, because the
+    per-point candidate frame fed two independent aggregates, executed
+    each of them TWICE (10 self-joins for a 5-point grid). Candidates
+    run unguarded (``max_bucket=None``): the tuner must measure the
+    raw sketch operating point, not the hot-bucket fallback's star
+    edges.
 
     Determinism/exactness: counts are integers; recall/precision are
     single IEEE divisions (defined as 0.0 when the denominator is 0,
@@ -1688,21 +1693,64 @@ def lsh_tune(
     truth = pin(jaccard_pairs(sh, threshold=threshold).select("doc_a", "doc_b"))
     n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
 
-    per_point = None
-    for b, r in grid:
-        cand = lsh_candidates(sig, bands=b, rows=r, max_bucket=None)
-        hit = cand.join(truth, ["doc_a", "doc_b"])
-        row = (
-            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-            .crossJoin(hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
-            .select(
-                F.lit(b).cast("int").alias("bands"),
-                F.lit(r).cast("int").alias("rows_per_band"),
-                "n_candidates",
-                "n_hit",
-            )
+    # one tagged banded frame for the WHOLE grid (gp = grid index):
+    # Σ bands rows per doc, one explode, one self-join, one hit join
+    entries = [
+        F.struct(
+            F.lit(gi).alias("gp"),
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"h{band * r + k}") for k in range(r)]
+            ).alias("sig"),
         )
-        per_point = row if per_point is None else per_point.unionByName(row)
+        for gi, (b, r) in enumerate(grid)
+        for band in range(b)
+    ]
+    banded_all = pin(
+        sig.select("doc", F.explode(F.array(*entries)).alias("e")).select(
+            "doc", "e.gp", "e.band", "e.sig"
+        )
+    )
+    cand = pin(
+        banded_all.select(F.col("doc").alias("doc_a"), "gp", "band", "sig")
+        .join(
+            banded_all.select(F.col("doc").alias("doc_b"), "gp", "band", "sig"),
+            ["gp", "band", "sig"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("gp", "doc_a", "doc_b")
+        .distinct()
+    )
+    ncand = cand.groupBy("gp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    nhit = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy("gp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    # left joins off a literal grid frame: a grid point with ZERO
+    # candidates must still emit its row (n_candidates = n_hit = 0)
+    gp_col = F.col("id").cast("int")
+    bands_expr, rows_expr = F.lit(None), F.lit(None)
+    for gi, (b, r) in enumerate(grid):
+        bands_expr = F.when(gp_col == gi, b).otherwise(bands_expr)
+        rows_expr = F.when(gp_col == gi, r).otherwise(rows_expr)
+    base = docs.sparkSession.range(len(grid)).select(
+        gp_col.alias("gp"),
+        bands_expr.cast("int").alias("bands"),
+        rows_expr.cast("int").alias("rows_per_band"),
+    )
+    per_point = (
+        base.join(F.broadcast(ncand), "gp", "left")
+        .join(F.broadcast(nhit), "gp", "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )
 
     res = per_point.crossJoin(F.broadcast(n_true)).select(
         "bands",

@@ -46,6 +46,21 @@ def main() -> int:
 
     only = set(sys.argv[1:])
     spark = get_session("check-correctness", shuffle_partitions=8)
+    # Silence WindowExec's unpartitioned-window WARN for THIS harness
+    # only (production sessions keep it): every registered global
+    # window is deliberately driver-small and documented at its site
+    # (q181's |domains| rows, q167's occupied bins, q154's |buckets|
+    # rows), and 69 repeats of the same non-actionable line buried
+    # real warnings in the round-11 sweep log the same way the
+    # first-touch stack traces once did.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j2 API unavailable → keep the noisy-but-safe default
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")

@@ -172,26 +172,44 @@ def time_pair(
     deep eviction before every rep.
 
     Round-12 protocol (judge demand): a ``sandbox_cal`` measurement is
-    taken immediately BEFORE and AFTER the point, and the per-rep
-    arrays are recorded, so a reader can (a) discard windows where cal
-    drifts >20% between the two probes and (b) see rep spread instead
-    of trusting one min. The documented host noise swings identical
-    runs 4×; the cal bracket is what makes a recorded slope evidence
-    rather than an anecdote."""
+    taken immediately BEFORE and AFTER the point, per-rep arrays are
+    recorded, and each rep carries the /proc/stat CPU-STEAL delta it
+    ran under, so a reader can (a) discard windows where cal drifts
+    >20% between the two probes, (b) see rep spread instead of
+    trusting one min, and (c) attribute outlier reps to the
+    hypervisor. The round-12 root-cause of the r10-vs-r11 slope
+    discrepancy: this sandbox runs under ~15–20% hypervisor CPU steal
+    even when loadavg reads 0 (measured 111.7 stolen cpu-s during one
+    45 s q76 window), so identical runs legitimately swing 4× — the
+    steal column is what turns a recorded slope into evidence."""
     from bench import sandbox_calibration
     from excel_to_database_spark.operators.caching import deep_evict
     from excel_to_database_spark.queries import QUERIES
 
+    def steal_cs() -> int | None:
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return int(parts[8])  # cpu ... steal (USER_HZ ticks)
+        except Exception:
+            return None
+
     out: dict = {"cal_before": sandbox_calibration(spark)}
     for tag, d in (("base", base_dir), ("scaled", scaled_dir)):
-        ts = []
+        ts, steals = [], []
         for _ in range(reps):
             deep_evict(spark)
+            s0 = steal_cs()
             t0 = time.perf_counter()
             QUERIES[name](spark, d).count()
             ts.append(round(time.perf_counter() - t0, 3))
+            s1 = steal_cs()
+            steals.append(
+                round((s1 - s0) / 100.0, 2) if s0 is not None and s1 is not None else None
+            )
         out[tag] = round(min(ts), 3)
         out[f"{tag}_reps"] = ts
+        out[f"{tag}_steal_s"] = steals
     out["cal_after"] = sandbox_calibration(spark)
     out["slope"] = round(out["scaled"] / out["base"], 2)
     lo, hi = sorted((out["cal_before"], out["cal_after"]))
@@ -278,6 +296,8 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
         out["reps"][name] = {
             "base": r.get("base_reps"),
             "scaled": r.get("scaled_reps"),
+            "base_steal_s": r.get("base_steal_s"),
+            "scaled_steal_s": r.get("scaled_steal_s"),
         }
         print(
             f"# slope[{name}]: base {r['base']}s scaled {r['scaled']}s "
