@@ -140,6 +140,12 @@ HEADLINE = [
     # round-11 addition: token-budget mixture waterfilling (integer
     # saturation decisions, closed-form prefix pass)
     "q181_token_budget_allocation",
+    # round-12 additions: BPE merge statistic over the distinct-word
+    # table; exact global top-k cutoff via histogram descent (no
+    # sort); Matryoshka dimension-ablation report
+    "q182_bpe_pair_stats",
+    "q183_quality_budget_cutoff",
+    "q184_dim_ablation",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -2495,3 +2495,83 @@ def prototypicality_prune(
         )
         .select("id", "cell", "proto_cos", "cell_rank", "n_in_cell", "keep")
     )
+
+
+def dim_ablation_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: tuple = (8, 16, 32, 64),
+):
+    """Matryoshka-style dimension-ablation report: how much does
+    truncating embeddings to their first D dimensions perturb pairwise
+    cosine similarity?  For each prefix length D in ``dims`` the
+    report row carries (dim, n_pairs, sum_qdelta, mean_abs_cos_delta)
+    where delta = |cos_D(x,y) − cos_full(x,y)| over a deterministic
+    pairing (each even id with its successor) — the decision artifact
+    behind "can we store/search 16 of the 64 dims".
+
+    Scale shape: the pairing is ONE equi-join on id+1 (never a pair
+    sample that shuffles twice), per-pair per-D scores are a single
+    projection over the joined rows, and the report aggregates to
+    |dims| rows.  No sort, no window over data rows.
+
+    Exactness discipline (the float32 trap): elements are widened
+    float→double BEFORE quantization; vectors are quantized once to
+    integers (floor(x·2²⁰) — one IEEE product + floor, identical
+    everywhere), every dot/norm is an exact bigint sum of bigint
+    products, cosine is ONE double division by ONE sqrt of the
+    norms' double product, and the per-pair |delta| is re-quantized
+    (floor(|Δ|·2³⁰)) so the corpus aggregate is an exact integer sum
+    — order-free, hence engine- and partitioning-portable.  The final
+    mean is a single division of that integer pair by n_pairs·2³⁰."""
+    q = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x as double) * 1048576) as bigint))"
+    )
+    base = df.select(F.col(id_col).alias("id"), q.alias("qv"))
+    left = base.filter(F.col("id") % 2 == 0)
+    right = base.select((F.col("id") - 1).alias("id"), F.col("qv").alias("qw"))
+    pairs = left.join(right, "id")
+
+    def cos(d: int) -> Column:
+        dot = F.expr(
+            f"aggregate(zip_with(slice(qv, 1, {d}), slice(qw, 1, {d}),"
+            " (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        nx = F.expr(
+            f"aggregate(slice(qv, 1, {d}), cast(0 as bigint), (acc, x) -> acc + x * x)"
+        )
+        ny = F.expr(
+            f"aggregate(slice(qw, 1, {d}), cast(0 as bigint), (acc, x) -> acc + x * x)"
+        )
+        denom = F.sqrt(nx.cast("double") * ny.cast("double"))
+        return F.when(denom > 0, dot.cast("double") / denom).otherwise(F.lit(0.0))
+
+    full = max(dims)
+    rows = [
+        F.struct(
+            F.lit(d).cast("int").alias("dim"),
+            F.floor(F.abs(cos(d) - cos(full)) * F.lit(1073741824.0))
+            .cast("bigint")
+            .alias("qdelta"),
+        )
+        for d in dims
+    ]
+    return (
+        pairs.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.dim", "r.qdelta")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("qdelta").alias("sum_qdelta"),
+        )
+        .select(
+            "dim",
+            "n_pairs",
+            "sum_qdelta",
+            (
+                F.col("sum_qdelta").cast("double")
+                / (F.col("n_pairs") * F.lit(1073741824)).cast("double")
+            ).alias("mean_abs_cos_delta"),
+        )
+    )

@@ -1210,3 +1210,39 @@ def token_budget_allocation(
         .alias("sampling_rate"),
         "saturated",
     )
+
+
+def bpe_pair_stats(df, id_col: str, text_col: str, top_k: int = 20):
+    """Top-``top_k`` adjacent character-pair frequencies over the
+    corpus — the statistic one iteration of BPE vocabulary induction
+    maximizes (count pairs weighted by word frequency, merge the
+    winner). Returns (pair, pair_count) ordered by
+    (count DESC, pair ASC) — a deterministic total order.
+
+    The 100 TB shape is the classic one: pairs are generated from the
+    DISTINCT-WORD table weighted by word frequency, never from corpus
+    tokens — one map-side-combinable word-count aggregation reduces
+    the corpus to its vocabulary (Heaps-law sublinear), the Σ|word|
+    pair explode runs over vocabulary rows only, and the final top-k
+    is a TakeOrdered over ≤|pairs| aggregated rows, not a global sort.
+
+    Pairs are 2-char substrings (``substring(word, i, 2)``), character
+    -based in both engines, so the statistic is Unicode-true."""
+    wf = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    pairs = wf.select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, char_length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_k)
+    )

@@ -3123,3 +3123,117 @@ def q181_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = counts.agg(F.sum("avail_tokens")).collect()[0][0]  # 1-row meta read
     return T.token_budget_allocation(counts, budget=int(total) // 2)
+
+
+@query(
+    "q182_bpe_pair_stats",
+    f"""
+    WITH tok AS (SELECT UNNEST({T.SQL_WORDS.format(t='text')}) AS word FROM documents),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+           FROM tok WHERE len(word) >= 2 GROUP BY word),
+    pr AS (SELECT wc, UNNEST([word[i:i+1] FOR i IN range(1, len(word))]) AS pair
+           FROM wf)
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM pr GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC LIMIT 20
+    """,
+)
+def q182_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary-induction statistic (operators/text.
+    bpe_pair_stats): the top-20 adjacent character pairs by
+    word-frequency-weighted count — what one BPE merge iteration
+    maximizes. The pair explode runs over the DISTINCT-WORD table
+    (Heaps-law sublinear in the corpus), never over corpus tokens;
+    the top-20 is a TakeOrdered under the deterministic
+    (count DESC, pair ASC) total order, so counts AND membership are
+    oracle-exact."""
+    d = t(spark, sf_dir, "documents")
+    return T.bpe_pair_stats(d, "doc_id", "text", top_k=20)
+
+
+@query(
+    "q183_quality_budget_cutoff",
+    f"""
+    WITH s AS (SELECT source, doc_id,
+                      CAST({T.SQL_TOKEN_COUNT_BPE.format(t='text')} AS BIGINT) AS score
+               FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM s),
+    kk AS (SELECT CAST((COUNT(*) + 3) // 4 AS BIGINT) AS k FROM s),
+    thr AS (SELECT score AS ts, doc_id AS ti FROM r, kk WHERE rn = k)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN rn <= (SELECT k FROM kk) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           (SELECT CAST(ts AS BIGINT) FROM thr) AS threshold_score,
+           (SELECT CAST(ti AS BIGINT) FROM thr) AS threshold_id
+    FROM r GROUP BY source
+    """,
+)
+def q183_quality_budget_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide quality budget via EXACT distributed selection
+    (operators/selection.top_k_cutoff): keep the globally best
+    ⌈N/4⌉ documents by (BPE-token score DESC, doc_id ASC) and report
+    per-source kept counts plus the exact global cutoff. The Spark
+    side never sorts: the cutoff comes from histogram descent (≤6
+    bounded aggregations, ≤4096-row driver meta reads — the module
+    docstring carries the contract), then ONE group-by scores the
+    predicate. The oracle recomputes the cutoff the brute-force way
+    (a global ROW_NUMBER) — the exact match certifies descent ≡ sort
+    at any tie structure. k = ⌈N/4⌉ is integer arithmetic in both
+    engines (the q170 boundary discipline)."""
+    from fractions import Fraction
+
+    from excel_to_database_spark.operators import selection as SEL
+
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "source",
+        "doc_id",
+        T.token_count_bpe(F.col("text")).cast("bigint").alias("score"),
+    )
+    return SEL.keep_budget_report(s, "score", "doc_id", "source", Fraction(1, 4))
+
+
+@query(
+    "q184_dim_ablation",
+    """
+    WITH q AS (SELECT vec_id,
+                      [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) FOR x IN embedding] AS qv
+               FROM embeddings),
+    p AS (SELECT a.qv AS qv, b.qv AS qw
+          FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id % 2 = 0),
+    e AS (SELECT UNNEST([8, 16, 32, 64]) AS dim, qv, qw FROM p),
+    sc AS (SELECT dim,
+                  CAST(list_sum([qv[i] * qw[i] FOR i IN range(1, dim + 1)]) AS DOUBLE) AS dotd,
+                  CAST(list_sum([qv[i] * qv[i] FOR i IN range(1, dim + 1)]) AS DOUBLE) AS nxd,
+                  CAST(list_sum([qw[i] * qw[i] FOR i IN range(1, dim + 1)]) AS DOUBLE) AS nyd,
+                  CAST(list_sum([qv[i] * qw[i] FOR i IN range(1, 65)]) AS DOUBLE) AS dotf,
+                  CAST(list_sum([qv[i] * qv[i] FOR i IN range(1, 65)]) AS DOUBLE) AS nxf,
+                  CAST(list_sum([qw[i] * qw[i] FOR i IN range(1, 65)]) AS DOUBLE) AS nyf
+           FROM e),
+    cs AS (SELECT dim,
+                  CASE WHEN sqrt(nxd * nyd) > 0 THEN dotd / sqrt(nxd * nyd)
+                       ELSE 0.0 END AS cd,
+                  CASE WHEN sqrt(nxf * nyf) > 0 THEN dotf / sqrt(nxf * nyf)
+                       ELSE 0.0 END AS cf
+           FROM sc)
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(floor(abs(cd - cf) * 1073741824.0) AS BIGINT)) AS BIGINT)
+             AS sum_qdelta,
+           CAST(SUM(CAST(floor(abs(cd - cf) * 1073741824.0) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) * 1073741824 AS DOUBLE) AS mean_abs_cos_delta
+    FROM cs GROUP BY dim
+    """,
+)
+def q184_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-ablation report (operators/similarity.
+    dim_ablation_report): |cos_D − cos_64| over the deterministic
+    even/odd vec_id pairing for prefix dims 8/16/32/64 — the
+    store-fewer-dims decision artifact. One id+1 equi-join, per-pair
+    integer dot/norms of floor(x·2²⁰)-quantized double-widened
+    elements, |delta| re-quantized at 2³⁰ so the aggregate is an exact
+    integer sum (order-free) — every column oracle-exact."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.dim_ablation_report(e, "vec_id", "embedding", dims=(8, 16, 32, 64))

@@ -1,0 +1,111 @@
+"""Round-12 operators: exact selection (histogram descent), BPE pair
+statistics, and the embedding dimension-ablation report."""
+
+import random
+from fractions import Fraction
+
+import pyspark.sql.functions as F
+import pytest
+
+from excel_to_database_spark.operators import selection as SEL
+from excel_to_database_spark.operators import similarity as S
+from excel_to_database_spark.operators import text as T
+
+
+# ---------------------------------------------------------------- selection
+def _brute_cutoff(rows, k):
+    """The definitionally-correct cutoff: sort and read row k."""
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    s_star, i_star = ordered[k - 1][1], ordered[k - 1][0]
+    n_above = sum(1 for _, s in rows if s > s_star)
+    return {"score": s_star, "id": i_star, "n_above": n_above}
+
+
+def test_top_k_cutoff_matches_sort_randomized(spark):
+    """Descent ≡ sort on adversarial tie structures: heavy duplicate
+    scores, negative scores, huge ranges (multi-level descent), and
+    k at both extremes. Fixed seed — deterministic."""
+    rng = random.Random(12)
+    for trial in range(6):
+        n = rng.randint(5, 400)
+        # trial-varied score regimes: dense ties / wide range / negatives
+        lo, hi = rng.choice([(0, 5), (-1000, 1000), (0, 10**12), (-3, 3)])
+        rows = [(i, rng.randint(lo, hi)) for i in range(1, n + 1)]
+        df = spark.createDataFrame(rows, "id long, score long")
+        for k in {1, 2, n // 2 or 1, n}:
+            got = SEL.top_k_cutoff(df, "score", "id", k)
+            assert got == _brute_cutoff(rows, k), (trial, k, lo, hi)
+
+
+def test_top_k_cutoff_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, 10)], "id long, score long")
+    with pytest.raises(ValueError, match="k > 0"):
+        SEL.top_k_cutoff(df, "score", "id", 0)
+
+
+def test_keep_budget_report_exact_fraction(spark):
+    """k = ⌈f·N⌉ in integer arithmetic: 8 rows at f=1/4 keeps exactly
+    2, and the kept predicate splits a tie group by id."""
+    rows = [(i, 100 if i <= 4 else 50, "g%d" % (i % 2)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id long, score long, g string")
+    out = {
+        r["g"]: r
+        for r in SEL.keep_budget_report(df, "score", "id", "g", Fraction(1, 4)).collect()
+    }
+    # top-2 by (score DESC, id ASC) = ids 1,2 → one in each parity group
+    assert out["g1"]["n_kept"] == 1 and out["g0"]["n_kept"] == 1
+    assert out["g0"]["threshold_score"] == 100 and out["g0"]["threshold_id"] == 2
+    assert out["g0"]["n_rows"] == 4 and out["g1"]["n_rows"] == 4
+
+
+# ---------------------------------------------------------------- BPE pairs
+def test_bpe_pair_stats_hand_computed(spark):
+    """Word-frequency weighting: 'abab' ×3 occurrences contributes
+    ab=2·3, ba=1·3; 'abc' ×1 contributes ab=1, bc=1. Top pair is
+    ab=7; single-char words are excluded."""
+    rows = [(1, "abab abab abc"), (2, "abab x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["pair"], r["pair_count"]) for r in T.bpe_pair_stats(df, "doc_id", "text", top_k=3).collect()]
+    assert got == [("ab", 7), ("ba", 3), ("bc", 1)]
+
+
+def test_bpe_pair_stats_deterministic_tiebreak(spark):
+    """Equal counts order by pair ASC — membership of the top-k is a
+    total order, never engine-dependent."""
+    df = spark.createDataFrame([(1, "xy zw xy zw")], "doc_id long, text string")
+    got = [r["pair"] for r in T.bpe_pair_stats(df, "doc_id", "text", top_k=2).collect()]
+    assert got == ["xy", "zw"]
+
+
+# ---------------------------------------------------------------- dim ablation
+def test_dim_ablation_full_dim_is_zero(spark):
+    """At D = full width the delta is identically 0; at a prefix that
+    flips the sign structure the delta is positive. Pairing is
+    (even id) ⋈ (id+1) — odd-id rows without a predecessor drop."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [1.0, 0.0, 0.0, -1.0]),
+        (2, [0.5, 0.5, 0.5, 0.5]),
+        (3, [0.5, 0.5, 0.5, 0.5]),
+        (5, [9.0, 9.0, 9.0, 9.0]),  # unpaired: no id 4 even-row
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in S.dim_ablation_report(df, "vec_id", "embedding", dims=(2, 4)).collect()}
+    assert set(out) == {2, 4}
+    assert out[2]["n_pairs"] == 2 and out[4]["n_pairs"] == 2
+    # full width: cos_4 - cos_4 = 0 exactly
+    assert out[4]["sum_qdelta"] == 0 and out[4]["mean_abs_cos_delta"] == 0.0
+    # prefix 2: pair (0,1) has cos_2=1 vs cos_4=0 → |delta|=1;
+    # pair (2,3) identical vectors → 0. mean = (2^30)/(2·2^30) = 0.5
+    assert out[2]["sum_qdelta"] == 2**30
+    assert out[2]["mean_abs_cos_delta"] == pytest.approx(0.5)
+
+
+def test_dim_ablation_zero_norm_guard(spark):
+    """An all-zero prefix must not divide by zero: cosine defined 0."""
+    rows = [(0, [0.0, 0.0, 1.0, 1.0]), (1, [0.0, 0.0, 1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in S.dim_ablation_report(df, "vec_id", "embedding", dims=(2, 4)).collect()}
+    # cos_2 = 0 (guard), cos_4 = 1 → |delta| = 1
+    assert out[2]["sum_qdelta"] == 2**30
+    assert out[4]["sum_qdelta"] == 0
