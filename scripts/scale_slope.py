@@ -287,7 +287,36 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
         "reps": {},
     }
     for name in queries:
-        r = _run_one_isolated(name, sf_dir, scaled_dir)
+        # contaminated-window retry (round-12 protocol): a point whose
+        # calibration probes drifted >20% or whose best rep ran under
+        # >10% hypervisor steal is re-measured up to twice; if no clean
+        # window appears, the attempt with the least cal drift is
+        # recorded (with its cal + steal columns, so a reader can still
+        # reject it). This is what stopped the r10-vs-r11 slope
+        # whiplash: the box steals 45-126 cpu-s in bursts, and one
+        # burst inside a min-of-3 used to become the recorded "truth".
+        attempts = []
+        for _ in range(3):
+            r = _run_one_isolated(name, sf_dir, scaled_dir)
+            attempts.append(r)
+            drift_ok = (r.get("cal_drift_pct") or 0) <= 20
+            steals = []
+            for tag in ("base", "scaled"):
+                ts, ss = r.get(f"{tag}_reps") or [], r.get(f"{tag}_steal_s") or []
+                best = min(range(len(ts)), key=lambda i: ts[i]) if ts else None
+                if best is not None and best < len(ss) and ss[best] is not None:
+                    steals.append(ss[best] / max(ts[best], 1e-9))
+            steal_ok = all(s <= 0.10 for s in steals) if steals else True
+            if drift_ok and steal_ok:
+                break
+            print(
+                f"# slope[{name}]: window contaminated "
+                f"(drift {r.get('cal_drift_pct')}%, steal frac "
+                f"{[round(s, 2) for s in steals]}) — retrying",
+                file=sys.stderr,
+            )
+        else:
+            r = min(attempts, key=lambda a: a.get("cal_drift_pct") or 1e9)
         out["base"][name] = r["base"]
         out["scaled"][name] = r["scaled"]
         out["slope"][name] = r["slope"]
