@@ -146,6 +146,10 @@ HEADLINE = [
     "q182_bpe_pair_stats",
     "q183_quality_budget_cutoff",
     "q184_dim_ablation",
+    # round-12: URL canonicalization dedup (projection-only rules +
+    # one host-keyed agg); within-doc line dedup (zero-shuffle HOF)
+    "q185_url_canonical_dedup",
+    "q186_intradoc_line_dedup",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -1246,3 +1246,44 @@ def bpe_pair_stats(df, id_col: str, text_col: str, top_k: int = 20):
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def intradoc_line_dedup(df, id_col: str, text_col: str):
+    """WITHIN-document repeated-line removal (the intra-page
+    complement of the corpus-level ``line_dedup``): inside each
+    document, a non-empty normalized line is kept only at its FIRST
+    occurrence; empty/whitespace lines always survive; the text is
+    rebuilt from surviving lines in original order. Returns
+    (id, clean_text, n_lines, n_removed) — the standard cleanup for
+    scraped pages that repeat nav blocks / cookie banners inside one
+    page.
+
+    Scale shape: the whole operator is ONE per-row column expression —
+    split → trim map → first-occurrence index filter (``array_position``
+    over the per-doc line array) → rebuild. Zero shuffles, zero joins,
+    zero state at any corpus size; it runs inside the scan's project
+    (plan-contract-tested: no Exchange in the physical plan). The
+    first-occurrence check is O(lines²) per document, bounded by page
+    size, never by corpus size."""
+    ls = F.split(F.col(text_col), "\n")
+    out = df.select(
+        F.col(id_col),
+        ls.alias("__ls"),
+        F.transform(ls, lambda x: F.trim(x)).alias("__norm"),
+    ).select(
+        id_col,
+        F.expr(
+            "filter(sequence(1, size(__ls)), i ->"
+            " element_at(__norm, i) = ''"
+            " OR array_position(__norm, element_at(__norm, i)) = i)"
+        ).alias("__keep"),
+        "__ls",
+    )
+    return out.select(
+        id_col,
+        F.expr(
+            "concat_ws('\\n', transform(__keep, i -> element_at(__ls, i)))"
+        ).alias("clean_text"),
+        F.size("__ls").cast("bigint").alias("n_lines"),
+        (F.size("__ls") - F.size("__keep")).cast("bigint").alias("n_removed"),
+    )

@@ -1,0 +1,94 @@
+"""Web-corpus URL operators: canonicalization + host-level dup report.
+
+URL-level dedup is the first dedup stage of every web-scale training
+pipeline (CCNet / C4 / RefinedWeb dedupe by canonical URL before any
+content pass): two fetches of ``HTTP://WWW.Ex.com:80/p/1/?utm_source=x``
+and ``http://ex.com/p/1`` are the same page, and canonicalizing before
+the exact-dup hash turns a content-level near-dup problem into a
+trivially-shuffleable string groupBy.
+
+``canonical_url`` is a pure COLUMN EXPRESSION (regexp + higher-order
+array functions, JVM-side, zero shuffle, codegen'd), so it composes
+into any scan — at 100 TB it runs inside the parquet read's project.
+Rules (each implementable identically in any engine with RE2-subset
+regexes — the repo's cross-engine regex discipline):
+
+  1. drop the fragment (``#...``)
+  2. lowercase the scheme and the host
+  3. strip a leading ``www.`` label
+  4. strip the scheme's default port (``:80`` for http, ``:443`` https)
+  5. empty path → ``/``; otherwise strip one trailing slash
+  6. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``),
+     sort the survivors bytewise, re-join; drop an empty ``?``
+
+The module deliberately does NOT resolve percent-encoding or dot
+segments — those need a character-level decoder (engine-divergent) and
+real pipelines run them in the fetcher, not the dedup join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query params that never identify content (client/campaign tracking)
+TRACKING_PARAM_RE = "^(utm_[a-z]+|gclid|fbclid)="
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonical form of ``url`` under the module's six rules, as a
+    single shuffle-free column expression."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
+    rest = F.regexp_replace(nofrag, _SCHEME_RE, "")
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, "^([^/?]+)", 1)), "^www\\.", ""
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(rest, "^[^/?]*([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(path != "/", F.regexp_replace(path, "/$", "")).otherwise(path)
+    )
+    kept = F.filter(
+        F.split(F.regexp_extract(nofrag, "\\?(.*)$", 1), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_host_dup_report(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Per-host URL-dedup report: for each canonical host, the page
+    count, the count of distinct canonical URLs, and the dup count the
+    canonicalization exposed (``n_urls − n_canonical``) — the
+    keep-or-crawl decision artifact per domain.
+
+    Scale shape: canonicalization is projection-only; the report is
+    ONE hash aggregation keyed by (host, canonical) folded into a
+    host-keyed count-distinct — both map-side combinable. Nothing
+    sorts, nothing is per-URL beyond the scan."""
+    canon = df.select(
+        F.col(id_col),
+        canonical_url(F.col(url_col)).alias("canonical"),
+    ).withColumn(
+        "host", F.regexp_extract(F.col("canonical"), "^[a-z0-9+.-]+://([^/?]+)", 1)
+    )
+    return canon.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.countDistinct("canonical").cast("bigint").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct("canonical"))
+        .cast("bigint")
+        .alias("n_dup"),
+    )

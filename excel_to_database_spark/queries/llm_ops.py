@@ -3237,3 +3237,139 @@ def q184_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum (order-free) — every column oracle-exact."""
     e = t(spark, sf_dir, "embeddings")
     return S.dim_ablation_report(e, "vec_id", "embedding", dims=(8, 16, 32, 64))
+
+
+@query(
+    "q185_url_canonical_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.example.com'
+                   ELSE source || '.example.com' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN
+                   (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                   ELSE '' END) ||
+             '/p/' || CAST(doc_id // 7 AS VARCHAR) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 5 <= 1 THEN '?utm_source=feed&b=2&a=1'
+                   WHEN doc_id % 5 = 2 THEN '?a=1&b=2' ELSE '' END) ||
+             (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+      FROM documents),
+    c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+    c2 AS (SELECT doc_id, nofrag,
+                  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           FROM c1),
+    c3 AS (SELECT doc_id, nofrag, scheme,
+                  regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)), '^www\\.', '') AS hostport,
+                  regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS rawpath
+           FROM c2),
+    c4 AS (SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                       ELSE hostport END AS host,
+                  CASE WHEN rawpath = '' THEN '/'
+                       WHEN rawpath <> '/' THEN regexp_replace(rawpath, '/$', '')
+                       ELSE rawpath END AS path,
+                  array_to_string(list_sort(list_filter(
+                      string_split(regexp_extract(nofrag, '\\?(.*)$', 1), '&'),
+                      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid)='))), '&') AS qs
+           FROM c3),
+    c AS (SELECT doc_id, host,
+                 scheme || '://' || host || path ||
+                 (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical
+          FROM c4)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           CAST(COUNT(*) - COUNT(DISTINCT canonical) AS BIGINT) AS n_dup
+    FROM c GROUP BY host
+    """,
+)
+def q185_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-host dup report (operators/web.py):
+    the first dedup stage of a web-scale pipeline — lowercase
+    scheme/host, strip www./default ports/fragment/trailing slash,
+    drop tracking params, sort the rest — then ONE host-keyed
+    aggregation counting pages vs distinct canonical URLs. The URL
+    corpus is built in-query from doc_id/source (the q142 pattern) so
+    both engines canonicalize the identical adversarial mix of
+    case/port/www/utm/fragment variants; the oracle re-implements all
+    six rules independently in DuckDB SQL. Canonicalization is
+    projection-only (regexp + array HOFs, zero shuffle)."""
+    from excel_to_database_spark.operators import web as W
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(
+            did % 3 == 0, F.concat(F.lit("WWW."), F.col("source"), F.lit(".example.com"))
+        ).otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+        F.when(
+            did % 5 == 0,
+            F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.expr("cast(doc_id div 7 as string)"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 5 <= 1, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(did % 5 == 2, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return W.url_host_dup_report(u, "doc_id", "url")
+
+
+@query(
+    "q186_intradoc_line_dedup",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    lines AS (SELECT doc_id,
+                     -- COALESCE: DuckDB array_to_string([]) is NULL,
+                     -- Spark array_join(empty) is '' — align on ''
+                     COALESCE(array_to_string(w[1:4], ' '), '') AS l1,
+                     COALESCE(array_to_string(w[5:8], ' '), '') AS l2,
+                     COALESCE(array_to_string(w[9:12], ' '), '') AS l4,
+                     CASE WHEN doc_id % 3 = 0 THEN COALESCE(array_to_string(w[5:8], ' '), '')
+                          ELSE COALESCE(array_to_string(w[13:16], ' '), '') END AS l5
+              FROM base),
+    doc AS (SELECT doc_id, [l1, l2, l1, l4, l5] AS ls FROM lines),
+    n AS (SELECT doc_id, ls, [trim(x) FOR x IN ls] AS norm FROM doc),
+    k AS (SELECT doc_id, ls,
+                 [i FOR i IN range(1, len(ls) + 1)
+                    IF norm[i] = '' OR list_position(norm, norm[i]) = i] AS keep
+          FROM n)
+    SELECT doc_id,
+           array_to_string([ls[i] FOR i IN keep], chr(10)) AS clean_text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ls) - len(keep) AS BIGINT) AS n_removed
+    FROM k
+    """,
+)
+def q186_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal (operators/text.
+    intradoc_line_dedup): nav-block/cookie-banner cleanup — inside
+    each page a non-empty normalized line survives only at its first
+    occurrence, empty lines always survive, text is rebuilt in
+    original order. The multi-line corpus is built in-query (the q142
+    pattern) with a guaranteed duplicate (line 3 = line 1) and a
+    conditional one (line 5 = line 2 for doc_id % 3 = 0). The operator
+    is ONE per-row expression — zero shuffles at any corpus size
+    (plan-contract-tested); every output byte md5-comparable, so the
+    oracle match is exact."""
+    d = t(spark, sf_dir, "documents")
+    base = F.split(F.col("text"), " ")
+    l1 = F.array_join(F.slice(base, 1, 4), " ")
+    l2 = F.array_join(F.slice(base, 5, 4), " ")
+    l4 = F.array_join(F.slice(base, 9, 4), " ")
+    l5 = F.when(F.col("doc_id") % 3 == 0, l2).otherwise(
+        F.array_join(F.slice(base, 13, 4), " ")
+    )
+    corpus = d.select(
+        "doc_id", F.concat_ws("\n", l1, l2, l1, l4, l5).alias("text")
+    )
+    return T.intradoc_line_dedup(corpus, "doc_id", "text")
