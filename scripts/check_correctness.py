@@ -53,12 +53,21 @@ def main() -> int:
     # rows), and 69 repeats of the same non-actionable line buried
     # real warnings in the round-11 sweep log the same way the
     # first-touch stack traces once did.
+    # Likewise TransformWithStateInPySparkStateServer's per-row
+    # "Map state counts doesn't contain key" WARN: q150's map-state
+    # exists() probes on absent keys are an expected code path (the
+    # query initializes counts lazily), and 750 repeats buried the
+    # round-12 sweep log.
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        for logger in (
             "org.apache.spark.sql.execution.window.WindowExec",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
+            "org.apache.spark.sql.execution.python.streaming"
+            ".TransformWithStateInPySparkStateServer",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR
+            )
     except Exception:
         pass  # log4j2 API unavailable → keep the noisy-but-safe default
     con = duckdb.connect()

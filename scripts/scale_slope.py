@@ -300,12 +300,15 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
             r = _run_one_isolated(name, sf_dir, scaled_dir)
             attempts.append(r)
             drift_ok = (r.get("cal_drift_pct") or 0) <= 20
+            # steal_s is CPU-seconds summed over every core; normalize
+            # by wall x cores to get the fraction of compute stolen
+            ncpu = os.cpu_count() or 1
             steals = []
             for tag in ("base", "scaled"):
                 ts, ss = r.get(f"{tag}_reps") or [], r.get(f"{tag}_steal_s") or []
                 best = min(range(len(ts)), key=lambda i: ts[i]) if ts else None
                 if best is not None and best < len(ss) and ss[best] is not None:
-                    steals.append(ss[best] / max(ts[best], 1e-9))
+                    steals.append(ss[best] / max(ts[best] * ncpu, 1e-9))
             steal_ok = all(s <= 0.10 for s in steals) if steals else True
             if drift_ok and steal_ok:
                 break
