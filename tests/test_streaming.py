@@ -1246,8 +1246,10 @@ def test_replay_helper_conf_restore_and_ckpt_cleanup(spark):
     """run_stream_to_memory must (a) cap replay state partitions
     without leaking the cap into the session (the conf is restored
     even though the cap only lowers, never raises, a small session
-    setting), and (b) register its tmpfs checkpoint for deep_evict
-    deletion AFTER StateStore.stop() — never leave dirs behind."""
+    setting), and (b) reclaim the RAM-backed checkpoint EAGERLY —
+    rmtree right after awaitTermination (the round-11 advisor's tmpfs
+    leak finding), with the _EPHEMERAL_CKPTS registration kept only
+    as the deep_evict backstop for RocksDB-maintenance remnants."""
     import os
 
     from excel_to_database_spark.operators.caching import deep_evict
@@ -1261,11 +1263,11 @@ def test_replay_helper_conf_restore_and_ckpt_cleanup(spark):
     assert out.count() >= 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
     if I._fast_scratch_root() is not None:
-        # list holds the per-query checkpoint dir (created) and the
-        # shared RocksDB scratch root (created only by stateful
-        # queries — a stateless rate-source replay never makes it)
+        # the per-query checkpoint is registered (backstop) but its
+        # tmpfs RAM is already reclaimed — eager rmtree, not deferred
         dirs = list(I._EPHEMERAL_CKPTS)
-        assert any("etds_replay_ckpt" in d and os.path.isdir(d) for d in dirs)
+        ckpts = [d for d in dirs if "etds_replay_ckpt" in d]
+        assert ckpts and not any(os.path.isdir(d) for d in ckpts)
         deep_evict(spark)
         assert not I._EPHEMERAL_CKPTS
         assert not any(os.path.isdir(d) for d in dirs)
