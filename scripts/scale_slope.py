@@ -197,6 +197,13 @@ def time_pair(
         except Exception:
             return None
 
+    # throwaway calibration first: in a fresh JVM the first cal pays
+    # whole-JVM C2/codegen warm-up (measured: cal_before was
+    # SYSTEMATICALLY ~1.5-4x cal_after across every round-12 point,
+    # with zero steal), which is warm-up, not host drift — without
+    # this, the drift acceptance below false-positives on nearly
+    # every fresh-session window
+    sandbox_calibration(spark)
     out: dict = {"cal_before": sandbox_calibration(spark)}
     for tag, d in (("base", base_dir), ("scaled", scaled_dir)):
         ts, steals = [], []
@@ -299,7 +306,12 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
         for _ in range(3):
             r = _run_one_isolated(name, sf_dir, scaled_dir)
             attempts.append(r)
-            drift_ok = (r.get("cal_drift_pct") or 0) <= 20
+            # DIRECTIONAL drift acceptance: the hazard is the box
+            # getting SLOWER during the window (inflates the scaled
+            # point); a faster after-probe is residual JVM warm-up and
+            # benign. drift_pct is still recorded unsigned for readers.
+            cb, ca = r.get("cal_before"), r.get("cal_after")
+            drift_ok = not (cb and ca and ca > cb * 1.2)
             # steal_s is CPU-seconds summed over every core; normalize
             # by wall x cores to get the fraction of compute stolen
             ncpu = os.cpu_count() or 1
@@ -319,7 +331,13 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
                 file=sys.stderr,
             )
         else:
-            r = min(attempts, key=lambda a: a.get("cal_drift_pct") or 1e9)
+            # no clean window in 3 tries: record the attempt whose box
+            # slowed down the least during the window
+            r = min(
+                attempts,
+                key=lambda a: (a.get("cal_after") or 1e9)
+                / (a.get("cal_before") or 1.0),
+            )
         out["base"][name] = r["base"]
         out["scaled"][name] = r["scaled"]
         out["slope"][name] = r["slope"]
