@@ -150,6 +150,10 @@ HEADLINE = [
     # one host-keyed agg); within-doc line dedup (zero-shuffle HOF)
     "q185_url_canonical_dedup",
     "q186_intradoc_line_dedup",
+    # round-12: checksum-gated PII masking (zero-shuffle Luhn fold);
+    # shuffle-skew pre-flight (exact order stats via histogram descent)
+    "q187_luhn_card_masking",
+    "q188_shuffle_skew_report",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -125,3 +125,51 @@ def keep_budget_report(
         F.lit(cut["score"]).cast("bigint").alias("threshold_score"),
         F.lit(cut["id"]).cast("bigint").alias("threshold_id"),
     )
+
+
+def kth_value(df: DataFrame, col: str, k: int, descending: bool = True) -> int:
+    """Exact k-th order statistic of ``col`` (the VALUE only; tie
+    identity ignored) via the same histogram descent — ≤6 bounded
+    aggregations, never a sort. The building block for exact
+    distribution reports (max/p50/p99 of group sizes) at any scale."""
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    return _descend(df, col, k, descending)[0]
+
+
+def skew_report(df: DataFrame, key_col: str, label: str) -> DataFrame:
+    """Shuffle-skew pre-flight for a join/aggregation key: ONE row
+    (key_name, n_rows, n_keys, max_size, p50_size, p99_size) where
+    p50/p99 are EXACT order statistics of the per-key group sizes —
+    the ⌈n/2⌉-th / ⌈n/100⌉-th largest — computed by histogram descent.
+
+    This is the "will this key melt a reducer at 100 TB" check run
+    before committing to a partitioning: one map-side-combinable
+    size aggregation + ≤3 descents over the |keys|-row size frame
+    (bounded meta reads only), no sort, no percentile-interpolation
+    semantics to reconcile across engines — every output is a bigint
+    actually present in the data."""
+    sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    meta = sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_size"),
+    ).collect()[0]  # 1-row meta read
+    n_keys = int(meta["n_keys"])
+    p50 = kth_value(sizes, "cnt", (n_keys + 1) // 2, descending=True)
+    p99 = kth_value(sizes, "cnt", (n_keys + 99) // 100, descending=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                label,
+                int(meta["n_rows"]),
+                n_keys,
+                int(meta["max_size"]),
+                int(p50),
+                int(p99),
+            )
+        ],
+        "key_name string, n_rows long, n_keys long, max_size long,"
+        " p50_size long, p99_size long",
+    )

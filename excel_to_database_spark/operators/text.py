@@ -1287,3 +1287,66 @@ def intradoc_line_dedup(df, id_col: str, text_col: str):
         F.size("__ls").cast("bigint").alias("n_lines"),
         (F.size("__ls") - F.size("__keep")).cast("bigint").alias("n_removed"),
     )
+
+
+def luhn_valid(cand: str):
+    """Luhn checksum validity of a digit-string column (passed by
+    NAME), as a pure column expression: reversed digits, every 2nd
+    doubled (−9 if >9), sum divisible by 10 — the check that
+    separates a real card number from 16 arbitrary digits. Integer
+    arithmetic only (identical in any engine)."""
+    return F.expr(
+        f"""aggregate(
+              transform(filter(split(reverse({cand}), ''), c -> c <> ''),
+                        (c, i) -> CASE WHEN i % 2 = 1
+                                       THEN IF(2 * cast(c AS INT) > 9,
+                                               2 * cast(c AS INT) - 9,
+                                               2 * cast(c AS INT))
+                                       ELSE cast(c AS INT) END),
+              0, (a, x) -> a + x) % 10 = 0"""
+    )
+
+
+def mask_valid_cards(df, id_col: str, text_col: str):
+    """Checksum-gated credit-card masking: 13–19-digit word-bounded
+    candidates are masked (replaced by an equal-length run of 'X')
+    ONLY when they pass the Luhn check — the precision upgrade over
+    pattern-only PII masking (an order id or timestamp that happens
+    to be 16 digits is NOT a card and must survive). Returns
+    (id, clean_text, n_candidates, n_masked).
+
+    Scale shape: one per-row expression chain — regexp_extract_all →
+    Luhn filter (integer HOF) → aggregate-fold of replace() over the
+    validated candidates. Zero shuffles at any corpus size."""
+    cands = F.expr(
+        f"regexp_extract_all({text_col}, '\\\\b[0-9]{{13,19}}\\\\b', 0)"
+    )
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        cands.alias("__cands"),
+    ).select(
+        id_col,
+        "__text",
+        "__cands",
+        F.expr(
+            """filter(__cands, cand ->
+                 aggregate(
+                   transform(filter(split(reverse(cand), ''), c -> c <> ''),
+                             (c, i) -> CASE WHEN i % 2 = 1
+                                            THEN IF(2 * cast(c AS INT) > 9,
+                                                    2 * cast(c AS INT) - 9,
+                                                    2 * cast(c AS INT))
+                                            ELSE cast(c AS INT) END),
+                   0, (a, x) -> a + x) % 10 = 0)"""
+        ).alias("__valid"),
+    )
+    return out.select(
+        id_col,
+        F.expr(
+            "aggregate(__valid, __text,"
+            " (acc, c) -> replace(acc, c, repeat('X', length(c))))"
+        ).alias("clean_text"),
+        F.size("__cands").cast("bigint").alias("n_candidates"),
+        F.size("__valid").cast("bigint").alias("n_masked"),
+    )

@@ -3373,3 +3373,106 @@ def q186_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat_ws("\n", l1, l2, l1, l4, l5).alias("text")
     )
     return T.intradoc_line_dedup(corpus, "doc_id", "text")
+
+
+@query(
+    "q187_luhn_card_masking",
+    """
+    WITH d AS (SELECT doc_id,
+                      text || CASE doc_id % 7
+                        WHEN 0 THEN ' pay 4111111111111111 now'
+                        WHEN 1 THEN ' ref 4111111111111112'
+                        WHEN 2 THEN ' card 5500005555555559 ts 20260815120000'
+                        ELSE '' END AS text
+               FROM documents),
+    c AS (SELECT doc_id, text,
+                 regexp_extract_all(text, '\\b[0-9]{13,19}\\b', 0) AS cands
+          FROM d),
+    v AS (SELECT doc_id, text, cands,
+                 list_filter(cands, cand -> list_sum(
+                   [CASE WHEN (i-1) % 2 = 1
+                         THEN CASE WHEN 2*CAST(reverse(cand)[i] AS INT) > 9
+                                   THEN 2*CAST(reverse(cand)[i] AS INT) - 9
+                                   ELSE 2*CAST(reverse(cand)[i] AS INT) END
+                         ELSE CAST(reverse(cand)[i] AS INT) END
+                    FOR i IN range(1, length(cand)+1)]) % 10 = 0) AS valid
+          FROM c)
+    SELECT doc_id,
+           list_reduce(list_prepend(text, valid),
+                       (acc, c) -> replace(acc, c, repeat('X', length(c)))) AS clean_text,
+           CAST(len(cands) AS BIGINT) AS n_candidates,
+           CAST(len(valid) AS BIGINT) AS n_masked
+    FROM v
+    """,
+)
+def q187_luhn_card_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-gated PII masking (operators/text.mask_valid_cards):
+    13-19-digit candidates are masked only when they pass the Luhn
+    check, so a 14-digit timestamp or an order id that merely LOOKS
+    like a card survives — the precision upgrade over q102's
+    pattern-only masking. The corpus embeds one valid card, one
+    checksum-broken twin, and a valid-card-plus-timestamp line (the
+    q142 in-query pattern); the oracle re-derives the Luhn fold
+    independently in DuckDB. The operator is one per-row expression
+    chain — zero shuffles at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" pay 4111111111111111 now"))
+            .when(F.col("doc_id") % 7 == 1, F.lit(" ref 4111111111111112"))
+            .when(
+                F.col("doc_id") % 7 == 2,
+                F.lit(" card 5500005555555559 ts 20260815120000"),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return T.mask_valid_cards(aug, "doc_id", "text")
+
+
+@query(
+    "q188_shuffle_skew_report",
+    """
+    WITH s1 AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id),
+    r1 AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC) AS rn FROM s1),
+    m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                  CAST(MAX(cnt) AS BIGINT) AS max_size FROM s1),
+    s2 AS (SELECT source AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY source),
+    r2 AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC) AS rn FROM s2),
+    m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                  CAST(MAX(cnt) AS BIGINT) AS max_size FROM s2)
+    SELECT 'events.user_id' AS key_name, n_rows, n_keys, max_size,
+           (SELECT cnt FROM r1, m1 WHERE rn = (n_keys + 1) // 2) AS p50_size,
+           (SELECT cnt FROM r1, m1 WHERE rn = (n_keys + 99) // 100) AS p99_size
+    FROM m1
+    UNION ALL
+    SELECT 'documents.source' AS key_name, n_rows, n_keys, max_size,
+           (SELECT cnt FROM r2, m2 WHERE rn = (n_keys + 1) // 2) AS p50_size,
+           (SELECT cnt FROM r2, m2 WHERE rn = (n_keys + 99) // 100) AS p99_size
+    FROM m2
+    """,
+)
+def q188_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew pre-flight (operators/selection.skew_report): per
+    join/agg key, the exact max/p50/p99 of the per-key group sizes —
+    the "will this key melt a reducer at 100 TB" check run BEFORE
+    committing to a partitioning. p50/p99 are exact order statistics
+    (the ⌈n/2⌉-th / ⌈n/100⌉-th largest size) computed by histogram
+    descent over the |keys|-row size frame — no sort, no percentile
+    interpolation semantics to reconcile; the oracle recomputes them
+    the brute-force way (global ROW_NUMBER), certifying descent ≡
+    sort. Every output value is a bigint actually present in the
+    data."""
+    from excel_to_database_spark.operators import selection as SEL
+
+    e = t(spark, sf_dir, "events").select("user_id")
+    d = t(spark, sf_dir, "documents").select("source")
+    return SEL.skew_report(e, "user_id", "events.user_id").unionByName(
+        SEL.skew_report(d, "source", "documents.source")
+    )

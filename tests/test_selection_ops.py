@@ -109,3 +109,59 @@ def test_dim_ablation_zero_norm_guard(spark):
     # cos_2 = 0 (guard), cos_4 = 1 → |delta| = 1
     assert out[2]["sum_qdelta"] == 2**30
     assert out[4]["sum_qdelta"] == 0
+
+
+# ---------------------------------------------------------------- Luhn masking
+def _luhn_ok(s):
+    tot = 0
+    for i, c in enumerate(reversed(s)):
+        d = int(c)
+        if i % 2 == 1:
+            d = d * 2 - 9 if d * 2 > 9 else d * 2
+        tot += d
+    return tot % 10 == 0
+
+
+def test_mask_valid_cards_vectors(spark):
+    """Valid cards mask to equal-length X runs; checksum-broken
+    twins, short/long digit runs, and timestamps survive."""
+    assert _luhn_ok("4111111111111111") and not _luhn_ok("4111111111111112")
+    rows = [
+        (1, "pay 4111111111111111 now"),
+        (2, "ref 4111111111111112"),                 # fails Luhn
+        (3, "ts 20260815120000 and 5500005555555559"),
+        (4, "short 411111111111 here"),              # 12 digits: no candidate
+        (5, "id 411111111111111111111 x"),           # 21 digits: no candidate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.mask_valid_cards(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "pay XXXXXXXXXXXXXXXX now"
+    assert out[1]["n_candidates"] == 1 and out[1]["n_masked"] == 1
+    assert out[2]["clean_text"] == rows[1][1] and out[2]["n_masked"] == 0
+    # the timestamp is a candidate (14 digits) but fails Luhn
+    assert out[3]["n_candidates"] == 2 and out[3]["n_masked"] == int(
+        _luhn_ok("5500005555555559")
+    ) + int(_luhn_ok("20260815120000"))
+    assert "5500005555555559" not in out[3]["clean_text"]
+    assert out[4]["n_candidates"] == 0 and out[5]["n_candidates"] == 0
+
+
+# ---------------------------------------------------------------- skew report
+def test_kth_value_matches_sort(spark):
+    rng = random.Random(7)
+    rows = [(i, rng.randint(-50, 50)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    ordered = sorted((v for _, v in rows), reverse=True)
+    for k in (1, 3, 50, 100):
+        assert SEL.kth_value(df, "v", k, descending=True) == ordered[k - 1]
+
+
+def test_skew_report_hand_case(spark):
+    """10 keys: one hot key with 91 rows, nine with 1 — max/p50/p99
+    are exact values present in the data."""
+    rows = [("hot",)] * 91 + [(f"k{i}",) for i in range(9)]
+    df = spark.createDataFrame(rows, "k string")
+    r = SEL.skew_report(df, "k", "t").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_size"]) == (100, 10, 91)
+    assert r["p50_size"] == 1      # 5th largest of [91,1x9]
+    assert r["p99_size"] == 91     # ceil(10/100)=1st largest
