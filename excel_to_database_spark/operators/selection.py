@@ -37,22 +37,51 @@ from pyspark.sql import functions as F
 _FANOUT = 4096
 
 
+def _pinned(df: DataFrame):
+    """Pin ``df`` for the duration of a multi-pass descent and return
+    ``(frame, release)`` — every descent level re-collects against the
+    frame, and without a persist each level re-executes the upstream
+    scoring projection or aggregation over the full input (round-12
+    self-review: q183 re-ran its corpus tokenization ~6×). A frame the
+    caller already cached is used as-is with a no-op release."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df, (lambda: None)
+    from excel_to_database_spark.operators.caching import pin
+
+    out = pin(df)
+    return out, (lambda: out.unpersist())
+
+
 def _descend(df: DataFrame, col: str, k: int, descending: bool) -> tuple[int, int]:
     """Return ``(value, residual)``: the value of the k-th row under
     ``ORDER BY col DESC`` (or ASC), and how many of the k rows lie at
     that value (the tie-group residual). One ≤4096-row histogram
     aggregation per level; the frame is re-filtered to the surviving
-    bucket between levels, so each level scans fewer rows."""
-    c = F.col(col)
+    bucket between levels, so each level scans fewer rows.
+
+    Buckets are 2^s wide and indexed by ARITHMETIC SHIFT, never by
+    subtraction or double division (round-12 self-review): a
+    ``(c - lo) / width`` double cast misbuckets above 2^53 and the raw
+    ``c - lo`` overflows bigint when min/max straddle most of the
+    int64 range; ``(c >> s) - (lo >> s)`` is exact floor division for
+    any bigint (Java >> is sign-preserving, matching Python), and the
+    difference is ≤4095 by construction."""
+    c = F.col(col).cast("bigint")
     bounds = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     while True:
-        width = max(1, -(-(hi - lo + 1) // _FANOUT))  # ceil-div
+        span = hi - lo + 1  # Python int: cannot overflow
+        s = max(0, span.bit_length() - 12)  # 2^12 = 4096 buckets
+        while ((hi >> s) - (lo >> s)) > _FANOUT - 1:
+            s += 1  # alignment can spill one extra bucket
+        base = lo >> s
+        bcol = (F.shiftright(c, s) if s else c) - F.lit(base)
         hist = {
             int(r["b"]): int(r["n"])
             for r in (
                 df.filter((c >= lo) & (c <= hi))
-                .groupBy(((c - F.lit(lo)) / F.lit(width)).cast("bigint").alias("b"))
+                .groupBy(bcol.alias("b"))
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             )
@@ -62,14 +91,14 @@ def _descend(df: DataFrame, col: str, k: int, descending: bool) -> tuple[int, in
         for b in order:
             if cum + hist[b] >= k:
                 k -= cum
-                lo, hi = lo + b * width, min(hi, lo + b * width + width - 1)
                 break
             cum += hist[b]
         else:  # k exceeds the row count: cutoff is the last value
             b = order[-1]
             k = hist[b]
-            lo, hi = lo + b * width, min(hi, lo + b * width + width - 1)
-        if width == 1:
+        lo = max(lo, (base + b) << s)
+        hi = min(hi, ((base + b + 1) << s) - 1)
+        if s == 0:
             return lo, k
 
 
@@ -82,11 +111,15 @@ def top_k_cutoff(df: DataFrame, score_col: str, id_col: str, k: int) -> dict:
     the module docstring for the descent contract."""
     if k <= 0:
         raise ValueError(f"need k > 0, got {k}")
-    s_star, resid = _descend(df, score_col, k, descending=True)
-    n_above = k - resid
-    ties = df.filter(F.col(score_col) == s_star)
-    i_star, _ = _descend(ties, id_col, resid, descending=False)
-    return {"score": s_star, "id": i_star, "n_above": n_above}
+    df, release = _pinned(df)
+    try:
+        s_star, resid = _descend(df, score_col, k, descending=True)
+        n_above = k - resid
+        ties = df.filter(F.col(score_col) == s_star)
+        i_star, _ = _descend(ties, id_col, resid, descending=False)
+        return {"score": s_star, "id": i_star, "n_above": n_above}
+    finally:
+        release()
 
 
 def keep_budget_report(
@@ -114,6 +147,14 @@ def keep_budget_report(
     from fractions import Fraction
 
     f = Fraction(keep_frac)
+    # pin once across count + cutoff descents + the final report scan
+    # (the report is lazy: the pin is released by the session-level
+    # evict sweep, the registry's normal lifetime)
+    from excel_to_database_spark.operators.caching import pin
+
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df = pin(df)
     n = df.count()
     k = -(-(n * f.numerator) // f.denominator)  # ceil(n·f), exact
     cut = top_k_cutoff(df, score_col, id_col, int(k))
@@ -134,7 +175,11 @@ def kth_value(df: DataFrame, col: str, k: int, descending: bool = True) -> int:
     distribution reports (max/p50/p99 of group sizes) at any scale."""
     if k <= 0:
         raise ValueError(f"need k > 0, got {k}")
-    return _descend(df, col, k, descending)[0]
+    df, release = _pinned(df)
+    try:
+        return _descend(df, col, k, descending)[0]
+    finally:
+        release()
 
 
 def skew_report(df: DataFrame, key_col: str, label: str) -> DataFrame:
@@ -149,7 +194,9 @@ def skew_report(df: DataFrame, key_col: str, label: str) -> DataFrame:
     (bounded meta reads only), no sort, no percentile-interpolation
     semantics to reconcile across engines — every output is a bigint
     actually present in the data."""
-    sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    sizes, release = _pinned(
+        df.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
     meta = sizes.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("n_rows"),
@@ -158,6 +205,7 @@ def skew_report(df: DataFrame, key_col: str, label: str) -> DataFrame:
     n_keys = int(meta["n_keys"])
     p50 = kth_value(sizes, "cnt", (n_keys + 1) // 2, descending=True)
     p99 = kth_value(sizes, "cnt", (n_keys + 99) // 100, descending=True)
+    release()
     spark = df.sparkSession
     return spark.createDataFrame(
         [

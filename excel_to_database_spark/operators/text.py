@@ -1130,6 +1130,19 @@ def token_budget_allocation(
         ints = {v: fr.numerator * (lcm // fr.denominator) for v, fr in fracs.items()}
         g = math.gcd(*ints.values())
         ints = {v: i // g for v, i in ints.items()}
+        # Reject what the rescale cannot represent (round-12
+        # self-review): a tiny positive weight that limit_denominator
+        # collapsed to 0 would silently allocate nothing and divide by
+        # zero in the sort key; near-coprime ~1e6 denominators make
+        # the LCM exceed int64 and overflow the downstream integer
+        # cross-products. Loud rejection beats silent mis-allocation.
+        if min(ints.values()) < 1 or max(ints.values()) > 10**9:
+            raise ValueError(
+                "weights not exactly representable as bounded integers "
+                f"(rescaled range {min(ints.values())}..{max(ints.values())}); "
+                "use rational weights with denominators <= 1e6 and a "
+                "dynamic range <= 1e9"
+            )
         mapping = F.create_map(
             *[F.lit(x) for v, i in ints.items() for x in (v, i)]
         )
@@ -1289,64 +1302,62 @@ def intradoc_line_dedup(df, id_col: str, text_col: str):
     )
 
 
+#: Luhn checksum fold as a SQL snippet over a digit-string expression
+#: ``{c}``: reversed digits, every 2nd doubled (−9 if >9), sum % 10 = 0.
+#: ONE definition shared by ``luhn_valid`` and ``mask_valid_cards`` so
+#: the checksum logic cannot drift between the predicate and the mask.
+_LUHN_SQL = """aggregate(
+      transform(filter(split(reverse({c}), ''), c -> c <> ''),
+                (c, i) -> CASE WHEN i % 2 = 1
+                               THEN IF(2 * cast(c AS INT) > 9,
+                                       2 * cast(c AS INT) - 9,
+                                       2 * cast(c AS INT))
+                               ELSE cast(c AS INT) END),
+      0, (a, x) -> a + x) % 10 = 0"""
+
+
 def luhn_valid(cand: str):
     """Luhn checksum validity of a digit-string column (passed by
-    NAME), as a pure column expression: reversed digits, every 2nd
-    doubled (−9 if >9), sum divisible by 10 — the check that
-    separates a real card number from 16 arbitrary digits. Integer
-    arithmetic only (identical in any engine)."""
-    return F.expr(
-        f"""aggregate(
-              transform(filter(split(reverse({cand}), ''), c -> c <> ''),
-                        (c, i) -> CASE WHEN i % 2 = 1
-                                       THEN IF(2 * cast(c AS INT) > 9,
-                                               2 * cast(c AS INT) - 9,
-                                               2 * cast(c AS INT))
-                                       ELSE cast(c AS INT) END),
-              0, (a, x) -> a + x) % 10 = 0"""
-    )
+    NAME), as a pure column expression — the check that separates a
+    real card number from 16 arbitrary digits. Integer arithmetic
+    only (identical in any engine)."""
+    return F.expr(_LUHN_SQL.format(c=cand))
 
 
 def mask_valid_cards(df, id_col: str, text_col: str):
-    """Checksum-gated credit-card masking: 13–19-digit word-bounded
-    candidates are masked (replaced by an equal-length run of 'X')
-    ONLY when they pass the Luhn check — the precision upgrade over
-    pattern-only PII masking (an order id or timestamp that happens
-    to be 16 digits is NOT a card and must survive). Returns
-    (id, clean_text, n_candidates, n_masked).
+    """Checksum-gated credit-card masking: a MAXIMAL digit run of
+    13–19 digits is masked (replaced by an equal-length run of 'X')
+    ONLY when it passes the Luhn check — the precision upgrade over
+    pattern-only PII masking (a 14-digit timestamp or an order id
+    that happens to be 16 digits is NOT a card and must survive).
+    Returns (id, clean_text, n_candidates, n_masked).
 
-    Scale shape: one per-row expression chain — regexp_extract_all →
-    Luhn filter (integer HOF) → aggregate-fold of replace() over the
-    validated candidates. Zero shuffles at any corpus size."""
-    cands = F.expr(
-        f"regexp_extract_all({text_col}, '\\\\b[0-9]{{13,19}}\\\\b', 0)"
-    )
-    out = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("__text"),
-        cands.alias("__cands"),
-    ).select(
-        id_col,
-        "__text",
-        "__cands",
-        F.expr(
-            """filter(__cands, cand ->
-                 aggregate(
-                   transform(filter(split(reverse(cand), ''), c -> c <> ''),
-                             (c, i) -> CASE WHEN i % 2 = 1
-                                            THEN IF(2 * cast(c AS INT) > 9,
-                                                    2 * cast(c AS INT) - 9,
-                                                    2 * cast(c AS INT))
-                                            ELSE cast(c AS INT) END),
-                   0, (a, x) -> a + x) % 10 = 0)"""
-        ).alias("__valid"),
-    )
+    The text is PARTITIONED into alternating digit/non-digit runs
+    (``regexp_extract_all('[0-9]+|[^0-9]+')`` covers every byte
+    exactly once) and rebuilt token-by-token — masking can therefore
+    never touch bytes outside the matched run (a substring
+    ``replace()`` of the candidate VALUE would also corrupt a longer
+    digit run that contains a valid card as a prefix; round-12
+    self-review finding). Maximal-run semantics deliberately count
+    ``...4111111111111111a`` as a candidate — a card leaked against a
+    letter is still a card (higher recall than a word-boundary rule).
+
+    Scale shape: one per-row expression chain — partition → per-run
+    Luhn fold → array_join. Zero shuffles at any corpus size."""
+    toks = F.expr(f"regexp_extract_all({text_col}, '[0-9]+|[^0-9]+', 0)")
+    is_cand = "t rlike '^[0-9]{13,19}$'"
+    is_card = f"({is_cand}) AND ({_LUHN_SQL.format(c='t')})"
+    out = df.select(F.col(id_col), toks.alias("__toks"))
     return out.select(
         id_col,
         F.expr(
-            "aggregate(__valid, __text,"
-            " (acc, c) -> replace(acc, c, repeat('X', length(c))))"
+            f"array_join(transform(__toks, t -> IF({is_card},"
+            " repeat('X', length(t)), t)), '')"
         ).alias("clean_text"),
-        F.size("__cands").cast("bigint").alias("n_candidates"),
-        F.size("__valid").cast("bigint").alias("n_masked"),
+        F.expr(f"size(filter(__toks, t -> {is_cand}))")
+        .cast("bigint")
+        .alias("n_candidates"),
+        F.expr(f"size(filter(__toks, t -> {is_card}))")
+        .cast("bigint")
+        .alias("n_masked"),
     )

@@ -3385,36 +3385,49 @@ def q186_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHEN 2 THEN ' card 5500005555555559 ts 20260815120000'
                         ELSE '' END AS text
                FROM documents),
-    c AS (SELECT doc_id, text,
-                 regexp_extract_all(text, '\\b[0-9]{13,19}\\b', 0) AS cands
+    c AS (SELECT doc_id,
+                 regexp_extract_all(text, '[0-9]+|[^0-9]+', 0) AS toks
           FROM d),
-    v AS (SELECT doc_id, text, cands,
-                 list_filter(cands, cand -> list_sum(
-                   [CASE WHEN (i-1) % 2 = 1
-                         THEN CASE WHEN 2*CAST(reverse(cand)[i] AS INT) > 9
-                                   THEN 2*CAST(reverse(cand)[i] AS INT) - 9
-                                   ELSE 2*CAST(reverse(cand)[i] AS INT) END
-                         ELSE CAST(reverse(cand)[i] AS INT) END
-                    FOR i IN range(1, length(cand)+1)]) % 10 = 0) AS valid
+    v AS (SELECT doc_id, toks,
+                 [t FOR t IN toks
+                    IF regexp_matches(t, '^[0-9]{13,19}$')] AS cands,
+                 [t FOR t IN toks
+                    -- TRY_CAST: DuckDB's AND does not short-circuit in
+                    -- vectorized evaluation, so the fold also runs on
+                    -- non-digit tokens; NULL sum -> falsy, candidates
+                    -- (all digits) are unaffected
+                    IF regexp_matches(t, '^[0-9]{13,19}$') AND list_sum(
+                      [CASE WHEN (i-1) % 2 = 1
+                            THEN CASE WHEN 2*TRY_CAST(reverse(t)[i] AS INT) > 9
+                                      THEN 2*TRY_CAST(reverse(t)[i] AS INT) - 9
+                                      ELSE 2*TRY_CAST(reverse(t)[i] AS INT) END
+                            ELSE TRY_CAST(reverse(t)[i] AS INT) END
+                       FOR i IN range(1, length(t)+1)]) % 10 = 0] AS cards
           FROM c)
     SELECT doc_id,
-           list_reduce(list_prepend(text, valid),
-                       (acc, c) -> replace(acc, c, repeat('X', length(c)))) AS clean_text,
+           array_to_string(
+             [CASE WHEN list_contains(cards, t) AND
+                        regexp_matches(t, '^[0-9]{13,19}$')
+                   THEN repeat('X', length(t)) ELSE t END FOR t IN toks],
+             '') AS clean_text,
            CAST(len(cands) AS BIGINT) AS n_candidates,
-           CAST(len(valid) AS BIGINT) AS n_masked
+           CAST(len(cards) AS BIGINT) AS n_masked
     FROM v
     """,
 )
 def q187_luhn_card_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-gated PII masking (operators/text.mask_valid_cards):
-    13-19-digit candidates are masked only when they pass the Luhn
+    maximal 13-19-digit runs are masked only when they pass the Luhn
     check, so a 14-digit timestamp or an order id that merely LOOKS
     like a card survives — the precision upgrade over q102's
-    pattern-only masking. The corpus embeds one valid card, one
-    checksum-broken twin, and a valid-card-plus-timestamp line (the
-    q142 in-query pattern); the oracle re-derives the Luhn fold
-    independently in DuckDB. The operator is one per-row expression
-    chain — zero shuffles at any corpus size."""
+    pattern-only masking. The text is partitioned into digit/non-digit
+    runs and rebuilt token-by-token, so masking can never corrupt a
+    longer digit run containing a card as a substring (round-12
+    self-review finding against the replace()-fold formulation). The
+    corpus embeds one valid card, one checksum-broken twin, and a
+    valid-card-plus-timestamp line (the q142 in-query pattern); the
+    oracle re-derives the partition AND the Luhn fold independently in
+    DuckDB. One per-row expression chain — zero shuffles."""
     d = t(spark, sf_dir, "documents")
     aug = d.select(
         "doc_id",

@@ -98,12 +98,7 @@ def q122_arrayadj(spark, sf_dir: str):
     )
 
 
-def _steal_cs() -> int | None:
-    try:
-        with open("/proc/stat") as f:
-            return int(f.readline().split()[8])
-    except Exception:
-        return None
+from scripts.scale_slope import steal_cs as _steal_cs
 
 
 def _run_point(variant: str, sf_dir: str, reps: int) -> dict:

@@ -166,6 +166,18 @@ def build_scaled_dir(spark: SparkSession, sf_dir: str, factor: int = 10) -> str:
     return out
 
 
+def steal_cs() -> int | None:
+    """Aggregate hypervisor-steal ticks from /proc/stat (USER_HZ,
+    summed over every core) — shared by the slope harness and the A/B
+    scripts so the parser has exactly one definition."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])  # cpu ... steal
+    except Exception:
+        return None
+
+
 def time_pair(
     spark: SparkSession, name: str, base_dir: str, scaled_dir: str, reps: int = 2
 ) -> dict:
@@ -188,14 +200,6 @@ def time_pair(
     from bench import sandbox_calibration
     from excel_to_database_spark.operators.caching import deep_evict
     from excel_to_database_spark.queries import QUERIES
-
-    def steal_cs() -> int | None:
-        try:
-            with open("/proc/stat") as f:
-                parts = f.readline().split()
-            return int(parts[8])  # cpu ... steal (USER_HZ ticks)
-        except Exception:
-            return None
 
     # throwaway calibration first: in a fresh JVM the first cal pays
     # whole-JVM C2/codegen warm-up (measured: cal_before was

@@ -132,6 +132,13 @@ def test_mask_valid_cards_vectors(spark):
         (3, "ts 20260815120000 and 5500005555555559"),
         (4, "short 411111111111 here"),              # 12 digits: no candidate
         (5, "id 411111111111111111111 x"),           # 21 digits: no candidate
+        # the round-12 self-review corruption scenario: a 20-digit run
+        # CONTAINING a valid card as a prefix must survive byte-for-byte
+        # while the standalone card is masked
+        (6, "id 41111111111111119999 pay 4111111111111111"),
+        # maximal-run semantics: a card leaked against a letter is
+        # still a card (higher recall than a word-boundary rule)
+        (7, "x4111111111111111 end"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in T.mask_valid_cards(df, "doc_id", "text").collect()}
@@ -144,6 +151,20 @@ def test_mask_valid_cards_vectors(spark):
     ) + int(_luhn_ok("20260815120000"))
     assert "5500005555555559" not in out[3]["clean_text"]
     assert out[4]["n_candidates"] == 0 and out[5]["n_candidates"] == 0
+    assert out[6]["clean_text"] == "id 41111111111111119999 pay XXXXXXXXXXXXXXXX"
+    assert out[6]["n_candidates"] == 1 and out[6]["n_masked"] == 1
+    assert out[7]["clean_text"] == "x" + "X" * 16 + " end"
+    assert out[7]["n_masked"] == 1
+
+
+def test_luhn_valid_expression(spark):
+    """The shared Luhn expression (luhn_valid) agrees with the Python
+    reference on a digit-string column."""
+    vals = ["4111111111111111", "4111111111111112", "5500005555555559",
+            "20260815120000", "0", "59"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["ok"] for r in df.select("s", T.luhn_valid("s").alias("ok")).collect()}
+    assert got == {v: _luhn_ok(v) for v in vals}
 
 
 # ---------------------------------------------------------------- skew report
@@ -165,3 +186,29 @@ def test_skew_report_hand_case(spark):
     assert (r["n_rows"], r["n_keys"], r["max_size"]) == (100, 10, 91)
     assert r["p50_size"] == 1      # 5th largest of [91,1x9]
     assert r["p99_size"] == 91     # ceil(10/100)=1st largest
+
+
+def test_top_k_cutoff_huge_bigint_range(spark):
+    """Round-12 self-review: score ranges beyond 2^53 (where double
+    division misbuckets) and min/max straddling most of int64 (where
+    a raw c - lo subtraction overflows) — the shift-based descent
+    must stay exact."""
+    rows = [
+        (1, 2**62), (2, 2**62 - 1), (3, -(2**62)), (4, 0),
+        (5, 2**53 + 1), (6, 2**53), (7, -(2**61) - 7), (8, 2**62),
+    ]
+    df = spark.createDataFrame(rows, "id long, score long")
+    for k in range(1, 9):
+        assert SEL.top_k_cutoff(df, "score", "id", k) == _brute_cutoff(rows, k), k
+
+
+def test_token_budget_rejects_unrepresentable_weights(spark):
+    """Round-12 self-review: a tiny positive weight that the Fraction
+    rescale would collapse to integer 0 (silent zero allocation +
+    divide-by-zero sort key) must be rejected loudly."""
+    df = spark.createDataFrame(
+        [("A", 100, 1e-9), ("B", 100, 1.0)],
+        "source string, avail_tokens long, weight double",
+    )
+    with pytest.raises(ValueError, match="representable"):
+        T.token_budget_allocation(df, 50).collect()
