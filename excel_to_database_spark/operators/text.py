@@ -1361,3 +1361,65 @@ def mask_valid_cards(df, id_col: str, text_col: str):
         .cast("bigint")
         .alias("n_masked"),
     )
+
+
+def padding_efficiency(df, id_col: str, len_col: str, batch_size: int = 8, n_shards: int = 8):
+    """Batching-policy evaluation for training-data loaders: compare
+    the padding waste of ARRIVAL-order batching vs LENGTH-SORTED
+    batching (each batch dynamically padded to its own max length —
+    the standard dataloader contract). Returns one row per policy:
+    (policy, n_batches, total_tokens, padded_tokens) — all exact
+    bigints, so the "sorted batching saves X% padding" decision is
+    oracle-checkable.
+
+    Scale shape: documents are md5-sharded (the q97 discipline — each
+    shard batches independently, zero coordination), so the
+    row_number windows partition by shard and never create a global
+    sort; the two policies differ only in the window's ORDER BY. Waste
+    per batch is max·count − sum, an integer identity."""
+    from pyspark.sql.window import Window
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("batch:"), F.col(id_col).cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        % n_shards
+    ).cast("int")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(len_col).cast("bigint").alias("tok"),
+        shard.alias("shard"),
+    )
+    outs = []
+    for policy, order in (
+        ("arrival", [F.col("id").asc()]),
+        ("length_sorted", [F.col("tok").asc(), F.col("id").asc()]),
+    ):
+        w = Window.partitionBy("shard").orderBy(*order)
+        b = base.withColumn("rn", F.row_number().over(w)).withColumn(
+            "bidx", F.expr(f"(rn - 1) div {int(batch_size)}")
+        )
+        g = b.groupBy("shard", "bidx").agg(
+            F.max("tok").alias("m"),
+            F.count(F.lit(1)).alias("c"),
+            F.sum("tok").alias("s"),
+        )
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+                F.sum("s").cast("bigint").alias("total_tokens"),
+                F.sum(F.col("m") * F.col("c") - F.col("s"))
+                .cast("bigint")
+                .alias("padded_tokens"),
+            ).select(
+                F.lit(policy).alias("policy"),
+                "n_batches",
+                "total_tokens",
+                "padded_tokens",
+            )
+        )
+    return outs[0].unionByName(outs[1])

@@ -3489,3 +3489,49 @@ def q188_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SEL.skew_report(e, "user_id", "events.user_id").unionByName(
         SEL.skew_report(d, "source", "documents.source")
     )
+
+
+@query(
+    "q189_padding_efficiency",
+    f"""
+    WITH s AS (SELECT doc_id AS id,
+                      CAST({T.SQL_TOKEN_COUNT_BPE.format(t='text')} AS BIGINT) AS tok,
+                      CAST(CAST(('0x' || substring(md5('batch:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 8 AS INT) AS shard
+               FROM documents),
+    a AS (SELECT shard, tok,
+                 ROW_NUMBER() OVER (PARTITION BY shard ORDER BY id) AS rn
+          FROM s),
+    ab AS (SELECT shard, (rn - 1) // 8 AS bidx,
+                  MAX(tok) AS m, COUNT(*) AS c, SUM(tok) AS tot
+           FROM a GROUP BY shard, (rn - 1) // 8),
+    l AS (SELECT shard, tok,
+                 ROW_NUMBER() OVER (PARTITION BY shard ORDER BY tok, id) AS rn
+          FROM s),
+    lb AS (SELECT shard, (rn - 1) // 8 AS bidx,
+                  MAX(tok) AS m, COUNT(*) AS c, SUM(tok) AS tot
+           FROM l GROUP BY shard, (rn - 1) // 8)
+    SELECT 'arrival' AS policy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(tot) AS BIGINT) AS total_tokens,
+           CAST(SUM(m * c - tot) AS BIGINT) AS padded_tokens
+    FROM ab
+    UNION ALL
+    SELECT 'length_sorted' AS policy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(tot) AS BIGINT) AS total_tokens,
+           CAST(SUM(m * c - tot) AS BIGINT) AS padded_tokens
+    FROM lb
+    """,
+)
+def q189_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batching-policy padding report (operators/text.
+    padding_efficiency): arrival-order vs length-sorted batching,
+    batch size 8, each batch dynamically padded to its own max BPE
+    length — the dataloader decision artifact ("sorted batching saves
+    X% padding"). Documents are md5-sharded (8 shards, the q97
+    discipline) so the row_number windows never create a global sort;
+    waste per batch is the integer identity max·count − sum, making
+    every output column oracle-exact."""
+    d = t(spark, sf_dir, "documents")
+    s = d.select("doc_id", T.token_count_bpe(F.col("text")).alias("tok"))
+    return T.padding_efficiency(s, "doc_id", "tok", batch_size=8, n_shards=8)

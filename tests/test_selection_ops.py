@@ -212,3 +212,20 @@ def test_token_budget_rejects_unrepresentable_weights(spark):
     )
     with pytest.raises(ValueError, match="representable"):
         T.token_budget_allocation(df, 50).collect()
+
+
+# ---------------------------------------------------------------- padding
+def test_padding_efficiency_hand_case(spark):
+    """One shard (n_shards=1), batch size 2, lengths 1..4 in id order:
+    arrival batches (1,10),(2,9) -> waste 9+7=16; sorted batches
+    (1,2),(9,10) -> waste 1+1=2. Totals identical."""
+    rows = [(1, 1), (2, 10), (3, 2), (4, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    out = {
+        r["policy"]: r
+        for r in T.padding_efficiency(df, "doc_id", "tok", batch_size=2, n_shards=1).collect()
+    }
+    assert out["arrival"]["n_batches"] == 2 and out["length_sorted"]["n_batches"] == 2
+    assert out["arrival"]["total_tokens"] == 22 == out["length_sorted"]["total_tokens"]
+    assert out["arrival"]["padded_tokens"] == 16
+    assert out["length_sorted"]["padded_tokens"] == 2
