@@ -24,9 +24,11 @@ Each level's aggregation is a hash aggregate with map-side combine
 driver reads only histogram rows (bounded meta reads, the repo-wide
 ``.collect()`` policy), never data rows.
 
-Scores and ids must be integral (bigint-castable) — which also makes
-every decision integer-exact and engine-portable (the oracle-exactness
-discipline: no percentile interpolation semantics to reconcile).
+Scores and ids must be integral (bigint-castable) and NON-NULL — an
+empty frame or a NULL score is rejected loudly rather than silently
+mis-ranked — which also makes every decision integer-exact and
+engine-portable (the oracle-exactness discipline: no percentile
+interpolation semantics to reconcile).
 """
 
 from __future__ import annotations
@@ -68,7 +70,23 @@ def _descend(df: DataFrame, col: str, k: int, descending: bool) -> tuple[int, in
     any bigint (Java >> is sign-preserving, matching Python), and the
     difference is ≤4095 by construction."""
     c = F.col(col).cast("bigint")
-    bounds = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+    bounds = df.agg(
+        F.min(c).alias("lo"),
+        F.max(c).alias("hi"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(c).alias("n_val"),
+    ).collect()[0]
+    # Loud degenerate-input rejection (round-12 advisor finding: an
+    # empty or all-NULL frame crashed with an opaque int(None)
+    # TypeError, and NULLs were silently dropped by the range filter).
+    if not bounds["n_all"]:
+        raise ValueError(f"cannot take an order statistic of an empty frame ({col!r})")
+    if bounds["n_val"] != bounds["n_all"]:
+        raise ValueError(
+            f"{col!r} has {int(bounds['n_all']) - int(bounds['n_val'])} NULL "
+            "value(s) — order statistics over NULLs are undefined here; "
+            "filter or coalesce them first"
+        )
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     while True:
         span = hi - lo + 1  # Python int: cannot overflow

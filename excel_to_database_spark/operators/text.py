@@ -1150,7 +1150,12 @@ def token_budget_allocation(
         out_weight = F.col(weight_col)
     else:
         int_weight = F.col(weight_col).cast("bigint")
-        out_weight = int_weight
+        # the OUTPUT weight column is always the caller's original
+        # values AND type on both paths (round-12 advisor finding: a
+        # bigint cast here made the output schema depend on whether any
+        # weight happened to be fractional — unioning reports from the
+        # two paths broke schema-sensitive consumers)
+        out_weight = F.col(weight_col)
     c = counts.select(
         F.col(source_col).alias("source"),
         F.col(avail_col).cast("bigint").alias("avail_tokens"),
@@ -1200,14 +1205,21 @@ def token_budget_allocation(
     # greatest(...) guards the numerator: flooring semantics must never
     # see a negative (Spark div truncates toward zero, DuckDB // floors
     # toward -inf — they agree only on non-negatives).  The floor
-    # division is split N·w/D = (N div D)·w + ((N mod D)·w) div D so
-    # every intermediate stays within bigint even with rescaled
-    # fractional weights (N·w alone can pass 2^63); the identity is
-    # exact for non-negative operands.
+    # division is split N·w/D = (N div D)·w + ((N mod D)·w) div D; the
+    # quotient term is ≤ the true allocation (fits bigint), and the
+    # remainder product runs in decimal(38,0) because (N mod D)·w is
+    # bounded by D·w, which with rescaled fractional weights can pass
+    # 2^63 (D = Σweights ~1e9·|domains| × w ≤ 1e9 — the round-12
+    # advisor finding; under ANSI the bigint product threw instead of
+    # allocating). decimal `div` is exact and the result is < w, so
+    # the bigint cast back cannot overflow. The identity is exact for
+    # non-negative operands.
     alloc = F.when(F.col("saturated"), F.col("avail_tokens")).otherwise(
         F.expr(
             "(greatest(_T - _sa, 0) div (_tw - _sw)) * weight"
-            " + ((greatest(_T - _sa, 0) % (_tw - _sw)) * weight) div (_tw - _sw)"
+            " + cast((cast(greatest(_T - _sa, 0) % (_tw - _sw) as decimal(38,0))"
+            "         * cast(weight as decimal(38,0)))"
+            "        div cast(_tw - _sw as decimal(38,0)) as bigint)"
         )
     )
     return c.select(
@@ -1376,13 +1388,19 @@ def padding_efficiency(df, id_col: str, len_col: str, batch_size: int = 8, n_sha
     shard batches independently, zero coordination), so the
     row_number windows partition by shard and never create a global
     sort; the two policies differ only in the window's ORDER BY. Waste
-    per batch is max·count − sum, an integer identity."""
+    per batch is max·count − sum, an integer identity.
+
+    Sharding uses the 16-bit hash_bucket primitive (4 md5 hex chars):
+    exactly uniform when ``n_shards`` divides 65536 (any power of two
+    ≤ 65536), residual bias < 1/65536 otherwise (round-12 advisor
+    finding: the 8-bit bucket was visibly biased for e.g.
+    n_shards=10)."""
     from pyspark.sql.window import Window
 
     shard = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit("batch:"), F.col(id_col).cast("string"))), 1, 2
+                F.md5(F.concat(F.lit("batch:"), F.col(id_col).cast("string"))), 1, 4
             ),
             16,
             10,

@@ -3496,7 +3496,7 @@ def q188_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH s AS (SELECT doc_id AS id,
                       CAST({T.SQL_TOKEN_COUNT_BPE.format(t='text')} AS BIGINT) AS tok,
-                      CAST(CAST(('0x' || substring(md5('batch:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 8 AS INT) AS shard
+                      CAST(CAST(('0x' || substring(md5('batch:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8 AS INT) AS shard
                FROM documents),
     a AS (SELECT shard, tok,
                  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY id) AS rn

@@ -202,6 +202,58 @@ def test_top_k_cutoff_huge_bigint_range(spark):
         assert SEL.top_k_cutoff(df, "score", "id", k) == _brute_cutoff(rows, k), k
 
 
+def test_top_k_cutoff_rejects_empty_and_null(spark):
+    """Round-12 advisor finding: empty / all-NULL / partially-NULL
+    inputs must fail with a clear ValueError, not an opaque
+    int(None) TypeError (and NULLs must never be silently dropped)."""
+    empty = spark.createDataFrame([], "id long, score long")
+    with pytest.raises(ValueError, match="empty"):
+        SEL.top_k_cutoff(empty, "score", "id", 1)
+    allnull = spark.createDataFrame([(1, None), (2, None)], "id long, score long")
+    with pytest.raises(ValueError, match="NULL"):
+        SEL.top_k_cutoff(allnull, "score", "id", 1)
+    somenull = spark.createDataFrame([(1, 5), (2, None)], "id long, score long")
+    with pytest.raises(ValueError, match="NULL"):
+        SEL.kth_value(somenull, "score", 1)
+
+
+def test_token_budget_weight_type_consistent(spark):
+    """Round-12 advisor finding: the output weight column is always the
+    caller's original values AND type — integral-valued doubles must
+    not come back as bigint on one path and double on the other."""
+    int_valued = spark.createDataFrame(
+        [("A", 300, 3.0), ("B", 300, 1.0)], "source string, avail_tokens long, weight double"
+    )
+    frac_valued = spark.createDataFrame(
+        [("A", 300, 0.75), ("B", 300, 0.25)], "source string, avail_tokens long, weight double"
+    )
+    a = T.token_budget_allocation(int_valued, 200)
+    b = T.token_budget_allocation(frac_valued, 200)
+    assert dict(a.dtypes)["weight"] == "double" == dict(b.dtypes)["weight"]
+    # the two reports union cleanly (the schema-sensitive consumer case)
+    assert a.unionByName(b).count() == 4
+    got = {r["source"]: r["weight"] for r in a.collect()}
+    assert got == {"A": 3.0, "B": 1.0}
+
+
+def test_token_budget_remainder_overflow_regime(spark):
+    """Round-12 advisor finding: with rescaled fractional weights,
+    (N mod D)·w can exceed 2^63 (Σweights ~1.1e10 × weight ~1e9) —
+    previously an ANSI overflow throw; the decimal(38,0) remainder
+    product must allocate exactly floor(N·w/D) instead."""
+    rows = [(f"S{i:02d}", 10**12, 499999999.5) for i in range(11)] + [
+        ("tiny", 10**12, 0.5)
+    ]
+    df = spark.createDataFrame(rows, "source string, avail_tokens long, weight double")
+    budget = 10_999_999_988  # < D = 11·999999999 + 1, so N mod D = N
+    out = {r["source"]: r for r in T.token_budget_allocation(df, budget).collect()}
+    w_int, d = 999_999_999, 11 * 999_999_999 + 1
+    assert not any(r["saturated"] for r in out.values())
+    for i in range(11):
+        assert out[f"S{i:02d}"]["allocated_tokens"] == budget * w_int // d
+    assert out["tiny"]["allocated_tokens"] == budget * 1 // d
+
+
 def test_token_budget_rejects_unrepresentable_weights(spark):
     """Round-12 self-review: a tiny positive weight that the Fraction
     rescale would collapse to integer 0 (silent zero allocation +
