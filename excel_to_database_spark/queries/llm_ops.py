@@ -3375,59 +3375,91 @@ def q186_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.intradoc_line_dedup(corpus, "doc_id", "text")
 
 
+def _sql_luhn_d(d: str) -> str:
+    """DuckDB Luhn fold over a digit-string expression ``d`` — pure
+    lambda style (list_transform over range) so it nests inside outer
+    token lambdas. TRY_CAST: DuckDB's AND does not short-circuit in
+    vectorized evaluation, so the fold also runs on non-digit/empty
+    strings; a NULL sum is falsy under the COALESCE at each call
+    site, and real candidates (all digits) are unaffected."""
+    return f"""COALESCE(list_sum(list_transform(range(1, length({d})+1), j ->
+      CASE WHEN (j-1) % 2 = 1
+           THEN CASE WHEN 2*TRY_CAST(reverse({d})[j] AS INT) > 9
+                     THEN 2*TRY_CAST(reverse({d})[j] AS INT) - 9
+                     ELSE 2*TRY_CAST(reverse({d})[j] AS INT) END
+           ELSE TRY_CAST(reverse({d})[j] AS INT) END)) % 10 = 0, FALSE)"""
+
+
+_SQL_TOK_DIGITS = "regexp_replace(t, '[^0-9]', '', 'g')"
+_SQL_TOK_RUNS = "regexp_extract_all(t, '[0-9]+|[^0-9]+', 0)"
+_SQL_GRP_CAND = (
+    "regexp_matches(t, '^[0-9]') AND "
+    f"length({_SQL_TOK_DIGITS}) BETWEEN 13 AND 19"
+)
+_SQL_GRP_CARD = f"({_SQL_GRP_CAND}) AND {_sql_luhn_d(_SQL_TOK_DIGITS)}"
+_SQL_RUN_CAND = "regexp_matches(r, '^[0-9]{13,19}$')"
+_SQL_RUN_CARD = f"({_SQL_RUN_CAND}) AND {_sql_luhn_d('r')}"
+
+
 @query(
     "q187_luhn_card_masking",
-    """
+    f"""
     WITH d AS (SELECT doc_id,
                       text || CASE doc_id % 7
                         WHEN 0 THEN ' pay 4111111111111111 now'
                         WHEN 1 THEN ' ref 4111111111111112'
                         WHEN 2 THEN ' card 5500005555555559 ts 20260815120000'
+                        WHEN 3 THEN ' card 4111 1111 1111 1111 ok'
+                        WHEN 4 THEN ' acct 4111-1111-1111-1111'
+                        WHEN 5 THEN ' order 4111 1111 1111 1112 keep pin 1234 4111111111111111'
                         ELSE '' END AS text
                FROM documents),
     c AS (SELECT doc_id,
-                 regexp_extract_all(text, '[0-9]+|[^0-9]+', 0) AS toks
-          FROM d),
-    v AS (SELECT doc_id, toks,
-                 [t FOR t IN toks
-                    IF regexp_matches(t, '^[0-9]{13,19}$')] AS cands,
-                 [t FOR t IN toks
-                    -- TRY_CAST: DuckDB's AND does not short-circuit in
-                    -- vectorized evaluation, so the fold also runs on
-                    -- non-digit tokens; NULL sum -> falsy, candidates
-                    -- (all digits) are unaffected
-                    IF regexp_matches(t, '^[0-9]{13,19}$') AND list_sum(
-                      [CASE WHEN (i-1) % 2 = 1
-                            THEN CASE WHEN 2*TRY_CAST(reverse(t)[i] AS INT) > 9
-                                      THEN 2*TRY_CAST(reverse(t)[i] AS INT) - 9
-                                      ELSE 2*TRY_CAST(reverse(t)[i] AS INT) END
-                            ELSE TRY_CAST(reverse(t)[i] AS INT) END
-                       FOR i IN range(1, length(t)+1)]) % 10 = 0] AS cards
-          FROM c)
+                 regexp_extract_all(text, '[0-9]+([- ][0-9]+)*|[^0-9]+', 0) AS toks
+          FROM d)
     SELECT doc_id,
-           array_to_string(
-             [CASE WHEN list_contains(cards, t) AND
-                        regexp_matches(t, '^[0-9]{13,19}$')
-                   THEN repeat('X', length(t)) ELSE t END FOR t IN toks],
-             '') AS clean_text,
-           CAST(len(cands) AS BIGINT) AS n_candidates,
-           CAST(len(cards) AS BIGINT) AS n_masked
-    FROM v
+           COALESCE(array_to_string(list_transform(toks, t ->
+             CASE WHEN {_SQL_GRP_CARD}
+                  THEN regexp_replace(t, '[0-9]', 'X', 'g')
+                  WHEN regexp_matches(t, '^[0-9]')
+                  THEN COALESCE(array_to_string(list_transform({_SQL_TOK_RUNS}, r ->
+                         CASE WHEN {_SQL_RUN_CARD}
+                              THEN repeat('X', length(r)) ELSE r END), ''), '')
+                  ELSE t END), ''), '') AS clean_text,
+           CAST(COALESCE(list_sum(list_transform(toks, t ->
+             CASE WHEN {_SQL_GRP_CAND} THEN 1
+                  WHEN regexp_matches(t, '^[0-9]')
+                  THEN len(list_filter({_SQL_TOK_RUNS}, r -> {_SQL_RUN_CAND}))
+                  ELSE 0 END)), 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(list_sum(list_transform(toks, t ->
+             CASE WHEN {_SQL_GRP_CARD} THEN 1
+                  WHEN regexp_matches(t, '^[0-9]')
+                  THEN len(list_filter({_SQL_TOK_RUNS}, r -> {_SQL_RUN_CARD}))
+                  ELSE 0 END)), 0) AS BIGINT) AS n_masked
+    FROM c
     """,
 )
 def q187_luhn_card_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-gated PII masking (operators/text.mask_valid_cards):
-    maximal 13-19-digit runs are masked only when they pass the Luhn
-    check, so a 14-digit timestamp or an order id that merely LOOKS
-    like a card survives — the precision upgrade over q102's
-    pattern-only masking. The text is partitioned into digit/non-digit
-    runs and rebuilt token-by-token, so masking can never corrupt a
-    longer digit run containing a card as a substring (round-12
-    self-review finding against the replace()-fold formulation). The
-    corpus embeds one valid card, one checksum-broken twin, and a
-    valid-card-plus-timestamp line (the q142 in-query pattern); the
-    oracle re-derives the partition AND the Luhn fold independently in
-    DuckDB. One per-row expression chain — zero shuffles."""
+    13-19-digit candidates — maximal runs AND separator-joined groups
+    (``4111 1111 1111 1111`` / ``4111-1111-1111-1111``, the round-12
+    judge recall finding) — are masked only when their digits pass the
+    Luhn check, preserving separators, so a 14-digit timestamp or an
+    order id that merely LOOKS like a card survives — the precision
+    upgrade over q102's pattern-only masking. The text is partitioned
+    into digit-group/non-digit tokens and rebuilt token-by-token, so
+    masking can never corrupt a longer digit run containing a card as
+    a substring (round-12 self-review finding against the
+    replace()-fold formulation); digit-led tokens outside 13-19 total
+    digits fall back to the per-run rule so an embedded plain card
+    next to other digit groups still masks. The corpus embeds one
+    valid card, one checksum-broken twin, a valid-card-plus-timestamp
+    line, space- and dash-separated valid cards, a separated
+    checksum-fail group that must survive, and an embedded-card
+    fallback line (the q142 in-query pattern); the oracle re-derives
+    the partition, the grouping, the fallback, AND the Luhn fold
+    independently in DuckDB. One per-row expression chain — zero
+    shuffles."""
     d = t(spark, sf_dir, "documents")
     aug = d.select(
         "doc_id",
@@ -3438,6 +3470,12 @@ def q187_luhn_card_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(
                 F.col("doc_id") % 7 == 2,
                 F.lit(" card 5500005555555559 ts 20260815120000"),
+            )
+            .when(F.col("doc_id") % 7 == 3, F.lit(" card 4111 1111 1111 1111 ok"))
+            .when(F.col("doc_id") % 7 == 4, F.lit(" acct 4111-1111-1111-1111"))
+            .when(
+                F.col("doc_id") % 7 == 5,
+                F.lit(" order 4111 1111 1111 1112 keep pin 1234 4111111111111111"),
             )
             .otherwise(F.lit("")),
         ).alias("text"),
