@@ -154,6 +154,10 @@ HEADLINE = [
     # shuffle-skew pre-flight (exact order stats via histogram descent)
     "q187_luhn_card_masking",
     "q188_shuffle_skew_report",
+    # round-13: image near-dup dedup (aHash in the mapInPandas decode
+    # seam + 64-bit pigeonhole band join) and the hashed-n-gram linear
+    # quality classifier (broadcast weight join, fastText shape)
+    "q190_image_near_dup",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

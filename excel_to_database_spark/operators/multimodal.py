@@ -160,6 +160,93 @@ def decode_media(df: DataFrame, decode_stub: str = "fake", codec=None) -> DataFr
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc", LongType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+def codepoint_pixel_codec():
+    """Deterministic stand-in PIXEL decoder for :func:`image_ahash`'s
+    injection seam: the payload's UTF-8 code points mod 256 as a 1-D
+    grayscale sequence. Closed-form in the bytes, so a SQL oracle can
+    recompute the downstream hash character-by-character (the same
+    reason decode_media's fake stub is byte-derived). A real decoder
+    (PIL ``convert('L')`` + ``resize``) swaps in by returning its own
+    ``bytes -> sequence[int]``; nothing downstream changes."""
+
+    def codec(payload: bytes) -> list:
+        return [ord(c) % 256 for c in bytes(payload).decode("utf-8")]
+
+    return codec
+
+
+def image_ahash(df: DataFrame, pixel_codec=None, id_col: str = "media_id") -> DataFrame:
+    """64-bit AVERAGE-HASH fingerprints of image payloads — the
+    perceptual-hash step of image near-dup dedup (every multimodal
+    training pipeline dedups images before text; aHash/dHash banding is
+    the standard first pass). Arrow-batched ``mapInPandas`` in the same
+    decode seam as :func:`decode_media`; returns ``(doc, fingerprint)``
+    rows ready for the pigeonhole band join
+    (``operators.dedup.simhash_pairs(fp, max_distance=k, bits=64)``) —
+    Hamming-≤k candidate pairs with ZERO new join shapes.
+
+    aHash contract (downsample → threshold at the grid mean):
+
+      * ``pixel_codec`` (the injection seam, default
+        :func:`codepoint_pixel_codec`) turns the payload into a 1-D
+        grayscale pixel sequence — a real image codec returns the
+        row-major grayscale raster here;
+      * the sequence is nearest-neighbor downsampled to 64 points,
+        sample k = pixel[floor(k·n/64)] (a real 8×8 resize is one
+        ``resize((8, 8))`` away — point sampling keeps the stub
+        SQL-recomputable);
+      * bit k = (sample_k · 64 > Σ samples) — strictly-above-mean in
+        INTEGER cross-product form, so the threshold decision is exact
+        in any engine;
+      * bits assemble little-endian into one signed bigint (bit 63 is
+        the sign bit — two's complement, matching Spark/DuckDB
+        ``bit_count(xor(...))`` Hamming semantics exactly).
+
+    Empty payloads are dropped (an imageless row has no hash; callers
+    wanting them must filter first — mirrors the SQL oracle's
+    ``length >= 1`` guard).
+
+    Scale shape: one Arrow-batched projection (no shuffle); the pair
+    stage is the banded equi-join of the q77 machinery — candidates
+    from (band, chunk) buckets, never an all-pairs scan."""
+    codec = pixel_codec or codepoint_pixel_codec()
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        def ahash(payload: bytes):
+            pix = codec(bytes(payload))
+            n = len(pix)
+            if n == 0:
+                return None
+            sample = [pix[(k * n) // 64] for k in range(64)]
+            tot = sum(sample)
+            h = 0
+            for k, p in enumerate(sample):
+                if p * 64 > tot:
+                    h |= 1 << k
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc": pdf[id_col].astype("int64"),
+                    "fingerprint": [ahash(b) for b in pdf["payload"]],
+                }
+            )
+            yield out[out["fingerprint"].notna()]
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

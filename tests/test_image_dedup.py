@@ -1,0 +1,107 @@
+"""Round-13: image near-dup dedup — 64-bit average-hash in the
+multimodal decode seam, banded through the SimHash pigeonhole join."""
+
+import random
+
+import pyspark.sql.functions as F
+
+from excel_to_database_spark.operators import dedup as D
+from excel_to_database_spark.operators import multimodal as M
+
+
+def _ahash_ref(pix):
+    """Independent reference aHash (the test's oracle): 64-point
+    nearest-neighbor downsample, strictly-above-mean bits, signed
+    64-bit assembly."""
+    n = len(pix)
+    sample = [pix[(k * n) // 64] for k in range(64)]
+    tot = sum(sample)
+    h = 0
+    for k, p in enumerate(sample):
+        if p * 64 > tot:
+            h |= 1 << k
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _media(spark, rows):
+    df = spark.createDataFrame(rows, "media_id long, text string")
+    return M.attach_payload(df, "media_id", "text", kind="image")
+
+
+def test_image_ahash_hand_vectors(spark):
+    """The operator's hash equals the reference recompute on payloads
+    of every sampling regime: shorter than 64 px (positions repeat),
+    exactly 64, and longer (true downsample)."""
+    texts = ["abc", "x" * 64, "abcd" * 32, "The quick brown fox! " * 9]
+    got = {
+        r["doc"]: r["fingerprint"]
+        for r in M.image_ahash(_media(spark, list(enumerate(texts)))).collect()
+    }
+    for i, s in enumerate(texts):
+        assert got[i] == _ahash_ref([ord(c) % 256 for c in s]), s
+
+
+def test_image_ahash_sign_bit_and_empty(spark):
+    """Bit 63 assembles as the two's-complement sign bit (so Spark and
+    SQL bit_count(xor) agree on all 64 bits); empty payloads drop."""
+    codec = lambda payload: list(payload)  # raw bytes as pixels
+    df = spark.createDataFrame(
+        [(1, bytearray([0] * 63 + [255])), (2, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    out = {r["doc"]: r["fingerprint"] for r in M.image_ahash(df, pixel_codec=codec).collect()}
+    assert out[1] == -(1 << 63)  # only bit 63 above the mean
+    assert 2 not in out  # imageless row has no hash
+
+
+def test_image_near_dup_banded_equals_bruteforce(spark):
+    """Pigeonhole completeness at 64 bits: the banded join returns
+    EXACTLY the Hamming-<=3 pairs of a quadratic scan, including pairs
+    of identical hashes (Hamming 0) and near misses at the boundary."""
+    rng = random.Random(13)
+    base = ["".join(rng.choice("abcdefgh ") for _ in range(rng.randint(40, 200))) for _ in range(40)]
+    texts = list(base)
+    for i in range(0, 40, 7):  # exact replicas -> Hamming 0
+        texts.append(base[i])
+    for i in range(3, 40, 11):  # single mid-char edits -> small Hamming
+        s = base[i]
+        texts.append(s[: len(s) // 2] + "Z" + s[len(s) // 2 + 1 :])
+    rows = list(enumerate(texts))
+    fps = {
+        r["doc"]: r["fingerprint"]
+        for r in M.image_ahash(_media(spark, rows)).collect()
+    }
+    want = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    )
+    assert want, "fixture must produce at least one near-dup pair"
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_pairs(
+            M.image_ahash(_media(spark, rows)), max_distance=3, bits=64
+        ).collect()
+    )
+    assert got == want
+
+
+def test_image_near_dup_no_cartesian_plan(spark):
+    """Scale contract: candidates come from the (band, chunk)
+    equi-join — no CartesianProduct / BroadcastNestedLoopJoin anywhere
+    in the physical plan."""
+    df = spark.range(30).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(F.lit("payload "), F.col("id").cast("string")).cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    plan = (
+        D.simhash_pairs(M.image_ahash(df), max_distance=3, bits=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
