@@ -158,6 +158,7 @@ HEADLINE = [
     # seam + 64-bit pigeonhole band join) and the hashed-n-gram linear
     # quality classifier (broadcast weight join, fastText shape)
     "q190_image_near_dup",
+    "q191_hashed_ngram_classifier",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

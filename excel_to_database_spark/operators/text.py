@@ -1476,3 +1476,106 @@ def padding_efficiency(df, id_col: str, len_col: str, batch_size: int = 8, n_sha
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+def hashed_ngram_weights(spark, n_buckets: int = 4096, salt: str = "fqw"):
+    """Deterministic fixture WEIGHT TABLE for :func:`hashed_ngram_score`
+    — one row per bucket, integer-quantized weight in [-8, 8] derived
+    from md5 parity of ``salt:bucket`` (engine-portable, no training
+    dependency). A real learned model (fastText / CCNet / DCLM linear
+    head) exports its quantized ``(bucket, weight)`` rows and drops in
+    unchanged — the classifier is the JOIN + AGG shape, not the
+    weights."""
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 17
+            - 8
+        )
+        .cast("bigint")
+        .alias("weight"),
+    )
+
+
+def hashed_ngram_score(
+    df,
+    id_col: str,
+    text_col: str,
+    weights,
+    n_buckets: int = 4096,
+    threshold="0",
+    salt: str = "fq",
+):
+    """fastText-shape LINEAR QUALITY CLASSIFIER over hashed n-grams —
+    the learned-model scoring step real pipelines (CCNet, DCLM) run
+    where the rule-based quality family (quality_score, Gopher rules)
+    stops. Features are the unigrams + adjacent-word bigrams of the
+    lower-cased whitespace word stream (fastText ``wordNgrams=2``);
+    each gram hashes into one of ``n_buckets`` via the 16-bit md5
+    bucket primitive (the hash_bucket discipline — engine-portable);
+    the score is the sum of the bucket weights, i.e. a dot product
+    against a hashed bag-of-ngrams vector.
+
+    ``weights`` is a ``(bucket int, weight bigint)`` frame covering
+    every bucket in [0, n_buckets) — see :func:`hashed_ngram_weights`
+    for the deterministic fixture; integer-quantized weights keep the
+    sum (and therefore the keep decision) exact in any engine.
+    ``threshold`` (Fraction-able) is the keep boundary on the MEAN
+    weight: keep iff sum_weight · den > num · n_grams — an integer
+    cross-product, exact even exactly at the boundary (the q170
+    verdict discipline). Returns
+    (doc, n_grams, sum_weight, score, keep) with score = sum/n as an
+    identical-IEEE double division.
+
+    Scale shape: a projection-only gram explode (spread for explode
+    parallelism), ONE broadcast hash join against the |buckets|-row
+    weight table (never a shuffle join — plan-contract-tested), and
+    ONE map-side-combinable per-doc aggregation. At 100 TB the weight
+    table broadcast is KBs and the gram stream never materializes
+    beyond the join's probe side."""
+    from fractions import Fraction
+
+    thr = Fraction(threshold)
+    w = words(F.col(text_col))
+    sel = spread(df).select(F.col(id_col).alias("doc"), w.alias("__w"))
+    # bigrams guarded by size >= 2: Spark's sequence(1, 0) DESCENDS
+    # ([1, 0]) rather than producing an empty range
+    grams = sel.select(
+        "doc",
+        F.explode(
+            F.expr(
+                "concat(__w, IF(size(__w) >= 2,"
+                " transform(sequence(1, size(__w) - 1),"
+                " i -> concat(element_at(__w, i), '_', element_at(__w, i + 1))),"
+                " array()))"
+            )
+        ).alias("gram"),
+    )
+    bucketed = grams.select("doc", (hash_bucket("gram", salt) % n_buckets).alias("bucket"))
+    scored = (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("weight").cast("bigint").alias("sum_weight"),
+        )
+    )
+    keep = (F.col("sum_weight") * F.lit(thr.denominator)) > (
+        F.lit(thr.numerator) * F.col("n_grams")
+    )
+    return scored.select(
+        "doc",
+        "n_grams",
+        "sum_weight",
+        (F.col("sum_weight").cast("double") / F.col("n_grams")).alias("score"),
+        keep.alias("keep"),
+    )

@@ -3658,3 +3658,52 @@ def q190_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = M.image_ahash(media)
     return D.simhash_pairs(fp, max_distance=3, bits=64)
+
+
+@query(
+    "q191_hashed_ngram_classifier",
+    f"""
+    WITH w AS (SELECT doc_id, {T.SQL_WORDS.format(t='text')} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 UNNEST(list_concat(w,
+                   CASE WHEN len(w) >= 2
+                        THEN [w[i] || '_' || w[i+1] FOR i IN range(1, len(w))]
+                        ELSE CAST([] AS VARCHAR[]) END)) AS gram
+          FROM w),
+    b AS (SELECT doc_id,
+                 CAST(CAST(('0x' || substring(md5('fq:' || gram), 1, 4)) AS INTEGER)
+                      % 4096 AS INT) AS bucket
+          FROM g),
+    wt AS (SELECT CAST(r AS INT) AS bucket,
+                  CAST(CAST(('0x' || substring(md5('fqw:' || CAST(r AS VARCHAR)), 1, 4))
+                            AS INTEGER) % 17 - 8 AS BIGINT) AS weight
+           FROM range(4096) t(r)),
+    s AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(weight) AS sum_weight
+          FROM b JOIN wt USING (bucket) GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(sum_weight AS BIGINT) AS sum_weight,
+           CAST(sum_weight AS DOUBLE) / n_grams AS score,
+           sum_weight > 0 AS keep
+    FROM s
+    """,
+)
+def q191_hashed_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram linear quality classifier (operators/text.
+    hashed_ngram_score) — the fastText/CCNet/DCLM learned-model
+    scoring shape the rule-based quality family stops short of:
+    unigram + adjacent-bigram grams hash into 4096 buckets (16-bit md5
+    primitive), ONE broadcast join against the deterministic
+    integer-quantized weight fixture (hashed_ngram_weights — a real
+    model's exported (bucket, weight) rows drop in unchanged), ONE
+    per-doc aggregation. sum_weight is an exact integer dot product;
+    score = sum/n is an identical-IEEE division; keep (threshold 0) is
+    an integer comparison — all oracle-exact. The oracle re-derives
+    gram generation, bucketing, the weight fixture, and the dot
+    product independently in DuckDB."""
+    d = t(spark, sf_dir, "documents")
+    wt = T.hashed_ngram_weights(spark, n_buckets=4096)
+    return (
+        T.hashed_ngram_score(d, "doc_id", "text", wt, n_buckets=4096, threshold="0")
+        .withColumnRenamed("doc", "doc_id")
+    )
