@@ -159,6 +159,11 @@ HEADLINE = [
     # quality classifier (broadcast weight join, fastText shape)
     "q190_image_near_dup",
     "q191_hashed_ngram_classifier",
+    # round-13: the decision layers on top — image pair graph -> dedup
+    # clusters (contracted CC), classifier scores -> sort-free global
+    # quality budget (histogram descent)
+    "q192_image_dedup_clusters",
+    "q193_classifier_quality_budget",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -3575,21 +3575,18 @@ def q189_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.padding_efficiency(s, "doc_id", "tok", batch_size=8, n_shards=8)
 
 
-@query(
-    "q190_image_near_dup",
-    """
-    WITH corpus AS (
+#: shared oracle CTE chain for the image-hash family (q190/q192):
+#: near-dup replica corpus -> code-point pixels -> aHash fingerprints.
+#: Replica A overwrites one char near the head (unsampled for long docs
+#: -> Hamming-0 pairs); replica B overwrites the MIDDLE char (always
+#: sampled by k=32 -> small nonzero Hamming pairs).
+_SQL_AHASH_FP = """corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      -- near-dup replica A: one char overwritten near the head — for
-      -- long docs that position is never sampled (Hamming 0), for
-      -- short ones it perturbs a sample or two
       SELECT doc_id + 10000000,
              substring(text, 1, 1) || 'Z' || substring(text, 3)
       FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 1
       UNION ALL
-      -- near-dup replica B: the MIDDLE char (always sampled by k=32)
-      -- overwritten — flips that bit plus any mean-borderline bits
       SELECT doc_id + 20000000,
              substring(text, 1, length(text) // 2) || 'Z'
                || substring(text, length(text) // 2 + 2)
@@ -3611,7 +3608,31 @@ def q189_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                               THEN CAST(-9223372036854775807 - 1 AS BIGINT)
                               ELSE CAST(0 AS BIGINT) END
                        AS BIGINT) AS fingerprint
-           FROM s)
+           FROM s)"""
+
+
+def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _SQL_AHASH_FP's replica corpus (shared by
+    q190/q192)."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    rep_a = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.expr("concat(substring(text, 1, 1), 'Z', substring(text, 3))").alias("text"),
+    )
+    rep_b = d.filter(F.col("doc_id") % 11 == 5).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, length(text) div 2), 'Z',"
+            " substring(text, length(text) div 2 + 2))"
+        ).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(rep_a).unionByName(rep_b)
+
+
+@query(
+    "q190_image_near_dup",
+    f"""
+    WITH {_SQL_AHASH_FP}
     SELECT a.doc AS doc_a, b.doc AS doc_b,
            bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
     FROM fp a JOIN fp b ON a.doc < b.doc
@@ -3640,22 +3661,7 @@ def q190_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs -> exact-hash pairs certify the band join's completeness)
     and a middle-position overwrite (always sampled by k=32 ->
     small-but-nonzero Hamming pairs certify the distance filter)."""
-    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
-    rep_a = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 10000000).alias("doc_id"),
-        F.expr("concat(substring(text, 1, 1), 'Z', substring(text, 3))").alias("text"),
-    )
-    rep_b = d.filter(F.col("doc_id") % 11 == 5).select(
-        (F.col("doc_id") + 20000000).alias("doc_id"),
-        F.expr(
-            "concat(substring(text, 1, length(text) div 2), 'Z',"
-            " substring(text, length(text) div 2 + 2))"
-        ).alias("text"),
-    )
-    corpus = d.select("doc_id", "text").unionByName(rep_a).unionByName(rep_b)
-    media = M.attach_payload(
-        corpus.filter(F.length("text") >= 1), "doc_id", "text", kind="image"
-    )
+    media = M.attach_payload(_image_corpus(spark, sf_dir), "doc_id", "text", kind="image")
     fp = M.image_ahash(media)
     return D.simhash_pairs(fp, max_distance=3, bits=64)
 
@@ -3707,3 +3713,107 @@ def q191_hashed_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.hashed_ngram_score(d, "doc_id", "text", wt, n_buckets=4096, threshold="0")
         .withColumnRenamed("doc", "doc_id")
     )
+
+
+@query(
+    "q192_image_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_AHASH_FP},
+    pr AS (SELECT a.doc AS da, b.doc AS db
+           FROM fp a JOIN fp b ON a.doc < b.doc
+           WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3),
+    sym AS (SELECT da AS src, db AS dst FROM pr UNION SELECT db, da FROM pr),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    labels AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster
+               FROM reach GROUP BY src)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+    FROM labels GROUP BY cluster
+    """,
+)
+def q192_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIRS -> dedup CLUSTERS: the decision step of
+    image dedup (keep the min-id representative per Hamming-<=3
+    cluster, drop the rest) — completing the image family to parity
+    with the text side (q100 clusters / q157 survivors). Pairs come
+    from the q190 pipeline (aHash in the decode seam + 64-bit
+    pigeonhole banding); clusters from the contracted min-label
+    propagation (operators/dedup.connected_components — pointer
+    jumping + per-round edge contraction, O(|E|) total join work).
+    Returns (cluster, n_images, n_removed) per duplicate cluster —
+    n_removed is the operator's value statement (images deleted by
+    dedup). The oracle recomputes the hashes, the brute-force pair
+    scan, AND the transitive closure (recursive CTE) independently —
+    an iterative algorithm still held to an exact oracle."""
+    media = M.attach_payload(_image_corpus(spark, sf_dir), "doc_id", "text", kind="image")
+    pairs = D.simhash_pairs(M.image_ahash(media), max_distance=3, bits=64)
+    cc = D.connected_components(pairs)
+    return cc.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_removed"),
+    )
+
+
+@query(
+    "q193_classifier_quality_budget",
+    f"""
+    WITH w AS (SELECT doc_id, {T.SQL_WORDS.format(t='text')} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 UNNEST(list_concat(w,
+                   CASE WHEN len(w) >= 2
+                        THEN [w[i] || '_' || w[i+1] FOR i IN range(1, len(w))]
+                        ELSE CAST([] AS VARCHAR[]) END)) AS gram
+          FROM w),
+    b AS (SELECT doc_id,
+                 CAST(CAST(('0x' || substring(md5('fq:' || gram), 1, 4)) AS INTEGER)
+                      % 4096 AS INT) AS bucket
+          FROM g),
+    wt AS (SELECT CAST(r AS INT) AS bucket,
+                  CAST(CAST(('0x' || substring(md5('fqw:' || CAST(r AS VARCHAR)), 1, 4))
+                            AS INTEGER) % 17 - 8 AS BIGINT) AS weight
+           FROM range(4096) t(r)),
+    sc AS (SELECT doc_id, SUM(weight) AS score
+           FROM b JOIN wt USING (bucket) GROUP BY doc_id),
+    s AS (SELECT d.source, sc.doc_id, CAST(sc.score AS BIGINT) AS score
+          FROM sc JOIN documents d USING (doc_id)),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM s),
+    kk AS (SELECT CAST((COUNT(*) + 3) // 4 AS BIGINT) AS k FROM s),
+    thr AS (SELECT score AS ts, doc_id AS ti FROM r, kk WHERE rn = k)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN rn <= (SELECT k FROM kk) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           (SELECT CAST(ts AS BIGINT) FROM thr) AS threshold_score,
+           (SELECT CAST(ti AS BIGINT) FROM thr) AS threshold_id
+    FROM r GROUP BY source
+    """,
+)
+def q193_classifier_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-SCORE quality budget — the composition a real pipeline
+    runs end-to-end: score every document with the hashed-n-gram
+    linear classifier (q191's exact integer dot product), then keep
+    the globally best ceil(N/4) by (score DESC, doc_id ASC) via the
+    sort-free histogram descent (q183's selection machinery) and
+    report per-source kept counts plus the exact global cutoff. Every
+    stage is a previously verified operator; the oracle recomputes the
+    classifier AND the cutoff the brute-force way (global ROW_NUMBER)
+    — the exact match certifies classifier ≡ oracle and descent ≡
+    sort THROUGH the composition, not just in isolation. Scale shape:
+    classifier = broadcast join + one agg; cutoff = <=6 bounded
+    aggregations; report = one group-by. Nothing sorts."""
+    from fractions import Fraction
+
+    from excel_to_database_spark.operators import selection as SEL
+
+    d = t(spark, sf_dir, "documents")
+    wt = T.hashed_ngram_weights(spark, n_buckets=4096)
+    scored = T.hashed_ngram_score(d, "doc_id", "text", wt, n_buckets=4096).select(
+        F.col("doc").alias("doc_id"), F.col("sum_weight").alias("score")
+    )
+    s = scored.join(d.select("doc_id", "source"), "doc_id")
+    return SEL.keep_budget_report(s, "score", "doc_id", "source", Fraction(1, 4))

@@ -105,3 +105,17 @@ def test_image_near_dup_no_cartesian_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_dedup_clusters_hand_case(spark):
+    """Three byte-identical images + one distinct: one cluster labeled
+    by the min id, n_images 3, n_removed 2; the distinct image forms
+    no cluster."""
+    rows = [(1, "same payload"), (5, "same payload"), (9, "same payload"), (2, "different")]
+    pairs = D.simhash_pairs(M.image_ahash(_media(spark, rows)), max_distance=3, bits=64)
+    cc = D.connected_components(pairs)
+    got = [
+        (r["cluster"], r["n_images"])
+        for r in cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_images")).collect()
+    ]
+    assert got == [(1, 3)]
