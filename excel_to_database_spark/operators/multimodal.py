@@ -236,13 +236,23 @@ def image_ahash(df: DataFrame, pixel_codec=None, id_col: str = "media_id") -> Da
             return h - (1 << 64) if h >= (1 << 63) else h
 
         for pdf in batches:
-            out = pd.DataFrame(
+            # drop empty-payload rows BEFORE building the frame: a list
+            # mixing None with ints would make pandas infer float64 and
+            # silently round every fingerprint with >53 significant
+            # bits (round-13 self-review finding) — the explicit int64
+            # Series construction below is exact for the full bigint
+            # range
+            recs = [
+                (int(i), h)
+                for i, h in zip(pdf[id_col], (ahash(b) for b in pdf["payload"]))
+                if h is not None
+            ]
+            yield pd.DataFrame(
                 {
-                    "doc": pdf[id_col].astype("int64"),
-                    "fingerprint": [ahash(b) for b in pdf["payload"]],
+                    "doc": pd.Series([r[0] for r in recs], dtype="int64"),
+                    "fingerprint": pd.Series([r[1] for r in recs], dtype="int64"),
                 }
             )
-            yield out[out["fingerprint"].notna()]
 
     return df.mapInPandas(run, schema=AHASH_SCHEMA)
 

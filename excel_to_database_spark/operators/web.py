@@ -57,11 +57,14 @@ def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
     rest = F.regexp_replace(nofrag, _SCHEME_RE, "")
     # userinfo strip BEFORE the www./port rules: `user:pw@WWW.Host` must
-    # canonicalize by its host, not its credential label (RFC 3986 §3.2.1
-    # forbids a raw '@' inside userinfo, so the first '@' ends it)
+    # canonicalize by its host, not its credential label. The strip is
+    # greedy to the LAST '@' (the WHATWG URL parser rule): RFC 3986
+    # forbids a raw '@' inside userinfo, but crawl junk contains them
+    # ('u:p@ss@host'), and a first-'@' split would both pick the wrong
+    # host and break idempotence (round-13 self-review finding)
     hostport = F.regexp_replace(
         F.lower(
-            F.regexp_replace(F.regexp_extract(rest, "^([^/?]+)", 1), "^[^@]+@", "")
+            F.regexp_replace(F.regexp_extract(rest, "^([^/?]+)", 1), "^.*@", "")
         ),
         "^www\\.",
         "",

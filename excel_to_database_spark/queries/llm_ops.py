@@ -3244,7 +3244,11 @@ def q184_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (
       SELECT doc_id,
-             (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+             CASE WHEN doc_id % 13 = 3 THEN '' -- scheme-less junk row
+                  ELSE (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+                       || '://' ||
+                       (CASE WHEN doc_id % 9 = 1 THEN 'user:pw@' ELSE '' END)
+                  END ||
              (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.example.com'
                    ELSE source || '.example.com' END) ||
              (CASE WHEN doc_id % 5 = 0 THEN
@@ -3256,16 +3260,19 @@ def q184_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHEN doc_id % 5 = 2 THEN '?a=1&b=2' ELSE '' END) ||
              (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
       FROM documents),
-    c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
-    c2 AS (SELECT doc_id, nofrag,
+    c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+    c2 AS (SELECT doc_id, url, nofrag,
                   lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                   regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
            FROM c1),
-    c3 AS (SELECT doc_id, nofrag, scheme,
-                  regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)), '^www\\.', '') AS hostport,
+    c3 AS (SELECT doc_id, url, nofrag, scheme,
+                  -- userinfo strip (greedy to the LAST '@', WHATWG rule)
+                  regexp_replace(lower(regexp_replace(
+                      regexp_extract(rest, '^([^/?]+)', 1), '^.*@', '')),
+                      '^www\\.', '') AS hostport,
                   regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS rawpath
            FROM c2),
-    c4 AS (SELECT doc_id, scheme,
+    c4 AS (SELECT doc_id, url, scheme,
                   CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
                        ELSE hostport END AS host,
@@ -3276,9 +3283,13 @@ def q184_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       string_split(regexp_extract(nofrag, '\\?(.*)$', 1), '&'),
                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid)='))), '&') AS qs
            FROM c3),
-    c AS (SELECT doc_id, host,
-                 scheme || '://' || host || path ||
-                 (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canonical
+    c AS (SELECT doc_id,
+                 -- scheme-less input passes through unchanged; the
+                 -- report then finds no '://' and groups it under ''
+                 CASE WHEN scheme = '' THEN url
+                      ELSE scheme || '://' || host || path ||
+                           (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) END AS canonical,
+                 CASE WHEN scheme = '' THEN '' ELSE host END AS host
           FROM c4)
     SELECT host,
            CAST(COUNT(*) AS BIGINT) AS n_urls,
@@ -3290,21 +3301,28 @@ def q184_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q185_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + per-host dup report (operators/web.py):
     the first dedup stage of a web-scale pipeline — lowercase
-    scheme/host, strip www./default ports/fragment/trailing slash,
-    drop tracking params, sort the rest — then ONE host-keyed
-    aggregation counting pages vs distinct canonical URLs. The URL
-    corpus is built in-query from doc_id/source (the q142 pattern) so
-    both engines canonicalize the identical adversarial mix of
-    case/port/www/utm/fragment variants; the oracle re-implements all
-    six rules independently in DuckDB SQL. Canonicalization is
-    projection-only (regexp + array HOFs, zero shuffle)."""
+    scheme/host, strip userinfo (last-'@', WHATWG rule)/www./default
+    ports/fragment/trailing slash, drop tracking params, sort the
+    rest; scheme-less junk passes through unchanged and groups under
+    the empty host — then ONE host-keyed aggregation counting pages vs
+    distinct canonical URLs. The URL corpus is built in-query from
+    doc_id/source (the q142 pattern) so both engines canonicalize the
+    identical adversarial mix of case/port/www/utm/fragment/userinfo/
+    scheme-less variants; the oracle re-implements all seven rules
+    plus the passthrough independently in DuckDB SQL. Canonicalization
+    is projection-only (regexp + array HOFs, zero shuffle)."""
     from excel_to_database_spark.operators import web as W
 
     d = t(spark, sf_dir, "documents")
     did = F.col("doc_id")
     url = F.concat(
-        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
-        F.lit("://"),
+        F.when(did % 13 == 3, F.lit("")).otherwise(  # scheme-less junk row
+            F.concat(
+                F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+                F.lit("://"),
+                F.when(did % 9 == 1, F.lit("user:pw@")).otherwise(F.lit("")),
+            )
+        ),
         F.when(
             did % 3 == 0, F.concat(F.lit("WWW."), F.col("source"), F.lit(".example.com"))
         ).otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
@@ -3666,10 +3684,11 @@ def q190_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(fp, max_distance=3, bits=64)
 
 
-@query(
-    "q191_hashed_ngram_classifier",
-    f"""
-    WITH w AS (SELECT doc_id, {T.SQL_WORDS.format(t='text')} AS w FROM documents),
+#: shared oracle CTE chain for the hashed-n-gram classifier family
+#: (q191/q193): words -> unigram+bigram grams -> 16-bit md5 buckets ->
+#: the deterministic quantized weight fixture. One spelling, so the
+#: two oracles cannot diverge (the _SQL_AHASH_FP discipline).
+_SQL_NGRAM_BUCKETS = f"""w AS (SELECT doc_id, {T.SQL_WORDS.format(t='text')} AS w FROM documents),
     g AS (SELECT doc_id,
                  UNNEST(list_concat(w,
                    CASE WHEN len(w) >= 2
@@ -3683,7 +3702,13 @@ def q190_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt AS (SELECT CAST(r AS INT) AS bucket,
                   CAST(CAST(('0x' || substring(md5('fqw:' || CAST(r AS VARCHAR)), 1, 4))
                             AS INTEGER) % 17 - 8 AS BIGINT) AS weight
-           FROM range(4096) t(r)),
+           FROM range(4096) t(r))"""
+
+
+@query(
+    "q191_hashed_ngram_classifier",
+    f"""
+    WITH {_SQL_NGRAM_BUCKETS},
     s AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(weight) AS sum_weight
           FROM b JOIN wt USING (bucket) GROUP BY doc_id)
     SELECT doc_id,
@@ -3762,21 +3787,7 @@ def q192_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q193_classifier_quality_budget",
     f"""
-    WITH w AS (SELECT doc_id, {T.SQL_WORDS.format(t='text')} AS w FROM documents),
-    g AS (SELECT doc_id,
-                 UNNEST(list_concat(w,
-                   CASE WHEN len(w) >= 2
-                        THEN [w[i] || '_' || w[i+1] FOR i IN range(1, len(w))]
-                        ELSE CAST([] AS VARCHAR[]) END)) AS gram
-          FROM w),
-    b AS (SELECT doc_id,
-                 CAST(CAST(('0x' || substring(md5('fq:' || gram), 1, 4)) AS INTEGER)
-                      % 4096 AS INT) AS bucket
-          FROM g),
-    wt AS (SELECT CAST(r AS INT) AS bucket,
-                  CAST(CAST(('0x' || substring(md5('fqw:' || CAST(r AS VARCHAR)), 1, 4))
-                            AS INTEGER) % 17 - 8 AS BIGINT) AS weight
-           FROM range(4096) t(r)),
+    WITH {_SQL_NGRAM_BUCKETS},
     sc AS (SELECT doc_id, SUM(weight) AS score
            FROM b JOIN wt USING (bucket) GROUP BY doc_id),
     s AS (SELECT d.source, sc.doc_id, CAST(sc.score AS BIGINT) AS score

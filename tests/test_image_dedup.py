@@ -54,6 +54,24 @@ def test_image_ahash_sign_bit_and_empty(spark):
     assert 2 not in out  # imageless row has no hash
 
 
+def test_image_ahash_mixed_batch_precision(spark):
+    """Round-13 self-review: an Arrow batch mixing empty and non-empty
+    payloads must not route fingerprints through float64 (which rounds
+    every value with >53 significant bits). Alternating 0/255 pixels
+    produce 0xAAAA…-style hashes that are NOT float-representable."""
+    codec = lambda payload: list(payload)
+    alt = bytearray([0, 255] * 32)  # bits 1,3,…,63 set
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, alt), (3, bytearray(b"")), (4, alt)],
+        "media_id long, payload binary",
+    ).coalesce(1)  # force one Arrow batch containing both kinds
+    out = {r["doc"]: r["fingerprint"] for r in M.image_ahash(df, pixel_codec=codec).collect()}
+    want = _ahash_ref(list(alt))
+    assert set(out) == {2, 4}
+    assert int(float(want)) != want, "fixture must not be float64-representable"
+    assert out[2] == want == out[4]
+
+
 def test_image_near_dup_banded_equals_bruteforce(spark):
     """Pigeonhole completeness at 64 bits: the banded join returns
     EXACTLY the Hamming-<=3 pairs of a quadratic scan, including pairs
