@@ -1355,56 +1355,92 @@ def mask_valid_cards(df, id_col: str, text_col: str):
     formatting ``4111 1111 1111 1111`` / ``4111-1111-1111-1111``
     (round-12 judge recall finding: the pure maximal-run partition
     split those into four 4-digit runs and the most card-looking
-    strings in a real corpus survived unmasked). The Luhn fold runs
-    over the group's DIGITS ONLY; masking preserves the separators.
+    strings in a real corpus survived unmasked).
 
-    A digit-led token whose total digit count is NOT 13–19 (or whose
-    group fails Luhn) falls back to the round-12 per-run rule on its
-    maximal digit runs, so ``pin 1234 4111111111111111`` still masks
-    the embedded card — grouping never lowers recall below the
-    run-level rule. ``n_candidates``/``n_masked`` count a token once
-    at whichever level examined it (group, else its runs). Maximal-run
-    semantics still count ``...4111111111111111a`` — a card leaked
-    against a letter is still a card (higher recall than a
-    word-boundary rule).
+    Inside each digit-led token the candidate is found by a WINDOW
+    SEARCH over its digit runs (round-13 self-review finding: a
+    two-level group-else-runs rule leaks a separated card whenever any
+    other digit run is joined to it — ``pin 1234 4111-1111-1111-1111``
+    merges into one 20-digit group that neither level can see): every
+    contiguous run window spanning ≤ 8 runs (the widest real card
+    format is 4–6 groups; the cap bounds the search linearly in the
+    token's run count) whose concatenated digits total 13–19 is a
+    candidate; the LEFTMOST-LONGEST window whose digits pass the Luhn
+    fold is masked (digits → 'X', separators preserved, one window per
+    token — deterministic). A pure 13–19-digit run is the width-1
+    window, so run-level behavior is a special case. Maximal-run
+    semantics still catch ``...4111111111111111a`` — a card leaked
+    against a letter is still a card. ``n_candidates``/``n_masked``
+    count TOKENS with ≥1 length-valid / Luhn-valid window.
 
     Scale shape: one per-row expression chain — partition → per-token
-    Luhn fold → array_join. Zero shuffles at any corpus size."""
+    bounded window search → array_join. Zero shuffles at any corpus
+    size; per-token cost is O(runs × 8) Luhn folds of ≤19 digits."""
     toks = F.expr(
         f"regexp_extract_all({text_col}, '[0-9]+([- ][0-9]+)*|[^0-9]+', 0)"
     )
-    digits = "regexp_replace(t, '[^0-9]', '')"
-    grp_cand = f"(t rlike '^[0-9]') AND length({digits}) BETWEEN 13 AND 19"
-    grp_card = f"({grp_cand}) AND ({_LUHN_SQL.format(c=digits)})"
-    run_cand = "r rlike '^[0-9]{13,19}$'"
-    run_card = f"({run_cand}) AND ({_LUHN_SQL.format(c='r')})"
-    runs = "regexp_extract_all(t, '[0-9]+|[^0-9]+', 0)"
-    clean_tok = (
-        f"CASE WHEN {grp_card} THEN regexp_replace(t, '[0-9]', 'X')"
-        f" WHEN t rlike '^[0-9]' THEN array_join(transform({runs},"
-        f" r -> IF({run_card}, repeat('X', length(r)), r)), '')"
-        " ELSE t END"
+    # level 1: split each digit-led token into alternating digit/
+    # separator parts (digit runs at odd 1-based positions)
+    lvl1 = (
+        "transform(__toks, t -> named_struct("
+        "'t', t,"
+        " 'p', IF(t rlike '^[0-9]',"
+        " regexp_extract_all(t, '[0-9]+|[^0-9]+', 0), array())))"
     )
-    cand_ct = (
-        f"CASE WHEN {grp_cand} THEN 1"
-        f" WHEN t rlike '^[0-9]' THEN size(filter({runs}, r -> {run_cand}))"
-        " ELSE 0 END"
+    m = "(size(s.p) + 1) div 2"
+    ds = (
+        "array_join(transform(sequence(wi, wj),"
+        " k -> element_at(s.p, cast(2*k - 1 as int))), '')"
     )
-    card_ct = (
-        f"CASE WHEN {grp_card} THEN 1"
-        f" WHEN t rlike '^[0-9]' THEN size(filter({runs}, r -> {run_card}))"
-        " ELSE 0 END"
+    # level 2: materialize the candidate windows (wi, wj, digit-string)
+    # per token; a typed dummy window stands in for tokens with no
+    # digit runs (sequence(1, 0) would DESCEND, and element_at past the
+    # end throws under ANSI)
+    wins = (
+        f"IF(size(s.p) = 0, array(named_struct('wi', 1, 'wj', 1, 'ds', '')),"
+        f" flatten(transform(sequence(1, {m}), wi ->"
+        f" transform(sequence(wi, least(wi + 7, {m})), wj ->"
+        f" named_struct('wi', wi, 'wj', wj, 'ds', {ds})))))"
     )
-    out = df.select(F.col(id_col), toks.alias("__toks"))
+    lvl2 = (
+        f"transform({lvl1}, s -> named_struct('t', s.t, 'p', s.p, 'w', {wins}))"
+    )
+    # level 3: per token, the minimal window key (wi*100000 + 99999-wj
+    # = leftmost-longest) among length-valid (kc) and Luhn-valid (km)
+    # windows; NULL = no such window
+    key = "w.wi * 100000 + 99999 - w.wj"
+    kc = (
+        "array_min(filter(transform(s.w, w ->"
+        f" IF(length(w.ds) BETWEEN 13 AND 19, {key}, NULL)),"
+        " x -> x IS NOT NULL))"
+    )
+    km = (
+        "array_min(filter(transform(s.w, w ->"
+        f" IF(length(w.ds) BETWEEN 13 AND 19 AND ({_LUHN_SQL.format(c='w.ds')}),"
+        f" {key}, NULL)), x -> x IS NOT NULL))"
+    )
+    lvl3 = (
+        f"transform({lvl2}, s -> named_struct"
+        f"('t', s.t, 'p', s.p, 'kc', {kc}, 'km', {km}))"
+    )
+    mask = (
+        "array_join(transform(sequence(1, size(s.p)), pi ->"
+        " IF(pi % 2 = 1 AND (pi + 1) div 2"
+        " BETWEEN s.km div 100000 AND 99999 - s.km % 100000,"
+        " repeat('X', length(element_at(s.p, pi))), element_at(s.p, pi))), '')"
+    )
+    out = df.select(F.col(id_col), toks.alias("__toks")).select(
+        F.col(id_col), F.expr(lvl3).alias("__tk")
+    )
     return out.select(
         id_col,
-        F.expr(f"array_join(transform(__toks, t -> {clean_tok}), '')").alias(
-            "clean_text"
-        ),
-        F.expr(f"aggregate(transform(__toks, t -> {cand_ct}), 0, (a, x) -> a + x)")
+        F.expr(
+            f"array_join(transform(__tk, s -> IF(s.km IS NULL, s.t, {mask})), '')"
+        ).alias("clean_text"),
+        F.expr("size(filter(__tk, s -> s.kc IS NOT NULL))")
         .cast("bigint")
         .alias("n_candidates"),
-        F.expr(f"aggregate(transform(__toks, t -> {card_ct}), 0, (a, x) -> a + x)")
+        F.expr("size(filter(__tk, s -> s.km IS NOT NULL))")
         .cast("bigint")
         .alias("n_masked"),
     )

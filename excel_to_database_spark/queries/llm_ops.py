@@ -3408,53 +3408,59 @@ def _sql_luhn_d(d: str) -> str:
            ELSE TRY_CAST(reverse({d})[j] AS INT) END)) % 10 = 0, FALSE)"""
 
 
-_SQL_TOK_DIGITS = "regexp_replace(t, '[^0-9]', '', 'g')"
-_SQL_TOK_RUNS = "regexp_extract_all(t, '[0-9]+|[^0-9]+', 0)"
-_SQL_GRP_CAND = (
-    "regexp_matches(t, '^[0-9]') AND "
-    f"length({_SQL_TOK_DIGITS}) BETWEEN 13 AND 19"
-)
-_SQL_GRP_CARD = f"({_SQL_GRP_CAND}) AND {_sql_luhn_d(_SQL_TOK_DIGITS)}"
-_SQL_RUN_CAND = "regexp_matches(r, '^[0-9]{13,19}$')"
-_SQL_RUN_CARD = f"({_SQL_RUN_CAND}) AND {_sql_luhn_d('r')}"
-
-
 @query(
     "q187_luhn_card_masking",
     f"""
     WITH d AS (SELECT doc_id,
-                      text || CASE doc_id % 7
+                      text || CASE doc_id % 9
                         WHEN 0 THEN ' pay 4111111111111111 now'
                         WHEN 1 THEN ' ref 4111111111111112'
                         WHEN 2 THEN ' card 5500005555555559 ts 20260815120000'
                         WHEN 3 THEN ' card 4111 1111 1111 1111 ok'
                         WHEN 4 THEN ' acct 4111-1111-1111-1111'
                         WHEN 5 THEN ' order 4111 1111 1111 1112 keep pin 1234 4111111111111111'
+                        WHEN 6 THEN ' pin 1234 4111-1111-1111-1111'
+                        WHEN 7 THEN ' card 4111 1111 1111 1111 9'
                         ELSE '' END AS text
                FROM documents),
     c AS (SELECT doc_id,
                  regexp_extract_all(text, '[0-9]+([- ][0-9]+)*|[^0-9]+', 0) AS toks
-          FROM d)
+          FROM d),
+    l1 AS (SELECT doc_id, list_transform(toks, t -> struct_pack(t := t,
+              p := CASE WHEN regexp_matches(t, '^[0-9]')
+                        THEN regexp_extract_all(t, '[0-9]+|[^0-9]+', 0)
+                        ELSE CAST([] AS VARCHAR[]) END)) AS tk FROM c),
+    l2 AS (SELECT doc_id, list_transform(tk, s -> struct_pack(t := s.t, p := s.p,
+              w := CASE WHEN len(s.p) = 0
+                        THEN [struct_pack(wi := CAST(1 AS BIGINT),
+                                          wj := CAST(1 AS BIGINT), ds := '')]
+                        ELSE flatten(list_transform(range(1, (len(s.p)+1)//2 + 1), wi ->
+                               list_transform(range(wi, least(wi+7, (len(s.p)+1)//2) + 1), wj ->
+                                 struct_pack(wi := wi, wj := wj,
+                                   ds := COALESCE(array_to_string(
+                                     list_transform(range(wi, wj+1), k -> s.p[2*k-1]),
+                                     ''), ''))))) END)) AS tk
+           FROM l1),
+    l3 AS (SELECT doc_id, list_transform(tk, s -> struct_pack(t := s.t, p := s.p,
+              kc := list_min(list_filter(list_transform(s.w, w ->
+                      CASE WHEN length(w.ds) BETWEEN 13 AND 19
+                           THEN w.wi*100000 + 99999 - w.wj END), x -> x IS NOT NULL)),
+              km := list_min(list_filter(list_transform(s.w, w ->
+                      CASE WHEN length(w.ds) BETWEEN 13 AND 19 AND {_sql_luhn_d('w.ds')}
+                           THEN w.wi*100000 + 99999 - w.wj END), x -> x IS NOT NULL)))) AS tk
+           FROM l2)
     SELECT doc_id,
-           COALESCE(array_to_string(list_transform(toks, t ->
-             CASE WHEN {_SQL_GRP_CARD}
-                  THEN regexp_replace(t, '[0-9]', 'X', 'g')
-                  WHEN regexp_matches(t, '^[0-9]')
-                  THEN COALESCE(array_to_string(list_transform({_SQL_TOK_RUNS}, r ->
-                         CASE WHEN {_SQL_RUN_CARD}
-                              THEN repeat('X', length(r)) ELSE r END), ''), '')
-                  ELSE t END), ''), '') AS clean_text,
-           CAST(COALESCE(list_sum(list_transform(toks, t ->
-             CASE WHEN {_SQL_GRP_CAND} THEN 1
-                  WHEN regexp_matches(t, '^[0-9]')
-                  THEN len(list_filter({_SQL_TOK_RUNS}, r -> {_SQL_RUN_CAND}))
-                  ELSE 0 END)), 0) AS BIGINT) AS n_candidates,
-           CAST(COALESCE(list_sum(list_transform(toks, t ->
-             CASE WHEN {_SQL_GRP_CARD} THEN 1
-                  WHEN regexp_matches(t, '^[0-9]')
-                  THEN len(list_filter({_SQL_TOK_RUNS}, r -> {_SQL_RUN_CARD}))
-                  ELSE 0 END)), 0) AS BIGINT) AS n_masked
-    FROM c
+           COALESCE(array_to_string(list_transform(tk, s ->
+             CASE WHEN s.km IS NULL THEN s.t
+                  ELSE COALESCE(array_to_string(list_transform(range(1, len(s.p)+1), pi ->
+                         CASE WHEN pi % 2 = 1
+                              AND (pi+1)//2 BETWEEN s.km // 100000
+                                              AND 99999 - s.km % 100000
+                              THEN repeat('X', length(s.p[pi]))
+                              ELSE s.p[pi] END), ''), '') END), ''), '') AS clean_text,
+           CAST(len(list_filter(tk, s -> s.kc IS NOT NULL)) AS BIGINT) AS n_candidates,
+           CAST(len(list_filter(tk, s -> s.km IS NOT NULL)) AS BIGINT) AS n_masked
+    FROM l3
     """,
 )
 def q187_luhn_card_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3468,33 +3474,38 @@ def q187_luhn_card_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     into digit-group/non-digit tokens and rebuilt token-by-token, so
     masking can never corrupt a longer digit run containing a card as
     a substring (round-12 self-review finding against the
-    replace()-fold formulation); digit-led tokens outside 13-19 total
-    digits fall back to the per-run rule so an embedded plain card
-    next to other digit groups still masks. The corpus embeds one
-    valid card, one checksum-broken twin, a valid-card-plus-timestamp
-    line, space- and dash-separated valid cards, a separated
-    checksum-fail group that must survive, and an embedded-card
-    fallback line (the q142 in-query pattern); the oracle re-derives
-    the partition, the grouping, the fallback, AND the Luhn fold
-    independently in DuckDB. One per-row expression chain — zero
-    shuffles."""
+    replace()-fold formulation); inside each digit-led token the
+    candidate is the LEFTMOST-LONGEST 13-19-digit window over its
+    runs (span ≤ 8), so an embedded card — plain OR separated — next
+    to other digit groups still masks (round-13 self-review closed
+    the two-level rule's separated-adjacent leak). The corpus embeds
+    one valid card, one checksum-broken twin, a valid-card-plus-
+    timestamp line, space- and dash-separated valid cards, a separated
+    checksum-fail group that must survive, an embedded-plain-card
+    line, an embedded-SEPARATED-card line, and a card-then-trailing-
+    digit-run line (the q142 in-query pattern); the oracle re-derives
+    the partition, the window search, the leftmost-longest pick, AND
+    the Luhn fold independently in DuckDB. One per-row expression
+    chain — zero shuffles."""
     d = t(spark, sf_dir, "documents")
     aug = d.select(
         "doc_id",
         F.concat(
             F.col("text"),
-            F.when(F.col("doc_id") % 7 == 0, F.lit(" pay 4111111111111111 now"))
-            .when(F.col("doc_id") % 7 == 1, F.lit(" ref 4111111111111112"))
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" pay 4111111111111111 now"))
+            .when(F.col("doc_id") % 9 == 1, F.lit(" ref 4111111111111112"))
             .when(
-                F.col("doc_id") % 7 == 2,
+                F.col("doc_id") % 9 == 2,
                 F.lit(" card 5500005555555559 ts 20260815120000"),
             )
-            .when(F.col("doc_id") % 7 == 3, F.lit(" card 4111 1111 1111 1111 ok"))
-            .when(F.col("doc_id") % 7 == 4, F.lit(" acct 4111-1111-1111-1111"))
+            .when(F.col("doc_id") % 9 == 3, F.lit(" card 4111 1111 1111 1111 ok"))
+            .when(F.col("doc_id") % 9 == 4, F.lit(" acct 4111-1111-1111-1111"))
             .when(
-                F.col("doc_id") % 7 == 5,
+                F.col("doc_id") % 9 == 5,
                 F.lit(" order 4111 1111 1111 1112 keep pin 1234 4111111111111111"),
             )
+            .when(F.col("doc_id") % 9 == 6, F.lit(" pin 1234 4111-1111-1111-1111"))
+            .when(F.col("doc_id") % 9 == 7, F.lit(" card 4111 1111 1111 1111 9"))
             .otherwise(F.lit("")),
         ).alias("text"),
     )
