@@ -318,3 +318,67 @@ def test_padding_efficiency_hand_case(spark):
     assert out["arrival"]["total_tokens"] == 22 == out["length_sorted"]["total_tokens"]
     assert out["arrival"]["padded_tokens"] == 16
     assert out["length_sorted"]["padded_tokens"] == 2
+
+
+def _mask_ref(text):
+    """Independent Python reference of the window-search masking spec
+    (the test's oracle): separator-joined tokenization, run windows of
+    span <= 8, leftmost-longest 13-19-digit Luhn-valid window masked
+    with separators preserved; token-level candidate/mask counts."""
+    import re
+
+    toks = re.findall(r"[0-9]+(?:[- ][0-9]+)*|[^0-9]+", text)
+    out, n_cand, n_mask = [], 0, 0
+    for t in toks:
+        if not t[:1].isdigit():
+            out.append(t)
+            continue
+        parts = re.findall(r"[0-9]+|[^0-9]+", t)
+        runs = parts[0::2]  # digit runs at even 0-based positions
+        m = len(runs)
+        kc = km = None
+        for i in range(1, m + 1):
+            for j in range(i, min(i + 7, m) + 1):
+                ds = "".join(runs[i - 1 : j])
+                if 13 <= len(ds) <= 19:
+                    key = i * 100000 + 99999 - j
+                    kc = key if kc is None else min(kc, key)
+                    if _luhn_ok(ds):
+                        km = key if km is None else min(km, key)
+        n_cand += kc is not None
+        n_mask += km is not None
+        if km is None:
+            out.append(t)
+        else:
+            wi, wj = km // 100000, 99999 - km % 100000
+            masked = [
+                "X" * len(p) if pi % 2 == 0 and wi <= pi // 2 + 1 <= wj else p
+                for pi, p in enumerate(parts)
+            ]
+            out.append("".join(masked))
+    return "".join(out), n_cand, n_mask
+
+
+def test_mask_valid_cards_property_randomized(spark):
+    """Window-search masking ≡ the independent Python reference on
+    randomized corpora mixing words, digit runs of every length,
+    separator-joined groups, valid cards (plain/space/dash/adjacent
+    runs), and checksum-broken twins. Fixed seed — deterministic."""
+    rng = random.Random(131)
+    cards = ["4111111111111111", "5500005555555559", "4111 1111 1111 1111",
+             "4111-1111-1111-1111", "5500-0055-5555-5559"]
+    junk = ["hello", "ts", "20260815120000", "12", "1234", "x9y",
+            "411111111111", "41111111111111119999", "4111111111111112",
+            "1 2 3 4 5", "99-88", ""]
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 8)
+        pieces = [rng.choice(cards if rng.random() < 0.3 else junk) for _ in range(n)]
+        rows.append((i, rng.choice([" ", " | ", "-", "  "]).join(pieces)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_candidates"], r["n_masked"])
+        for r in T.mask_valid_cards(df, "doc_id", "text").collect()
+    }
+    for i, text in rows:
+        assert got[i] == _mask_ref(text), (i, text)

@@ -133,3 +133,28 @@ def test_intradoc_line_dedup_no_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_canonical_url_fixed_point_property(spark):
+    """Randomized URL soup (schemes, case, userinfo, www, ports, dot
+    paths, tracking/content params, fragments, IPv6, scheme-less junk):
+    canonicalization is a fixed point — canon(canon(x)) == canon(x) for
+    every input. Fixed seed — deterministic."""
+    import random
+
+    rng = random.Random(137)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", ""]
+    users = ["", "u@", "user:pw@", "a:b@c@"]
+    hosts = ["Example.com", "WWW.Example.com", "sub.ex.org", "[2001:DB8::1]", "a.b.c.d.example.net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a/b/", "/p/1"]
+    queries = ["", "?a=1&b=2", "?utm_source=x", "?b=2&utm_campaign=z&a=1", "?z=9"]
+    frags = ["", "#top", "#a/b?c"]
+    urls = []
+    for _ in range(120):
+        s = rng.choice(schemes)
+        base = rng.choice(users) + rng.choice(hosts) + rng.choice(ports)
+        u = (f"{s}://" if s else "") + base + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        urls.append(u)
+    once = _canon(spark, urls)
+    assert _canon(spark, once) == once
