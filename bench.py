@@ -164,6 +164,9 @@ HEADLINE = [
     # quality budget (histogram descent)
     "q192_image_dedup_clusters",
     "q193_classifier_quality_budget",
+    # round-13 late addition: the gradient perceptual hash (dHash)
+    # companion to q190 through the same band join
+    "q194_image_dhash_pairs",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -217,21 +217,47 @@ def image_ahash(df: DataFrame, pixel_codec=None, id_col: str = "media_id") -> Da
     Scale shape: one Arrow-batched projection (no shuffle); the pair
     stage is the banded equi-join of the q77 machinery — candidates
     from (band, chunk) buckets, never an all-pairs scan."""
+    def ahash_bits(sample):
+        tot = sum(sample[:64])
+        return [p * 64 > tot for p in sample[:64]]
+
+    return _image_hash64(df, pixel_codec, id_col, n_samples=64, bitfn=ahash_bits)
+
+
+def image_dhash(df: DataFrame, pixel_codec=None, id_col: str = "media_id") -> DataFrame:
+    """64-bit DIFFERENCE-HASH fingerprints — the gradient companion to
+    :func:`image_ahash` (dHash compares ADJACENT samples instead of
+    thresholding at the mean, so it is robust to global
+    brightness/level shifts that move every pixel together — the
+    standard reason pipelines band BOTH hashes). 65 nearest-neighbor
+    samples; bit k = (sample_k > sample_{k+1}), strict integer
+    comparison; same signed 64-bit assembly, same ``(doc,
+    fingerprint)`` contract into ``dedup.simhash_pairs(bits=64)``."""
+
+    def dhash_bits(sample):
+        return [sample[k] > sample[k + 1] for k in range(64)]
+
+    return _image_hash64(df, pixel_codec, id_col, n_samples=65, bitfn=dhash_bits)
+
+
+def _image_hash64(df: DataFrame, pixel_codec, id_col: str, n_samples: int, bitfn) -> DataFrame:
+    """Shared Arrow-batched 64-bit perceptual-hash seam: codec →
+    ``n_samples`` nearest-neighbor point samples → ``bitfn(sample) ->
+    64 bools`` → signed bigint. One boilerplate, two hash families."""
     codec = pixel_codec or codepoint_pixel_codec()
 
     def run(batches) -> Iterator:
         import pandas as pd
 
-        def ahash(payload: bytes):
+        def hash64(payload: bytes):
             pix = codec(bytes(payload))
             n = len(pix)
             if n == 0:
                 return None
-            sample = [pix[(k * n) // 64] for k in range(64)]
-            tot = sum(sample)
+            sample = [pix[(k * n) // n_samples] for k in range(n_samples)]
             h = 0
-            for k, p in enumerate(sample):
-                if p * 64 > tot:
+            for k, bit in enumerate(bitfn(sample)):
+                if bit:
                     h |= 1 << k
             return h - (1 << 64) if h >= (1 << 63) else h
 
@@ -244,7 +270,7 @@ def image_ahash(df: DataFrame, pixel_codec=None, id_col: str = "media_id") -> Da
             # range
             recs = [
                 (int(i), h)
-                for i, h in zip(pdf[id_col], (ahash(b) for b in pdf["payload"]))
+                for i, h in zip(pdf[id_col], (hash64(b) for b in pdf["payload"]))
                 if h is not None
             ]
             yield pd.DataFrame(

@@ -3604,12 +3604,12 @@ def q189_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.padding_efficiency(s, "doc_id", "tok", batch_size=8, n_shards=8)
 
 
-#: shared oracle CTE chain for the image-hash family (q190/q192):
-#: near-dup replica corpus -> code-point pixels -> aHash fingerprints.
+#: shared oracle CTE chains for the image-hash family (q190/q192/q194):
+#: near-dup replica corpus -> code-point pixels -> fingerprints.
 #: Replica A overwrites one char near the head (unsampled for long docs
 #: -> Hamming-0 pairs); replica B overwrites the MIDDLE char (always
-#: sampled by k=32 -> small nonzero Hamming pairs).
-_SQL_AHASH_FP = """corpus AS (
+#: sampled -> small nonzero Hamming pairs).
+_SQL_IMG_CORPUS = """corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 10000000,
@@ -3622,7 +3622,9 @@ _SQL_AHASH_FP = """corpus AS (
       FROM documents WHERE doc_id % 11 = 5 AND length(text) >= 1
     ),
     px AS (SELECT doc_id AS doc, text, length(text) AS n
-           FROM corpus WHERE length(text) >= 1),
+           FROM corpus WHERE length(text) >= 1)"""
+
+_SQL_AHASH_FP = f"""{_SQL_IMG_CORPUS},
     p AS (SELECT doc,
                  [unicode(substring(text, 1 + (k * n) // 64, 1)) % 256
                   FOR k IN range(0, 64)] AS pix
@@ -3638,6 +3640,23 @@ _SQL_AHASH_FP = """corpus AS (
                               ELSE CAST(0 AS BIGINT) END
                        AS BIGINT) AS fingerprint
            FROM s)"""
+
+#: dHash twin: 65 samples, bit k = sample_k > sample_{k+1} (strict)
+_SQL_DHASH_FP = f"""{_SQL_IMG_CORPUS},
+    p AS (SELECT doc,
+                 [unicode(substring(text, 1 + (k * n) // 65, 1)) % 256
+                  FOR k IN range(0, 65)] AS pix
+          FROM px),
+    fp AS (SELECT doc,
+                  CAST(list_sum([CASE WHEN pix[k + 1] > pix[k + 2]
+                                      THEN CAST(1 AS BIGINT) << k
+                                      ELSE CAST(0 AS BIGINT) END
+                                 FOR k IN range(0, 63)])
+                       + CASE WHEN pix[64] > pix[65]
+                              THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                              ELSE CAST(0 AS BIGINT) END
+                       AS BIGINT) AS fingerprint
+           FROM p)"""
 
 
 def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3839,3 +3858,29 @@ def q193_classifier_quality_budget(spark: SparkSession, sf_dir: str) -> DataFram
     )
     s = scored.join(d.select("doc_id", "source"), "doc_id")
     return SEL.keep_budget_report(s, "score", "doc_id", "source", Fraction(1, 4))
+
+
+@query(
+    "q194_image_dhash_pairs",
+    f"""
+    WITH {_SQL_DHASH_FP}
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+    FROM fp a JOIN fp b ON a.doc < b.doc
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+    """,
+)
+def q194_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash (dHash) image near-dup pairs — the gradient
+    companion to q190's average-hash (operators/multimodal.
+    image_dhash: 65 nearest-neighbor samples, bit k = sample_k >
+    sample_{k+1}, strict integer comparison — robust to global
+    brightness shifts that move every pixel together, which is why
+    real pipelines band BOTH hashes and union the candidate pairs).
+    Same replica corpus, same signed 64-bit assembly, same pigeonhole
+    band join (zero new join shapes); the oracle recomputes the 65
+    samples, the adjacent-comparison bits, the sign bit, and the
+    brute-force pair scan independently."""
+    media = M.attach_payload(_image_corpus(spark, sf_dir), "doc_id", "text", kind="image")
+    fp = M.image_dhash(media)
+    return D.simhash_pairs(fp, max_distance=3, bits=64)

@@ -137,3 +137,32 @@ def test_image_dedup_clusters_hand_case(spark):
         for r in cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_images")).collect()
     ]
     assert got == [(1, 3)]
+
+
+def _dhash_ref(pix):
+    n = len(pix)
+    sample = [pix[(k * n) // 65] for k in range(65)]
+    h = 0
+    for k in range(64):
+        if sample[k] > sample[k + 1]:
+            h |= 1 << k
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_image_dhash_hand_vectors_and_shift_invariance(spark):
+    """dHash equals the independent reference recompute across
+    sampling regimes, and a global brightness shift (+c on every
+    pixel) leaves the gradient hash unchanged."""
+    texts = ["abc", "x" * 65, "abcd" * 32, "The quick brown fox! " * 9]
+    got = {
+        r["doc"]: r["fingerprint"]
+        for r in M.image_dhash(_media(spark, list(enumerate(texts)))).collect()
+    }
+    for i, s in enumerate(texts):
+        assert got[i] == _dhash_ref([ord(c) % 256 for c in s]), s
+    base = list(b"some mid-range pixel data, repeated " * 4)
+    for c in (0, 7, 30):
+        codec = lambda payload, c=c: [p + c for p in payload]
+        df = spark.createDataFrame([(1, bytearray(base))], "media_id long, payload binary")
+        fp = M.image_dhash(df, pixel_codec=codec).collect()[0]["fingerprint"]
+        assert fp == _dhash_ref(base), c
