@@ -797,3 +797,264 @@ def q165_stream_event_time_sessions_fallback(
         "q165_aip",
         output_mode="append",
     ).select("user_id", "session_start_us", "session_end_us", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# Round-13 widening: the four classic TPC-H shapes still absent from the
+# inventory (Q2 correlated-min sourcing, Q11 global-scalar HAVING, Q16
+# NOT-IN + COUNT DISTINCT matrix, Q20 nested two-level-aggregate semi-join).
+# The synthetic schema has no partsupp table, so — exactly like q09's Q9
+# adaptation — lineitem serves as the observed supply relation: a
+# (part, supplier) pair exists iff that supplier shipped that part, and
+# per-pair cost/volume are derived from the shipped lines with integer
+# arithmetic (floored cents / floored units) so every comparison and every
+# aggregate is engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_min_cost_supplier",
+    """
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(FLOOR((l_extendedprice * 100.0) / l_quantity) AS BIGINT))
+                   AS unit_cents
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+    best AS (
+        SELECT l_partkey, MIN(unit_cents) AS min_cents
+        FROM supply JOIN eu ON l_suppkey = s_suppkey
+        GROUP BY l_partkey)
+    SELECT s_acctbal, s_name, n_name,
+           p_partkey, p_name, unit_cents AS min_unit_cents
+    FROM supply
+    JOIN eu ON supply.l_suppkey = eu.s_suppkey
+    JOIN best ON supply.l_partkey = best.l_partkey
+            AND supply.unit_cents = best.min_cents
+    JOIN part ON p_partkey = supply.l_partkey
+    WHERE p_size <= 25 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 50
+    """,
+)
+def q195_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region
+    (correlated MIN subquery, decorrelated to an aggregate + equality
+    join back — the plan Catalyst produces for the nested form anyway).
+    Per-pair unit cost is floored integer cents (MIN over shipped
+    lines), so the min and the cost-equality join are exact in both
+    engines. The region-filtered supplier dimension (supplier ⋈ nation
+    ⋈ region, all broadcast) is applied BEFORE both aggregates, so the
+    per-part min ranges only over in-region suppliers; the part
+    attribute filter prunes the final probe. Two shuffles total (pair
+    agg, per-part min) and a top-50 with a unique tiebreaker chain —
+    TakeOrderedAndProject, never a global sort."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "LARGE")
+    )
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        l.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * F.lit(100.0) / F.col("l_quantity"))
+            ).alias("unit_cents")
+        )
+    )
+    best = supply.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cents").alias("min_cents")
+    )
+    return (
+        supply.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cents") == F.col("min_cents")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("unit_cents").alias("min_unit_cents"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "q196_important_supply",
+    """
+    WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)) AS BIGINT))
+                   AS part_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY l_partkey),
+    tot AS (SELECT SUM(part_value) AS total_value FROM val)
+    SELECT l_partkey AS partkey, part_value
+    FROM val, tot
+    WHERE part_value * 1200 > total_value
+    """,
+)
+def q196_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part supply value within one region,
+    HAVING-filtered against a fraction of the GLOBAL total (the
+    uncorrelated-scalar-vs-group comparison). Per-line value is floored
+    to integer dollars so both the per-part sums and the global total
+    are exact bigints, and the fraction test is cross-multiplied
+    (part_value * 1200 > total) — no float division anywhere. The
+    global total is a 1-row aggregate broadcast back over the group
+    rows (the established scalar-subquery pattern); one shuffle for the
+    part rollup, map-side-combined."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        l.join(F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("part_value")
+        )
+    )
+    tot = val.agg(F.sum("part_value").alias("total_value"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("part_value") * 1200 > F.col("total_value"))
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+    )
+
+
+@query(
+    "q197_supplier_part_matrix",
+    """
+    SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%9')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q197_supplier_part_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    over the observed supply pairs, with a negated attribute filter AND
+    a NOT IN exclusion subquery (suppliers whose name ends in '9' stand
+    in for Q16's complaint suppliers). The exclusion list is
+    driver-small → broadcast LEFT ANTI join, never a shuffle; the
+    part-attribute filters prune the broadcast dimension before the
+    probe; the distinct-pair projection and the COUNT(DISTINCT) rollup
+    are the only shuffles, both on already-reduced keys."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+    )
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%9"))
+        .select("s_suppkey")
+    )
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q198_excess_share_suppliers",
+    """
+    WITH pq AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS pair_qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%widget%'
+          AND l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY l_partkey, l_suppkey),
+    ptot AS (
+        SELECT l_partkey, SUM(pair_qty) AS part_qty
+        FROM pq GROUP BY l_partkey)
+    SELECT s_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+    FROM pq
+    JOIN ptot ON pq.l_partkey = ptot.l_partkey
+    JOIN supplier ON pq.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE pair_qty * 5 > part_qty * 2
+    GROUP BY s_name, n_name
+    """,
+)
+def q198_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested two-level-aggregate threshold —
+    suppliers whose shipped volume of a part (name-pattern-filtered,
+    one ship-year window) exceeds 40% of that part's total shipped
+    volume, i.e. Q20's ps_availqty > ½·Σqty test re-expressed over the
+    observed supply relation. Quantities floor to bigint and the share
+    test cross-multiplies (pair·5 > total·2): exact in both engines.
+    The per-pair rollup reuses its own partitioning for the per-part
+    rollup (same leading key — no second wide shuffle); part and the
+    dimension chain broadcast; the date window and the name pattern
+    reach the parquet scans."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    pq = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.floor("l_quantity")).alias("pair_qty"))
+    )
+    ptot = pq.groupBy("l_partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    return (
+        pq.join(ptot, "l_partkey")
+        .filter(F.col("pair_qty") * 5 > F.col("part_qty") * 2)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )

@@ -226,3 +226,33 @@ def test_dsir_bucket_joins_broadcast_q166(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # cb inner + tb left
     assert "TakeOrderedAndProject" in plan
+
+
+def test_min_cost_supplier_plan_q195(spark, sf_dir):
+    """Q2 shape: the region-filtered supplier dim and the attribute-
+    filtered part dim broadcast; the global top-50 compiles to
+    TakeOrderedAndProject (per-partition partials, never a full sort);
+    the cost-equality join back is an equi-join, never a cartesian."""
+    plan = _plan(spark, sf_dir, "q195_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_supplier_part_matrix_anti_broadcast_q197(spark, sf_dir):
+    """Q16 shape: the NOT-IN complaint list is a broadcast LEFT ANTI
+    join — a shuffled anti join would move the whole pair stream for a
+    10-row exclusion list."""
+    plan = _plan(spark, sf_dir, "q197_supplier_part_matrix")
+    assert "CartesianProduct" not in plan
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and all("Broadcast" in l for l in anti)
+
+
+def test_excess_share_reuses_pair_partitioning_q198(spark, sf_dir):
+    """Q20 shape: the per-part rollup of the per-(part,supplier) rollup
+    shares the leading grouping key, so Catalyst must not insert a
+    second wide exchange between them; part + dims broadcast."""
+    plan = _plan(spark, sf_dir, "q198_excess_share_suppliers")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
