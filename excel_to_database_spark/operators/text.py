@@ -1615,3 +1615,141 @@ def hashed_ngram_score(
         (F.col("sum_weight").cast("double") / F.col("n_grams")).alias("score"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-merge tokenization (q199)
+# ---------------------------------------------------------------------------
+
+#: Separator interleaved between symbols while merges apply. Stripped
+#: from input words first, so it can never collide with content.
+BPE_SEP = "\x1f"
+
+#: Ordered demonstration merge table (rank order = list order; a real
+#: tokenizer's exported merges drop in unchanged). Later merges may
+#: consume symbols earlier merges created (th+e, in+g, an+d cascades).
+BPE_MERGES_EN = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("o", "f"),
+    ("t", "o"), ("e", "n"), ("s", "t"), ("a", "t"),
+]
+
+
+def _bpe_word_tokens(word: Column, merges) -> Column:
+    """Token count of one word after applying ``merges`` in rank order.
+
+    Symbols are separator-WRAPPED (``␟s1␟s2␟…␟sn␟``), so a merge
+    pattern ``␟a␟b␟`` can only match two complete adjacent symbols —
+    a trailing-separator-only encoding lets rank patterns match a
+    symbol's suffix against the next symbol's prefix (er+e firing as
+    r+e), which is not BPE. Because a match consumes the boundary
+    separator shared with the next candidate, each rank's literal
+    ``replace`` runs TWICE: pass one merges alternating occurrences of
+    a shared-boundary chain, pass two the isolated leftovers — two
+    passes are the fixed point (a replacement's output symbol can
+    never re-form the same rank's pair with a neighbor, since symbol
+    lengths add). Tokens == separators − 1 after the fold."""
+    s = F.concat(
+        F.lit(BPE_SEP),
+        F.regexp_replace(
+            F.replace(word, F.lit(BPE_SEP), F.lit("")), "(.)", "$1" + BPE_SEP
+        ),
+    )
+    for a, b in merges:
+        pat = F.lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP)
+        rep = F.lit(BPE_SEP + a + b + BPE_SEP)
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    return (
+        F.length(s) - F.length(F.replace(s, F.lit(BPE_SEP), F.lit(""))) - F.lit(1)
+    )
+
+
+def bpe_encode_token_counts(
+    df, id_col: str, text_col: str, merges=None
+):
+    """Per-document BPE token counts under a fixed merge table — the
+    'how many tokens is this corpus' question every training-data
+    budget starts with, answered with the REAL merge procedure rather
+    than the whitespace/regex proxies (token_count_ws/_bpe).
+
+    Pure column expressions end to end: lower/split (the shared
+    ``words`` normalization), per-word separator-wrapped symbol
+    interleave, two literal ``replace`` passes per merge rank (the
+    per-rank fixed point — see ``_bpe_word_tokens``), an ``aggregate``
+    fold over the word array. Zero shuffles, zero UDFs, composes into
+    the scan — at 100 TB this is a map-only pass whose cost is
+    2·|merges| linear string scans per word. The reference has no
+    tokenizer at all (SURVEY.md §2 extension surface)."""
+    if merges is None:
+        merges = BPE_MERGES_EN
+    ws = words(F.col(text_col))
+    per_word = F.transform(ws, lambda w: _bpe_word_tokens(w, merges).cast("bigint"))
+    n_tokens = F.aggregate(
+        per_word, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(ws).cast("bigint").alias("n_words"),
+        n_tokens.alias("n_bpe_tokens"),
+    )
+
+
+def sql_bpe_word_tokens(w: str, merges=None) -> str:
+    """DuckDB spelling of ``_bpe_word_tokens`` (oracle twin — one
+    definition of the merge fold per engine, same rank order)."""
+    if merges is None:
+        merges = BPE_MERGES_EN
+    s = (
+        f"('{BPE_SEP}' || regexp_replace(replace({w}, '{BPE_SEP}', ''),"
+        f" '(.)', '\\1{BPE_SEP}', 'g'))"
+    )
+    for a, b in merges:
+        pat = f"'{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}'"
+        rep = f"'{BPE_SEP}{a}{b}{BPE_SEP}'"
+        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
+    return f"length({s}) - length(replace({s}, '{BPE_SEP}', '')) - 1"
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling weights (q200)
+# ---------------------------------------------------------------------------
+
+
+def temperature_mixture(
+    df, group_col: str, size_col: str, budget_tokens: int, temperature: float = 0.5
+):
+    """Temperature-scaled sampling distribution over corpus groups —
+    p_i ∝ n_i^T — the multilingual/multi-source rebalancing rule
+    (mT5 §3.1, Llama-style data mixing): T=1 is proportional, T→0
+    uniform; T=0.5 (the common default) up-samples small sources.
+
+    Exactness: group sizes are exact bigints; T=0.5 routes through
+    ``sqrt`` and T=1 through identity (both correctly-rounded IEEE,
+    bit-identical across engines); other temperatures use ``pow``,
+    which carries no cross-engine bit guarantee — callers needing the
+    oracle contract stay on {0.5, 1.0}. Weights quantize to
+    decimal(30,6) (half-up, ties impossible — base.py docstring), the
+    total is an EXACT decimal sum (order-independent), and every
+    ratio is computed double/double from those exact operands.
+
+    Scale: one map-side-combinable aggregation to |groups| rows, a
+    1-row total broadcast back — the driver never sees data rows."""
+    n = F.sum(F.col(size_col)).cast("bigint")
+    g = df.groupBy(group_col).agg(n.alias("n_size"))
+    nd = F.col("n_size").cast("double")
+    if temperature == 0.5:
+        w = F.sqrt(nd)
+    elif temperature == 1.0:
+        w = nd
+    else:
+        w = F.pow(nd, F.lit(float(temperature)))
+    wq = g.select(group_col, "n_size", w.cast("decimal(30,6)").alias("wq"))
+    tot = wq.agg(F.sum("wq").alias("tot"))
+    prob = F.col("wq").cast("double") / F.col("tot").cast("double")
+    return wq.join(F.broadcast(tot)).select(
+        group_col,
+        "n_size",
+        F.col("wq").cast("double").alias("weight"),
+        prob.alias("prob"),
+        F.floor(prob * F.lit(int(budget_tokens))).cast("bigint").alias("alloc_tokens"),
+    )

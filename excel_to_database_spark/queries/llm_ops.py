@@ -3884,3 +3884,68 @@ def q194_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_payload(_image_corpus(spark, sf_dir), "doc_id", "text", kind="image")
     fp = M.image_dhash(media)
     return D.simhash_pairs(fp, max_distance=3, bits=64)
+
+
+def _q199_oracle() -> str:
+    tok = T.sql_bpe_word_tokens("wd")
+    return f"""
+    WITH w AS (SELECT doc_id, UNNEST({T.SQL_WORDS.format(t='text')}) AS wd
+               FROM documents),
+    tc AS (SELECT doc_id,
+                  COUNT(*) AS n_words,
+                  SUM({tok}) AS n_bpe_tokens
+           FROM w GROUP BY doc_id)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens
+    FROM tc
+    """
+
+
+@query("q199_bpe_encode_counts", _q199_oracle())
+def q199_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts under the fixture merge table
+    (operators/text.bpe_encode_token_counts) — the real merge
+    procedure, not a whitespace/regex proxy: per-word separator-
+    wrapped symbol interleave, two literal replace passes per merge
+    rank — pattern ␟a␟b␟ matches only complete adjacent symbols, and
+    the second pass closes the shared-boundary chain the first pass's
+    match-consumed separator skips (later merges consume symbols
+    earlier ranks created: t+h→th, th+e→the); token count = separator
+    count − 1 after the fold. Pure column expressions,
+    zero shuffle, zero UDFs — a map-only pass composing into the scan
+    at any scale. The oracle re-runs the identical rank-ordered fold
+    through DuckDB's replace/regexp_replace over exploded words, so a
+    single mis-ordered or overlapping merge breaks the hash."""
+    d = t(spark, sf_dir, "documents")
+    return T.bpe_encode_token_counts(d, "doc_id", "text")
+
+
+@query(
+    "q200_temperature_mixture",
+    """
+    WITH g AS (SELECT source, SUM(n_chars) AS n_size FROM documents
+               GROUP BY source),
+    w AS (SELECT source, n_size,
+                 CAST(sqrt(CAST(n_size AS DOUBLE)) AS DECIMAL(30,6)) AS wq
+          FROM g),
+    tot AS (SELECT SUM(wq) AS tot FROM w)
+    SELECT source, CAST(n_size AS BIGINT) AS n_size,
+           CAST(wq AS DOUBLE) AS weight,
+           CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE) AS prob,
+           CAST(FLOOR((CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS alloc_tokens
+    FROM w, tot
+    """,
+)
+def q200_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (operators/text.
+    temperature_mixture, T=0.5): p_i ∝ √n_i — the mT5/Llama-style
+    rebalancing that up-samples small sources, complementing q181's
+    hard waterfilling cap with the soft multinomial the sampler
+    actually draws from. Exact bigint sizes → correctly-rounded sqrt
+    (bit-identical IEEE in both engines) → decimal(30,6) quantized
+    weights summed exactly → double/double ratios: the oracle re-walks
+    every step. One aggregation to |sources| rows + a 1-row broadcast
+    total; the 10^9-token allocation floors to bigint."""
+    d = t(spark, sf_dir, "documents")
+    return T.temperature_mixture(d, "source", "n_chars", budget_tokens=1_000_000_000)

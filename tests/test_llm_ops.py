@@ -2427,3 +2427,57 @@ def test_token_budget_allocation_fractional_weights(spark):
             "source string, avail_tokens long, weight double",
         )
         T.token_budget_allocation(c, 10).collect()
+
+
+def test_bpe_encode_hand_vectors(spark):
+    """Merge cascades, left-to-right non-overlap, separator stripping."""
+    rows = [
+        (1, "the"),          # t+h -> th, th+e -> the: 1 token
+        (2, "and"),          # a+n -> an, an+d -> and: 1 token
+        (3, "interesting"),  # in t er e st ing: 6 tokens
+        (4, "ththth"),       # non-overlapping t+h: th th th: 3 tokens
+        (5, "hothead"),      # h o th e a d -> the: h o the a d: 5 tokens
+        (6, "x\x1fy"),       # separator stripped from content first: xy
+        (7, "to be or not"), # to / b e / or? (o+r not in table) ...
+        (8, "erere"),        # shared-boundary chain: er er e (two-pass)
+        (9, "herer"),        # er symbol must NOT re-match r+e across
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in T.bpe_encode_token_counts(df, "doc_id", "text").collect()
+    }
+    assert out[1] == (1, 1)
+    assert out[2] == (1, 1)
+    assert out[3] == (1, 6)
+    assert out[4] == (1, 3)
+    assert out[5] == (1, 5)
+    assert out[6] == (1, 2)  # "xy": no merge applies
+    # "to"=1 (t+o), "be"=2, "or"=2 (o+r absent), "not"=3 (no n-o/o-t merge)
+    assert out[7] == (4, 8)
+    assert out[8] == (1, 3)  # e+r exhaustive at its rank: er, er, e
+    assert out[9] == (1, 3)  # h, er, er — rank-9 r+e can't split "er"
+
+
+def test_temperature_mixture_exact_dyadic(spark):
+    """Sizes 9/9/36 -> weights 3/3/6 -> probs .25/.25/.5 (exact
+    dyadic doubles), alloc floors exactly."""
+    df = spark.createDataFrame(
+        [("a", 9), ("a", 0), ("b", 9), ("c", 36)],
+        "source string, n_chars long",
+    )
+    out = {
+        r["source"]: r
+        for r in T.temperature_mixture(df, "source", "n_chars", 1000).collect()
+    }
+    assert out["a"]["n_size"] == 9 and out["a"]["weight"] == 3.0
+    assert out["a"]["prob"] == 0.25 and out["a"]["alloc_tokens"] == 250
+    assert out["c"]["prob"] == 0.5 and out["c"]["alloc_tokens"] == 500
+    # T=1 is proportional
+    prop = {
+        r["source"]: r["prob"]
+        for r in T.temperature_mixture(
+            df, "source", "n_chars", 1000, temperature=1.0
+        ).collect()
+    }
+    assert prop["c"] == 36 / 54
