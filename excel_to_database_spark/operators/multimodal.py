@@ -415,3 +415,70 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) 
     return df.mapInPandas(
         run, schema="media_id long, frame_no int, frame_payload binary"
     )
+
+
+def audio_fingerprint(
+    df: DataFrame, sample_codec=None, id_col: str = "media_id", n_frames: int = 65
+) -> DataFrame:
+    """64-bit acoustic fingerprints of audio payloads — the energy-
+    envelope-delta family (chromaprint-style: frame the signal, compare
+    adjacent frame energies) that completes the multimodal dedup set
+    next to :func:`image_ahash`/:func:`image_dhash`. Same Arrow-batched
+    decode seam, same ``(doc, fingerprint)`` contract into
+    ``dedup.simhash_pairs(bits=64)`` — zero new join shapes.
+
+    Contract (all-integer, SQL-recomputable):
+
+      * ``sample_codec`` (default :func:`codepoint_pixel_codec` — code
+        points mod 256 standing in for PCM samples; a real decoder
+        returns its sample array here) yields the 1-D signal;
+      * the signal is cut into ``n_frames`` (default 65) contiguous
+        frames by the exact integer bounds ``b_k = (k·n) // n_frames``
+        — every sample belongs to exactly one frame (windowed SUMS,
+        not the point samples the image hashes use: audio identity
+        lives in energy over time, and a windowed fingerprint is
+        robust to single-sample jitter point-sampling is not);
+      * bit k = frame k's MEAN energy exceeds frame k+1's, decided by
+        the integer cross-product ``e_k · len_{k+1} > e_{k+1} · len_k``
+        (length-normalized without division — short tail frames don't
+        bias the comparison; empty frames compare as 0);
+      * signed 64-bit assembly identical to the image hashes (bit 63 =
+        sign bit, two's complement).
+
+    Empty payloads are dropped (no signal, no fingerprint), mirroring
+    the SQL oracle's ``length >= 1`` guard."""
+    codec = sample_codec or codepoint_pixel_codec()
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        def fp64(payload: bytes):
+            s = codec(bytes(payload))
+            n = len(s)
+            if n == 0:
+                return None
+            bounds = [(k * n) // n_frames for k in range(n_frames + 1)]
+            e = [sum(s[bounds[k] : bounds[k + 1]]) for k in range(n_frames)]
+            ln = [bounds[k + 1] - bounds[k] for k in range(n_frames)]
+            h = 0
+            for k in range(64):
+                if e[k] * ln[k + 1] > e[k + 1] * ln[k]:
+                    h |= 1 << k
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        for pdf in batches:
+            # same exact-int64 framing as _image_hash64 (a None-mixed
+            # list would infer float64 and corrupt >53-bit fingerprints)
+            recs = [
+                (int(i), h)
+                for i, h in zip(pdf[id_col], (fp64(b) for b in pdf["payload"]))
+                if h is not None
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc": pd.Series([r[0] for r in recs], dtype="int64"),
+                    "fingerprint": pd.Series([r[1] for r in recs], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -3949,3 +3949,62 @@ def q200_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     total; the 10^9-token allocation floors to bigint."""
     d = t(spark, sf_dir, "documents")
     return T.temperature_mixture(d, "source", "n_chars", budget_tokens=1_000_000_000)
+
+
+#: Audio fingerprint oracle: the full sample array (not 64 point
+#: samples — energies are windowed SUMS), exact integer frame bounds
+#: b_k = (k*n)//65, per-frame energy + length, cross-product bits.
+_SQL_AUDIO_FP = f"""{_SQL_IMG_CORPUS},
+    sm AS (SELECT doc, n,
+                  [unicode(substring(text, i, 1)) % 256
+                   FOR i IN range(1, n + 1)] AS s,
+                  [(k * n) // 65 FOR k IN range(0, 66)] AS b
+           FROM px),
+    fr AS (SELECT doc,
+                  [COALESCE(list_sum([s[j] FOR j IN range(b[k + 1] + 1,
+                                                          b[k + 2] + 1)]),
+                            0)
+                   FOR k IN range(0, 65)] AS e,
+                  [b[k + 2] - b[k + 1] FOR k IN range(0, 65)] AS ln
+           FROM sm),
+    fp AS (SELECT doc,
+                  CAST(list_sum([CASE WHEN e[k + 1] * ln[k + 2]
+                                           > e[k + 2] * ln[k + 1]
+                                      THEN CAST(1 AS BIGINT) << k
+                                      ELSE CAST(0 AS BIGINT) END
+                                 FOR k IN range(0, 63)])
+                       + CASE WHEN e[64] * ln[65] > e[65] * ln[64]
+                              THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                              ELSE CAST(0 AS BIGINT) END
+                       AS BIGINT) AS fingerprint
+           FROM fr)"""
+
+
+@query(
+    "q201_audio_near_dup",
+    f"""
+    WITH {_SQL_AUDIO_FP}
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+    FROM fp a JOIN fp b ON a.doc < b.doc
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+    """,
+)
+def q201_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup dedup — the last multimodal dedup family member
+    (images landed as q190/q192/q194): payloads fingerprint through
+    operators/multimodal.audio_fingerprint (65 contiguous frames at
+    exact integer bounds, windowed energy sums, length-normalized
+    adjacent-frame comparison by integer cross-product — the
+    chromaprint-style energy-envelope delta), then band through the
+    same q77 pigeonhole machinery (dedup.simhash_pairs, bits=64) for
+    EXACT Hamming-<=3 pairs — zero new join shapes, no all-pairs scan.
+    Unlike the image hashes' 64 point samples, the oracle here must
+    rebuild the ENTIRE sample array and the windowed sums per frame,
+    so a single off-by-one in the frame bounds or an empty-frame NULL
+    leak breaks the hash. Same replica corpus as the image family:
+    head-overwrite pairs land in frame 0 (small Hamming), middle
+    overwrites in one interior frame."""
+    media = M.attach_payload(_image_corpus(spark, sf_dir), "doc_id", "text", kind="audio")
+    fp = M.audio_fingerprint(media)
+    return D.simhash_pairs(fp, max_distance=3, bits=64)

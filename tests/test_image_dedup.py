@@ -166,3 +166,56 @@ def test_image_dhash_hand_vectors_and_shift_invariance(spark):
         df = spark.createDataFrame([(1, bytearray(base))], "media_id long, payload binary")
         fp = M.image_dhash(df, pixel_codec=codec).collect()[0]["fingerprint"]
         assert fp == _dhash_ref(base), c
+
+
+def _audio_ref(s, n_frames=65):
+    """Independent reference audio fingerprint: exact integer frame
+    bounds, windowed energy sums, length-normalized cross-product."""
+    n = len(s)
+    b = [(k * n) // n_frames for k in range(n_frames + 1)]
+    e = [sum(s[b[k]:b[k + 1]]) for k in range(n_frames)]
+    ln = [b[k + 1] - b[k] for k in range(n_frames)]
+    h = 0
+    for k in range(64):
+        if e[k] * ln[k + 1] > e[k + 1] * ln[k]:
+            h |= 1 << k
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_audio_fingerprint_hand_vectors(spark):
+    """Operator equals the reference recompute in every framing
+    regime: signal shorter than 65 (empty frames -> energy 0, len 0),
+    exactly 65, and long (multi-sample windows)."""
+    texts = ["abc", "q" * 65, "abcdefgh" * 40, "Lo! " * 200]
+    rows = [
+        (i, bytes(t, "utf-8")) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["doc"]: r["fingerprint"] for r in M.audio_fingerprint(df).collect()}
+    for i, s in enumerate(texts):
+        assert got[i] == _audio_ref([ord(c) % 256 for c in s]), s
+
+
+def test_audio_fingerprint_windowed_not_point_sampled(spark):
+    """The property that makes it an AUDIO hash: single-sample jitter
+    inside a frame leaves the fingerprint unchanged when the frame's
+    energy ordering survives, where a point-sampled hash could flip.
+    Two long signals differing by one sample in a high-energy frame
+    must fingerprint identically; zeroing a whole frame must not."""
+    base = [210] * 10 + [200] * 640  # frame 0 strictly dominates frame 1
+    jitter = list(base)
+    jitter[7] = 211            # +1 inside frame 0 (energy 2100 -> 2101)
+    hole = list(base)
+    for j in range(130, 140):  # silence all of frame 13
+        hole[j] = 0
+    codec = lambda payload: list(payload)
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(jitter)), (3, bytearray(hole))],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["doc"]: r["fingerprint"]
+        for r in M.audio_fingerprint(df, sample_codec=codec).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] != out[3]
