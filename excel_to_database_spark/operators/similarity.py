@@ -2575,3 +2575,95 @@ def dim_ablation_report(
             ).alias("mean_abs_cos_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (q203)
+# ---------------------------------------------------------------------------
+
+
+def jl_signs(k: int, dim: int) -> list:
+    """Deterministic ±1 Rademacher projection matrix (k rows × dim
+    cols) from md5 parity — reproducible across reruns/backfills with
+    no RNG state, the property a sharded 100 TB projection pass needs
+    (every executor derives the identical matrix; nothing is
+    broadcast). Computable without a SparkSession, so the SQL oracle
+    inlines the same literals."""
+    import hashlib
+
+    return [
+        [
+            1 - 2 * (hashlib.md5(f"jl:{j}:{i}".encode()).digest()[0] & 1)
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def jl_distortion_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 16,
+    scale: int = 256,
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection + distortion audit: project
+    each embedding to ``k`` dims through a deterministic ±1 matrix and
+    report, per adjacent-id pair, how well projected squared distance
+    preserves original squared distance — the measurement that decides
+    whether a cheap k-dim sketch can replace the full vector in a
+    first-pass ANN or dedup filter.
+
+    Exactness: elements quantize to ``floor(x·scale)`` bigints
+    (float→double cast and floor are engine-exact), projections are
+    integer dot products with the ±1 literals, both squared distances
+    are exact integer sums, and the distortion is one double division
+    of exact bigint products (NULL when the originals coincide).
+    Normalization: each ±1 row has E[(r·x)²] = ‖x‖², so the unbiased
+    estimate is ``rho = d_proj² / (k·d_orig²)`` — no input-dimension
+    factor (that belongs to SPARSE JL matrices, not Rademacher).
+
+    Scale shape: the projection is a per-row map (zero shuffle, k·dim
+    multiply-adds in whole-stage codegen); the audit pairing is ONE
+    id+1 equi-join (the q184 discipline — never all-pairs)."""
+    R = jl_signs(k, dim)
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
+    )
+    y = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.array(*[F.lit(s) for s in R[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(k)
+        ]
+    )
+    base = df.select(F.col(id_col).alias("id"), q.alias("q")).select(
+        "id", "q", y.alias("y")
+    )
+    right = base.select(
+        (F.col("id") - 1).alias("id_m"), F.col("q").alias("q2"), F.col("y").alias("y2")
+    )
+    sq = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(u), F.col(v), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = base.join(right, F.col("id") == F.col("id_m"))
+    d_o = sq("q", "q2")
+    d_p = sq("y", "y2")
+    return pairs.select(
+        F.col("id").alias("vec_id"),
+        d_o.alias("dist_orig_sq"),
+        d_p.alias("dist_proj_sq"),
+        F.when(
+            d_o > 0, d_p.cast("double") / (d_o * F.lit(k)).cast("double")
+        ).alias("rho"),
+    )

@@ -1665,7 +1665,7 @@ def _bpe_word_tokens(word: Column, merges) -> Column:
 
 
 def bpe_encode_token_counts(
-    df, id_col: str, text_col: str, merges=None
+    df, id_col: str, text_col: str, merges=None, keep_cols: tuple = ()
 ):
     """Per-document BPE token counts under a fixed merge table — the
     'how many tokens is this corpus' question every training-data
@@ -1689,6 +1689,7 @@ def bpe_encode_token_counts(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.size(ws).cast("bigint").alias("n_words"),
         n_tokens.alias("n_bpe_tokens"),
     )

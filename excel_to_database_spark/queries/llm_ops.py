@@ -4008,3 +4008,93 @@ def q201_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_payload(_image_corpus(spark, sf_dir), "doc_id", "text", kind="audio")
     fp = M.audio_fingerprint(media)
     return D.simhash_pairs(fp, max_distance=3, bits=64)
+
+
+def _q202_oracle() -> str:
+    tok = T.sql_bpe_word_tokens("wd")
+    return f"""
+    WITH w AS (SELECT doc_id, lang, UNNEST({T.SQL_WORDS.format(t='text')}) AS wd
+               FROM documents),
+    tc AS (SELECT doc_id, lang,
+                  COUNT(*) AS n_words,
+                  SUM({tok}) AS n_tokens
+           FROM w GROUP BY doc_id, lang)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS sum_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words) AS fertility
+    FROM tc GROUP BY lang
+    """
+
+
+@query("q202_tokenizer_fertility", _q202_oracle())
+def q202_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language (tokens emitted per word) — the
+    standard multilingual-tokenizer fairness metric: a merge table
+    trained on one language tokenizes others into more pieces, and
+    this report is how a pipeline detects that before committing a
+    token budget (q181/q200 both consume per-language token counts
+    this report calibrates). Composes the q199 encoder with lang
+    carried through (keep_cols — no self-join back), then ONE
+    map-side-combinable rollup to |langs| rows; the ratio is one
+    double division of exact bigint sums."""
+    d = t(spark, sf_dir, "documents")
+    counts = T.bpe_encode_token_counts(
+        d, "doc_id", "text", keep_cols=("lang",)
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_bpe_tokens").alias("sum_tokens"),
+        (
+            F.sum("n_bpe_tokens").cast("double") / F.sum("n_words")
+        ).alias("fertility"),
+    )
+
+
+def _q203_oracle() -> str:
+    R = S.jl_signs(16, 64)
+    y_terms = ", ".join(
+        "list_sum([q[i] * ("
+        + "[" + ", ".join(str(s) for s in row) + "]"
+        + ")[i] FOR i IN range(1, 65)])"
+        for row in R
+    )
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 256.0) AS BIGINT)) AS q
+               FROM embeddings),
+    y AS (SELECT vec_id, q, [{y_terms}] AS y FROM q),
+    p AS (SELECT a.vec_id,
+                 list_sum([(a.q[i] - b.q[i]) * (a.q[i] - b.q[i])
+                           FOR i IN range(1, 65)]) AS dist_orig_sq,
+                 list_sum([(a.y[j] - b.y[j]) * (a.y[j] - b.y[j])
+                           FOR j IN range(1, 17)]) AS dist_proj_sq
+          FROM y a JOIN y b ON b.vec_id = a.vec_id + 1)
+    SELECT vec_id,
+           CAST(dist_orig_sq AS BIGINT) AS dist_orig_sq,
+           CAST(dist_proj_sq AS BIGINT) AS dist_proj_sq,
+           CASE WHEN dist_orig_sq > 0
+                THEN CAST(dist_proj_sq AS DOUBLE)
+                     / CAST(dist_orig_sq * 16 AS DOUBLE)
+                END AS rho
+    FROM p
+    """
+
+
+@query("q203_jl_distortion", _q203_oracle())
+def q203_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→16 random projection + distortion
+    audit (operators/similarity.jl_distortion_pairs): the
+    can-a-16-dim-sketch-stand-in-for-the-full-vector measurement that
+    gates cheap first-pass ANN/dedup filters. The ±1 Rademacher matrix
+    derives from md5 parity (jl_signs) — computable WITHOUT a session,
+    so the oracle inlines the identical 16×64 literals and re-derives
+    quantization, projection, both exact integer squared distances,
+    and the k-normalized distortion ratio. Projection is a zero-shuffle
+    per-row map in whole-stage codegen; the audit is one id+1
+    equi-join (q184 discipline)."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.jl_distortion_pairs(e, "vec_id", "embedding", dim=64, k=16)

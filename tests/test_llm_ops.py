@@ -2481,3 +2481,59 @@ def test_temperature_mixture_exact_dyadic(spark):
         ).collect()
     }
     assert prop["c"] == 36 / 54
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the", "en"), (2, "zq zq", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    counts = T.bpe_encode_token_counts(df, "doc_id", "text", keep_cols=("lang",))
+    out = {r["lang"]: r for r in counts.collect()}
+    # "the" merges to 1 token; "zq" has no merges -> 2 tokens each
+    assert (out["en"]["n_words"], out["en"]["n_bpe_tokens"]) == (3, 3)
+    assert (out["xx"]["n_words"], out["xx"]["n_bpe_tokens"]) == (2, 4)
+
+
+def test_jl_distortion_matches_numpy_reference(spark):
+    """Operator output equals an independent NumPy recompute (same
+    quantization, same md5-parity matrix), and the JL property holds:
+    mean distortion near 1 with no catastrophic outliers."""
+    import numpy as np
+
+    from excel_to_database_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-0.5, 0.5, size=(40, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in S.jl_distortion_pairs(df, "vec_id", "embedding", dim=64, k=16).collect()
+    }
+    R = np.array(S.jl_signs(16, 64), dtype="int64")
+    q = np.floor(vecs.astype("float64") * 256.0).astype("int64")
+    y = q @ R.T
+    rhos = []
+    for i in range(39):
+        do = int(((q[i] - q[i + 1]) ** 2).sum())
+        dp = int(((y[i] - y[i + 1]) ** 2).sum())
+        assert out[i]["dist_orig_sq"] == do
+        assert out[i]["dist_proj_sq"] == dp
+        assert out[i]["rho"] == dp / (do * 16)
+        rhos.append(out[i]["rho"])
+    m = sum(rhos) / len(rhos)
+    assert 0.6 < m < 1.4 and max(rhos) < 4.0
+
+
+def test_jl_distortion_identical_vectors_null_rho(spark):
+    df = spark.createDataFrame(
+        [(0, [0.25] * 64), (1, [0.25] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    from excel_to_database_spark.operators import similarity as S
+
+    rows = S.jl_distortion_pairs(df, "vec_id", "embedding", dim=64, k=16).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["dist_orig_sq"] == 0 and r["dist_proj_sq"] == 0 and r["rho"] is None
