@@ -842,6 +842,53 @@ def simhash_pairs(
     )
 
 
+def simhash_matches_between(
+    new_fp: DataFrame,
+    corpus_fp: DataFrame,
+    max_distance: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Hamming-≤d matches BETWEEN two fingerprint frames (the probe
+    form of :func:`simhash_pairs`, mirroring ``lsh_matches_between``
+    for the MinHash family): band both sides into the same pigeonhole
+    chunks, equi-join on (band, chunk), exact-distance filter. Returns
+    ``(doc_new, doc_corpus, hamming)`` — complete by the pigeonhole
+    argument, never an all-pairs scan; per-batch probe cost is
+    O(|new| · bands) plus collision volume, independent of corpus
+    size."""
+    n_bands = max_distance + 1
+    width = -(-bits // n_bands)  # ceil
+
+    def banded(fp: DataFrame, doc_out: str, fp_out: str) -> DataFrame:
+        chunks = F.array(
+            *[
+                F.shiftright(F.col("fingerprint"), b * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return fp.select(
+            F.col("doc").alias(doc_out),
+            F.col("fingerprint").alias(fp_out),
+            F.posexplode(chunks).alias("band", "chunk"),
+        )
+
+    a = banded(new_fp, "doc_new", "fn")
+    b = banded(corpus_fp, "doc_corpus", "fc")
+    return (
+        a.join(b, ["band", "chunk"])
+        .select("doc_new", "doc_corpus", "fn", "fc")
+        .distinct()
+        .select(
+            "doc_new",
+            "doc_corpus",
+            F.bit_count(F.col("fn").bitwiseXOR(F.col("fc"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 def shingle_contamination(
     docs: DataFrame,
     id_col: str,

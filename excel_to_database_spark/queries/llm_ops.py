@@ -3624,13 +3624,17 @@ _SQL_IMG_CORPUS = """corpus AS (
     px AS (SELECT doc_id AS doc, text, length(text) AS n
            FROM corpus WHERE length(text) >= 1)"""
 
-_SQL_AHASH_FP = f"""{_SQL_IMG_CORPUS},
-    p AS (SELECT doc,
+def _sql_ahash_chain(src: str, prefix: str = "") -> str:
+    """The aHash pix→mean→bits fold over a ``(doc, text, n)`` CTE
+    named ``src``, producing ``{prefix}fp`` — ONE spelling shared by
+    q190/q192 (whole replica corpus) and q204 (corpus and stream
+    hashed separately), so the oracles cannot diverge."""
+    return f"""{prefix}p AS (SELECT doc,
                  [unicode(substring(text, 1 + (k * n) // 64, 1)) % 256
                   FOR k IN range(0, 64)] AS pix
-          FROM px),
-    s AS (SELECT doc, pix, list_sum(pix) AS tot FROM p),
-    fp AS (SELECT doc,
+          FROM {src}),
+    {prefix}s AS (SELECT doc, pix, list_sum(pix) AS tot FROM {prefix}p),
+    {prefix}fp AS (SELECT doc,
                   CAST(list_sum([CASE WHEN pix[k + 1] * 64 > tot
                                       THEN CAST(1 AS BIGINT) << k
                                       ELSE CAST(0 AS BIGINT) END
@@ -3639,7 +3643,11 @@ _SQL_AHASH_FP = f"""{_SQL_IMG_CORPUS},
                               THEN CAST(-9223372036854775807 - 1 AS BIGINT)
                               ELSE CAST(0 AS BIGINT) END
                        AS BIGINT) AS fingerprint
-           FROM s)"""
+           FROM {prefix}s)"""
+
+
+_SQL_AHASH_FP = f"""{_SQL_IMG_CORPUS},
+    {_sql_ahash_chain('px')}"""
 
 #: dHash twin: 65 samples, bit k = sample_k > sample_{k+1} (strict)
 _SQL_DHASH_FP = f"""{_SQL_IMG_CORPUS},
@@ -3659,10 +3667,10 @@ _SQL_DHASH_FP = f"""{_SQL_IMG_CORPUS},
            FROM p)"""
 
 
-def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Spark twin of _SQL_AHASH_FP's replica corpus (shared by
-    q190/q192)."""
-    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+def _image_replicas(d: DataFrame) -> DataFrame:
+    """The two deterministic near-dup replica families (head-position
+    and middle-position overwrites) of a ``(doc_id, text)`` frame —
+    the Spark twin of _SQL_IMG_CORPUS's UNION branches."""
     rep_a = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 10000000).alias("doc_id"),
         F.expr("concat(substring(text, 1, 1), 'Z', substring(text, 3))").alias("text"),
@@ -3674,7 +3682,14 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             " substring(text, length(text) div 2 + 2))"
         ).alias("text"),
     )
-    return d.select("doc_id", "text").unionByName(rep_a).unionByName(rep_b)
+    return rep_a.unionByName(rep_b)
+
+
+def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _SQL_AHASH_FP's replica corpus (shared by
+    q190/q192/q194/q201)."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    return d.select("doc_id", "text").unionByName(_image_replicas(d))
 
 
 @query(
@@ -4098,3 +4113,90 @@ def q203_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join (q184 discipline)."""
     e = t(spark, sf_dir, "embeddings")
     return S.jl_distortion_pairs(e, "vec_id", "embedding", dim=64, k=16)
+
+
+def _q204_oracle() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id AS doc, text, length(text) AS n
+                  FROM documents WHERE length(text) >= 1),
+    reps0 AS (
+      SELECT doc_id + 10000000 AS doc,
+             substring(text, 1, 1) || 'Z' || substring(text, 3) AS text
+      FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 1
+      UNION ALL
+      SELECT doc_id + 20000000,
+             substring(text, 1, length(text) // 2) || 'Z'
+               || substring(text, length(text) // 2 + 2)
+      FROM documents WHERE doc_id % 11 = 5 AND length(text) >= 1),
+    newx AS (SELECT doc, text, length(text) AS n FROM reps0
+             WHERE length(text) >= 1),
+    {_sql_ahash_chain('base', 'c')},
+    {_sql_ahash_chain('newx', 'nn')}
+    SELECT n.doc AS doc_new,
+           CAST(COUNT(DISTINCT c.doc) AS BIGINT) AS n_corpus_dups
+    FROM nnfp n JOIN cfp c
+      ON bit_count(xor(n.fingerprint, c.fingerprint)) <= 3
+    GROUP BY n.doc
+    """
+
+
+@query("q204_stream_image_dedup", _q204_oracle())
+def q204_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING image near-dup screening (streaming/ingest.
+    stream_media_dedup): the multimodal member of the streaming dedup
+    family next to stream_lsh_dedup (text MinHash) — new media rows
+    arrive as two availableNow micro-batches (the replica families,
+    one file per trigger), each batch perceptual-hashed in the Arrow
+    decode seam (multimodal.image_ahash) and probed against the
+    PERSISTED corpus fingerprint table through the pigeonhole band
+    join (dedup.simhash_matches_between — the probe form of
+    simhash_pairs, complete by the pigeonhole argument). The stream
+    keeps NO Spark state: the fingerprint table IS the state, per-
+    batch cost is O(|batch|·bands) + collisions, independent of corpus
+    size; results land through the exactly-once batch-id-keyed sink
+    and drop the batch id, so trigger order is irrelevant and the
+    oracle is the plain batch SQL — corpus and stream hashed through
+    the SAME _sql_ahash_chain spelling as q190, brute-force Hamming
+    probe, stream ≡ batch ≡ oracle (the q175 discipline applied to
+    the multimodal family)."""
+    import shutil
+    import tempfile
+
+    from excel_to_database_spark.streaming.ingest import stream_media_dedup
+
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    corpus_fp = M.image_ahash(
+        M.attach_payload(d.select("doc_id", "text"), "doc_id", "text", kind="image")
+    )
+    reps = _image_replicas(d)
+    tmp = tempfile.mkdtemp(prefix="etds_q204_")
+    table = "q204_stream_image_dedup"
+    try:
+        half = F.col("doc_id") < 20000000
+        reps.filter(half).coalesce(1).write.parquet(f"{tmp}/media/a")
+        reps.filter(~half).coalesce(1).write.parquet(f"{tmp}/media/b")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        stream = (
+            spark.readStream.schema(reps.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{tmp}/media")
+        )
+        media_stream = M.attach_payload(stream, "doc_id", "text", kind="image")
+        q = stream_media_dedup(
+            media_stream,
+            corpus_fp,
+            table,
+            max_distance=3,
+            checkpoint=f"{tmp}/ckpt",
+        )
+        q.awaitTermination()
+        # materialize BEFORE the temp/table cleanup (the q158 lesson)
+        return (
+            spark.table(table)
+            .select("doc_new", "n_corpus_dups")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)

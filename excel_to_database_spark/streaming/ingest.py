@@ -749,3 +749,48 @@ def stream_bucket_drift(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_media_dedup(
+    new_media: DataFrame,
+    corpus_fp: DataFrame,
+    out_table: str,
+    max_distance: int = 3,
+    checkpoint: str = "/tmp/etds_media_dedup_ckpt",
+):
+    """Continuous-ingest IMAGE near-dup screening: each micro-batch of
+    media rows (the ``attach_payload`` schema) is perceptual-hashed in
+    the Arrow decode seam (``multimodal.image_ahash``) and probed
+    against the persisted corpus fingerprint table via the pigeonhole
+    band join (``dedup.simhash_matches_between``) — the multimodal
+    member of the streaming dedup family next to ``stream_lsh_dedup``
+    (text MinHash). Appends ``(doc_new, n_corpus_dups)`` per batch.
+
+    State story at 100 TB: identical to stream_lsh_dedup — the stream
+    keeps NO Spark state; the fingerprint table IS the state, and the
+    batch pipeline maintains it. Per-batch probe cost is
+    O(|batch| · bands) plus collision volume, independent of corpus
+    size. Exactly-once via the shared batch-id-keyed sink."""
+    from excel_to_database_spark.operators import dedup as D
+    from excel_to_database_spark.operators import multimodal as M
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fp = M.image_ahash(batch_df)
+        out = (
+            D.simhash_matches_between(
+                fp, corpus_fp, max_distance=max_distance, bits=64
+            )
+            .groupBy("doc_new")
+            .agg(F.countDistinct("doc_corpus").alias("n_corpus_dups"))
+            .withColumn("__batch_id", F.lit(batch_id))
+        )
+        _write_batch_keyed(out, out_table)
+
+    return (
+        new_media.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -219,3 +219,43 @@ def test_audio_fingerprint_windowed_not_point_sampled(spark):
     }
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_simhash_matches_between_equals_bruteforce(spark):
+    """Pigeonhole completeness of the probe form: banded
+    between-frames matches == quadratic scan, including Hamming-0
+    (exact replica) and boundary-distance pairs."""
+    rng = random.Random(21)
+    corpus = [
+        "".join(rng.choice("abcdefgh ") for _ in range(rng.randint(40, 160)))
+        for _ in range(30)
+    ]
+    news = [corpus[i] for i in range(0, 30, 5)] + [
+        s[: len(s) // 2] + "Z" + s[len(s) // 2 + 1 :]
+        for s in (corpus[i] for i in range(2, 30, 7))
+    ]
+    cfp = {
+        r["doc"]: r["fingerprint"]
+        for r in M.image_ahash(_media(spark, list(enumerate(corpus)))).collect()
+    }
+    nfp = {
+        r["doc"]: r["fingerprint"]
+        for r in M.image_ahash(_media(spark, list(enumerate(news)))).collect()
+    }
+    want = sorted(
+        (a, b, bin(nfp[a] ^ cfp[b]).count("1"))
+        for a in nfp
+        for b in cfp
+        if bin(nfp[a] ^ cfp[b]).count("1") <= 3
+    )
+    assert want
+    got = sorted(
+        (r["doc_new"], r["doc_corpus"], r["hamming"])
+        for r in D.simhash_matches_between(
+            M.image_ahash(_media(spark, list(enumerate(news)))),
+            M.image_ahash(_media(spark, list(enumerate(corpus)))),
+            max_distance=3,
+            bits=64,
+        ).collect()
+    )
+    assert got == want
