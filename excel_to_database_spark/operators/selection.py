@@ -239,3 +239,93 @@ def skew_report(df: DataFrame, key_col: str, label: str) -> DataFrame:
         "key_name string, n_rows long, n_keys long, max_size long,"
         " p50_size long, p99_size long",
     )
+
+
+def global_rank(
+    df: DataFrame, value_col: str, id_col: str, out_col: str = "rank"
+) -> DataFrame:
+    """EXACT global ranks 1..n by ``(value, id)`` — without the
+    single-partition global-window funnel ``ROW_NUMBER() OVER (ORDER
+    BY …)`` compiles to (the round-1 bug class the plan contracts
+    exist to catch). The distributed construction:
+
+      1. range-repartition on the key (Spark's distributed sort
+         partitioning — every partition holds a contiguous key range);
+      2. PIN the ranged frame (range boundaries come from a sampling
+         pass; pinning guarantees the counts below describe the same
+         physical partitions the ranks are computed in);
+      3. count rows per partition and prefix-sum on the DRIVER — a
+         ≤|partitions|-row bounded meta read (the histogram-read
+         discipline: the driver sees counts, never data rows);
+      4. rank = literal-map partition offset + ROW_NUMBER within the
+         partition (bounded windows — the plan contains NO
+         Exchange SinglePartition, plan-contract-tested).
+
+    Two data shuffles total (range + the within-partition window's
+    hash on the partition id); at 100 TB both are linear passes, and
+    no executor ever materializes more than its own range. The id
+    tiebreaker makes ranks a permutation (no tie semantics to match),
+    which is what q205's Spearman formula requires."""
+    from excel_to_database_spark.operators.caching import pin
+    from pyspark.sql.window import Window
+
+    ranged = pin(
+        df.repartitionByRange(F.col(value_col), F.col(id_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )  # bounded: one row per partition
+    offs, acc = [], 0
+    for pid, n in counts:
+        offs.extend((F.lit(pid), F.lit(acc)))
+        acc += n
+    mapping = F.create_map(*offs)
+    w = Window.partitionBy("__pid").orderBy(F.col(value_col), F.col(id_col))
+    return (
+        ranged.withColumn(
+            out_col,
+            (
+                F.element_at(mapping, F.col("__pid")) + F.row_number().over(w)
+            ).cast("bigint"),
+        )
+        .drop("__pid")
+    )
+
+
+def spearman_rho(
+    df: DataFrame, id_col: str, col_a: str, col_b: str
+) -> DataFrame:
+    """Spearman rank correlation between two per-row signals — the
+    monotone-robust companion to a Pearson agreement matrix (two
+    signals can disagree linearly yet gate the same rows; rank
+    agreement is what predicts filter redundancy). Both signals rank
+    through :func:`global_rank` with the id tiebreaker, so ranks are
+    permutations and the classical ``rho = 1 − 6·Σd²/(n(n²−1))``
+    identity is EXACT: Σd² and n are exact bigints, the final rho one
+    double division. Returns one row ``(n, sum_d2, rho)``."""
+    ra = global_rank(df.select(id_col, col_a), col_a, id_col, "ra").select(
+        id_col, "ra"
+    )
+    rb = global_rank(df.select(id_col, col_b), col_b, id_col, "rb").select(
+        id_col, "rb"
+    )
+    j = ra.join(rb, id_col)
+    d = F.col("ra") - F.col("rb")
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d * d).cast("bigint").alias("sum_d2"),
+    ).select(
+        "n",
+        "sum_d2",
+        (
+            F.lit(1.0)
+            - (F.lit(6.0) * F.col("sum_d2").cast("double"))
+            / (
+                F.col("n").cast("double")
+                * (F.col("n") * F.col("n") - F.lit(1)).cast("double")
+            )
+        ).alias("rho"),
+    )

@@ -4200,3 +4200,47 @@ def q204_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q205_oracle() -> str:
+    return f"""
+    WITH s AS (SELECT doc_id, {T.sql_quality_score('text')} AS qs,
+                      CAST(n_chars AS DOUBLE) AS len
+               FROM documents),
+    ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY qs, doc_id) AS ra FROM s),
+    rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY len, doc_id) AS rb FROM s),
+    j AS (SELECT ra.doc_id, ra.ra, rb.rb FROM ra JOIN rb USING (doc_id)),
+    a AS (SELECT COUNT(*) AS n,
+                 SUM((ra - rb) * (ra - rb)) AS sum_d2
+          FROM j)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sum_d2 AS BIGINT) AS sum_d2,
+           1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n * n - 1 AS DOUBLE)) AS rho
+    FROM a
+    """
+
+
+@query("q205_spearman_rank_agreement", _q205_oracle())
+def q205_spearman_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank agreement between the heuristic quality score and
+    document length (operators/selection.spearman_rho) — the monotone-
+    robust companion to q177's Pearson matrix, and the length-bias
+    check run on every quality filter before it gates a corpus. The
+    interesting machinery is the rank transform: selection.global_rank
+    computes EXACT 1..n ranks with NO global-window single-partition
+    funnel — range repartition, a bounded driver read of per-partition
+    counts (never data rows), literal-map offsets + within-partition
+    ROW_NUMBER (plan-contract: no Exchange SinglePartition). The
+    oracle ranks with the plain global ROW_NUMBER the distributed
+    construction must reproduce exactly; Σd² and n are exact bigints,
+    rho one double division."""
+    from excel_to_database_spark.operators import selection as SEL
+
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("qs"),
+        F.col("n_chars").cast("double").alias("len"),
+    )
+    return SEL.spearman_rho(s, "doc_id", "qs", "len")

@@ -382,3 +382,58 @@ def test_mask_valid_cards_property_randomized(spark):
     }
     for i, text in rows:
         assert got[i] == _mask_ref(text), (i, text)
+
+
+def test_global_rank_equals_reference_permutation(spark):
+    """global_rank over a deliberately multi-partition, shuffled frame
+    equals the sorted-order reference, ranks are a 1..n permutation,
+    and duplicate values break ties by id."""
+    rng = random.Random(17)
+    rows = [(i, rng.choice([1.5, 2.5, 2.5, 7.0, -3.25])) for i in range(200)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    got = {
+        r["id"]: r["rank"]
+        for r in SEL.global_rank(df, "v", "id").collect()
+    }
+    want = {
+        id_: k + 1
+        for k, (id_, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 201))
+
+
+def test_global_rank_no_single_partition_exchange(spark):
+    """The whole point of the construction: exact global ranks with NO
+    Exchange SinglePartition anywhere in the physical plan (the
+    global-window funnel a plain ROW_NUMBER() OVER (ORDER BY) plans)."""
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 37).cast("double").alias("v")
+    )
+    plan = (
+        SEL.global_rank(df, "v", "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_spearman_rho_hand_cases(spark):
+    """rho = 1 on perfectly concordant signals, -1 on reversed, and
+    matches a scipy-free reference on a random permutation."""
+    n = 50
+    rng = random.Random(23)
+    perm = list(range(n))
+    rng.shuffle(perm)
+    rows = [(i, float(i), float(n - i), float(perm[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, up double, down double, rnd double")
+    same = SEL.spearman_rho(df, "id", "up", "up").collect()[0]
+    assert same["rho"] == 1.0 and same["sum_d2"] == 0
+    rev = SEL.spearman_rho(df, "id", "up", "down").collect()[0]
+    assert rev["rho"] == -1.0
+    got = SEL.spearman_rho(df, "id", "up", "rnd").collect()[0]
+    d2 = sum((i - perm[i]) ** 2 for i in range(n))
+    assert got["sum_d2"] == d2
+    assert got["rho"] == 1.0 - (6.0 * d2) / (n * (n * n - 1))
