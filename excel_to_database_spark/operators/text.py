@@ -1754,3 +1754,76 @@ def temperature_mixture(
         prob.alias("prob"),
         F.floor(prob * F.lit(int(budget_tokens))).cast("bigint").alias("alloc_tokens"),
     )
+
+
+def bpe_train_merges(df, id_col: str, text_col: str, n_merges: int = 8):
+    """LEARN a BPE merge table from the corpus — the training half of
+    the tokenizer family (q182 counts pair stats, q199 APPLIES a fixed
+    table; this derives one): ``n_merges`` rounds, each counting all
+    adjacent symbol pairs over the current corpus state, picking the
+    argmax pair (ties → lexicographically first, matching the SQL
+    oracle's ORDER BY), and folding it into the state with the same
+    separator-wrapped two-pass replace the encoder uses.
+
+    Fully declarative — NO driver-side adaptivity: each round's winner
+    is a 1-row ``orderBy(cnt DESC, pair).limit(1)`` frame
+    (TakeOrderedAndProject) cross-joined back as a broadcast literal,
+    and ``F.replace`` takes the pattern as a COLUMN built from it. The
+    per-round state is pinned (the q122 superstep discipline), so the
+    plan stays one round deep instead of 2^rounds.
+
+    Scale: each round is one explode→groupBy pair count (map-side
+    combined, |vocab-pairs| result), one 1-row top-k, one narrow map
+    over the state. Cost is n_merges linear passes — the textbook
+    corpus-level BPE trainer, shuffled only on pair keys.
+
+    Returns ``(rank, pair, cnt)`` — the learned table, ready to feed
+    :func:`bpe_encode_token_counts` (split each pair on the space)."""
+    from excel_to_database_spark.operators.caching import pin
+
+    wrapped = F.concat(
+        F.lit(BPE_SEP),
+        F.regexp_replace(
+            F.replace(F.col("__w"), F.lit(BPE_SEP), F.lit("")), "(.)", "$1" + BPE_SEP
+        ),
+    )
+    state = pin(
+        df.select(F.explode(words(F.col(text_col))).alias("__w"))
+        .select(wrapped.alias("s"))
+    )
+    learned = []
+    for r in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("s"), BPE_SEP), lambda x: x != "")
+        # size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0])
+        # rather than producing an empty range (the hashed-ngram lesson)
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat(
+                    F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        counts = (
+            state.select(F.explode(prs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        m = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        learned.append(
+            m.select(F.lit(r).cast("bigint").alias("rank"), "pair", "cnt")
+        )
+        if r < n_merges:
+            a = F.split(F.col("pair"), " ").getItem(0)
+            b = F.split(F.col("pair"), " ").getItem(1)
+            pat = F.concat(F.lit(BPE_SEP), a, F.lit(BPE_SEP), b, F.lit(BPE_SEP))
+            rep = F.concat(F.lit(BPE_SEP), a, b, F.lit(BPE_SEP))
+            folded = F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
+            state = pin(
+                state.crossJoin(F.broadcast(m)).select(folded.alias("s"))
+            )
+    out = learned[0]
+    for l in learned[1:]:
+        out = out.unionByName(l)
+    return out

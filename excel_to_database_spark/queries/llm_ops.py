@@ -4244,3 +4244,57 @@ def q205_spearman_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("double").alias("len"),
     )
     return SEL.spearman_rho(s, "doc_id", "qs", "len")
+
+
+def _q206_oracle(n_merges: int = 8) -> str:
+    sep = "chr(31)"
+    w = T.SQL_WORDS.format(t="text")
+    wrap = (
+        f"({sep} || regexp_replace(replace(wd, chr(31), ''),"
+        f" '(.)', '\\1' || {sep}, 'g'))"
+    )
+    parts = [
+        f"""st0 AS (SELECT {wrap} AS s
+            FROM (SELECT UNNEST({w}) AS wd FROM documents) uw)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""c{r} AS (SELECT pr AS pair, COUNT(*) AS cnt FROM (
+        SELECT UNNEST([sy[i] || ' ' || sy[i + 1]
+                       FOR i IN range(1, len(sy))]) AS pr
+        FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS sy
+              FROM st{r - 1}) q{r}) z{r}
+      GROUP BY pr)""")
+        parts.append(f"""m{r} AS (SELECT pair, cnt,
+             string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b
+      FROM c{r} ORDER BY cnt DESC, pair LIMIT 1)""")
+        if r < n_merges:
+            parts.append(f"""st{r} AS (SELECT
+        replace(replace(s, {sep} || a || {sep} || b || {sep},
+                        {sep} || a || b || {sep}),
+                {sep} || a || {sep} || b || {sep},
+                {sep} || a || b || {sep}) AS s
+      FROM st{r - 1}, m{r})""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, pair, CAST(cnt AS BIGINT) AS cnt FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "\n    WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@query("q206_bpe_train_merges", _q206_oracle())
+def q206_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table TRAINING over the corpus (operators/text.
+    bpe_train_merges): 8 rounds of count-all-adjacent-pairs → argmax →
+    fold-into-state, the training half completing the tokenizer family
+    (q182 pair stats, q199 fixed-table encoding, q202 fertility). The
+    Spark loop is fully declarative — each round's winner is a 1-row
+    TakeOrderedAndProject broadcast back as a COLUMN-valued replace
+    pattern, per-round state pinned (the q122 superstep discipline) —
+    and the oracle is the SAME eight rounds unrolled as CTEs, each
+    recomputing pair counts and its own argmax (ties break on the
+    identical ORDER BY cnt DESC, pair). A single divergence in any
+    round's count, tie-break, or fold cascades into every later row,
+    so the exact match certifies the whole training trajectory."""
+    d = t(spark, sf_dir, "documents")
+    return T.bpe_train_merges(d, "doc_id", "text", n_merges=8)

@@ -2537,3 +2537,20 @@ def test_jl_distortion_identical_vectors_null_rho(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["dist_orig_sq"] == 0 and r["dist_proj_sq"] == 0 and r["rho"] is None
+
+
+def test_bpe_train_merges_hand_trajectory(spark):
+    """3-round hand trace on a 3-word corpus: round 1 is a count TIE
+    ('t h' and 'h e' both 3) broken lexicographically to 'h e'; round
+    2 cascades onto the new symbol ('t he' -> 'the'); round 3 picks
+    the leftover 'the n'."""
+    df = spark.createDataFrame(
+        [(1, "the the"), (2, "then")], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["pair"], r["cnt"])
+        for r in T.bpe_train_merges(df, "doc_id", "text", n_merges=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, "h e", 3), (2, "t he", 3), (3, "the n", 1)]
