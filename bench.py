@@ -167,6 +167,18 @@ HEADLINE = [
     # round-13 late addition: the gradient perceptual hash (dHash)
     # companion to q190 through the same band join
     "q194_image_dhash_pairs",
+    # round-13 second half: the last TPC-H shape family (Q2
+    # correlated-min sourcing stands for q195-q198), the tokenizer
+    # family (merge-table encoding + 8-round corpus training), audio
+    # fingerprint near-dup, the JL sketch audit, streaming image
+    # dedup, and the no-funnel rank transform under Spearman
+    "q195_min_cost_supplier",
+    "q199_bpe_encode_counts",
+    "q201_audio_near_dup",
+    "q203_jl_distortion",
+    "q204_stream_image_dedup",
+    "q205_spearman_rank_agreement",
+    "q206_bpe_train_merges",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

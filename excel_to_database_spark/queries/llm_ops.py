@@ -4288,10 +4288,13 @@ def q206_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_train_merges): 8 rounds of count-all-adjacent-pairs → argmax →
     fold-into-state, the training half completing the tokenizer family
     (q182 pair stats, q199 fixed-table encoding, q202 fertility). The
-    Spark loop is fully declarative — each round's winner is a 1-row
-    TakeOrderedAndProject broadcast back as a COLUMN-valued replace
-    pattern, per-round state pinned (the q122 superstep discipline) —
-    and the oracle is the SAME eight rounds unrolled as CTEs, each
+    Spark loop trains on the DISTINCT-WORD frequency dictionary
+    (per-round cost independent of corpus size); each round's winner
+    is a bounded 1-ROW driver read (the selection-descent discipline)
+    folded back as literals onto the pinned state — the declarative
+    broadcast alternative doubles the analyzed plan per round and
+    OOMs by round 8 (measured; see the operator docstring) — and the
+    oracle is the SAME eight rounds unrolled as CTEs, each
     recomputing pair counts and its own argmax (ties break on the
     identical ORDER BY cnt DESC, pair). A single divergence in any
     round's count, tie-break, or fold cascades into every later row,

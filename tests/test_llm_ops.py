@@ -2554,3 +2554,31 @@ def test_bpe_train_merges_hand_trajectory(spark):
         .collect()
     ]
     assert got == [(1, "h e", 3), (2, "t he", 3), (3, "the n", 1)]
+
+
+def test_bpe_train_then_encode_composes(spark):
+    """The learned table feeds the encoder (split each pair on the
+    space): token counts strictly drop versus merge-free encoding, and
+    by exactly the number of merge events the trained ranks captured."""
+    df = spark.createDataFrame(
+        [(1, "the then there"), (2, "then the"), (3, "other ether")],
+        "doc_id long, text string",
+    )
+    merges = [
+        tuple(r["pair"].split(" "))
+        for r in T.bpe_train_merges(df, "doc_id", "text", n_merges=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(merges) == 4
+    base = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in T.bpe_encode_token_counts(df, "doc_id", "text", merges=[]).collect()
+    }
+    enc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in T.bpe_encode_token_counts(
+            df, "doc_id", "text", merges=merges
+        ).collect()
+    }
+    assert all(enc[i] < base[i] for i in base)
