@@ -2667,3 +2667,77 @@ def jl_distortion_pairs(
             d_o > 0, d_p.cast("double") / (d_o * F.lit(k)).cast("double")
         ).alias("rho"),
     )
+
+
+def embedding_robust_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int = 1 << 20,
+    mad_k: int = 10,
+) -> DataFrame:
+    """Per-dimension ROBUST statistics of an embedding column —
+    lower-median and MAD (median absolute deviation) with an outlier
+    count — the hygiene pass a pipeline runs before quantization or
+    index build (q138's min/max codebook is one corrupt vector away
+    from a useless range; median/MAD are not).
+
+    Exactness: elements quantize to ``floor(x·scale)`` bigints; the
+    median is the LOWER-MEDIAN ORDER STATISTIC (rank ⌈n/2⌉ by
+    (value, id) — discrete, no interpolation, so there is no
+    cross-engine float arithmetic to match); MAD is the same statistic
+    of |x − median|; an outlier is ``|x − median| > mad_k · MAD``
+    (integer comparison).
+
+    Scale shape: one posexplode, TWO window passes partitioned by
+    DIMENSION (|dims| partitions of n rows each — parallel across
+    dims, never a global window), and two |dims|-row broadcast joins.
+    Returns ``(dim, n, median_q, mad_q, n_outliers)``."""
+    from pyspark.sql.window import Window
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    ).select(
+        "id", "dim", F.floor(F.col("x").cast("double") * F.lit(float(scale))).alias("q")
+    )
+
+    def _lower_median(frame: DataFrame, val: str, out: str) -> DataFrame:
+        # the lower median is the row at rank ceil(n/2), i.e.
+        # 2·rn == n + (n % 2)
+        w = Window.partitionBy("dim").orderBy(F.col(val), F.col("id"))
+        ranked = frame.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("dim"))
+        )
+        return ranked.filter(
+            F.col("__rn") * 2 == F.col("__n") + F.col("__n") % 2
+        ).select("dim", F.col(val).alias(out))
+
+    med = _lower_median(ex, "q", "median_q")
+    dev = ex.join(F.broadcast(med.select("dim", "median_q")), "dim").select(
+        "id", "dim", F.abs(F.col("q") - F.col("median_q")).alias("d")
+    )
+    mad = _lower_median(dev, "d", "mad_q").select("dim", "mad_q")
+    out = (
+        dev.join(F.broadcast(mad), "dim")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("d") > F.lit(mad_k) * F.col("mad_q"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+    return (
+        out.join(F.broadcast(med.select("dim", "median_q")), "dim")
+        .join(F.broadcast(mad), "dim")
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("median_q").cast("bigint").alias("median_q"),
+            F.col("mad_q").cast("bigint").alias("mad_q"),
+            "n_outliers",
+        )
+    )

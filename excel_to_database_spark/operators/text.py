@@ -1838,3 +1838,51 @@ def bpe_train_merges(df, id_col: str, text_col: str, n_merges: int = 8):
     return df.sparkSession.createDataFrame(
         learned, "rank bigint, pair string, cnt bigint"
     )
+
+
+def interleaved_training_order(
+    df, group_col: str, id_col: str, limit: int | None = None
+):
+    """Deterministic ROUND-ROBIN interleave across groups — the
+    training-order artifact that keeps any window of the stream
+    domain-balanced without a global shuffle (the complement of q200's
+    WEIGHTS: q200 decides how much of each source, this decides the
+    ORDER the sampler streams it in; random shuffles at 100 TB are a
+    full-corpus sort, a round-robin position is a per-row formula).
+
+    position = (within-group rank − 1) · |groups| + (group index − 1):
+    the k-th row of every group lands in the k-th block, groups in
+    name order inside each block. Within-group ranks are bounded
+    per-group windows; the group index and |groups| come from a
+    |groups|-row rollup broadcast back — exact integers end to end.
+
+    Positions are unique but not dense when group sizes differ (later
+    blocks have holes where exhausted groups would sit) — callers
+    stream by position order, not position arithmetic."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col))
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    gidx = sizes.select(
+        group_col,
+        F.row_number()
+        .over(Window.orderBy(F.col(group_col)))
+        .alias("__gi"),
+    )
+    n_groups = sizes.agg(F.count(F.lit(1)).alias("__ng"))
+    out = (
+        df.withColumn("__r", F.row_number().over(w))
+        .join(F.broadcast(gidx), group_col)
+        .join(F.broadcast(n_groups))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            (
+                (F.col("__r") - 1).cast("bigint") * F.col("__ng")
+                + (F.col("__gi") - 1)
+            ).alias("position"),
+        )
+    )
+    if limit is not None:
+        out = out.orderBy(F.asc("position"), F.asc(id_col)).limit(limit)
+    return out

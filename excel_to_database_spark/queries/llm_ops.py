@@ -4301,3 +4301,154 @@ def q206_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the exact match certifies the whole training trajectory."""
     d = t(spark, sf_dir, "documents")
     return T.bpe_train_merges(d, "doc_id", "text", n_merges=8)
+
+
+def _q207_oracle() -> str:
+    # dHash chain with prefixed CTE names so it coexists with the
+    # shared aHash chain in one statement
+    dhash = """dp AS (SELECT doc,
+                 [unicode(substring(text, 1 + (k * n) // 65, 1)) % 256
+                  FOR k IN range(0, 65)] AS pix
+          FROM px),
+    dfp AS (SELECT doc,
+                  CAST(list_sum([CASE WHEN pix[k + 1] > pix[k + 2]
+                                      THEN CAST(1 AS BIGINT) << k
+                                      ELSE CAST(0 AS BIGINT) END
+                                 FOR k IN range(0, 63)])
+                       + CASE WHEN pix[64] > pix[65]
+                              THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                              ELSE CAST(0 AS BIGINT) END
+                       AS BIGINT) AS fingerprint
+           FROM dp)"""
+    return f"""
+    WITH {_SQL_IMG_CORPUS},
+    {_sql_ahash_chain('px', 'ah')},
+    {dhash},
+    pa AS (SELECT a.doc AS da, b.doc AS db,
+                  bit_count(xor(a.fingerprint, b.fingerprint)) AS ham
+           FROM ahfp a JOIN ahfp b ON a.doc < b.doc
+           WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3),
+    pd AS (SELECT a.doc AS da, b.doc AS db,
+                  bit_count(xor(a.fingerprint, b.fingerprint)) AS ham
+           FROM dfp a JOIN dfp b ON a.doc < b.doc
+           WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3)
+    SELECT COALESCE(pa.da, pd.da) AS doc_a,
+           COALESCE(pa.db, pd.db) AS doc_b,
+           CAST(pa.ham AS BIGINT) AS ahash_hamming,
+           CAST(pd.ham AS BIGINT) AS dhash_hamming,
+           pa.da IS NOT NULL AND pd.da IS NOT NULL AS in_both
+    FROM pa FULL JOIN pd ON pa.da = pd.da AND pa.db = pd.db
+    """
+
+
+@query("q207_image_multihash_union", _q207_oracle())
+def q207_image_multihash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hash UNION of image near-dup candidates — the production
+    recipe the q190/q194 docstrings point at: band BOTH perceptual
+    hashes (aHash catches level-preserving edits, dHash
+    brightness-shifted ones) and keep the union with per-hash
+    provenance, so the dedup decision layer can weight agreement
+    (in_both) above single-hash hits. One FULL OUTER equi-join of the
+    two banded pair sets (both pigeonhole-complete, no all-pairs);
+    the oracle rebuilds both hash families and both brute-force scans
+    and full-joins them independently."""
+    media = M.attach_payload(
+        _image_corpus(spark, sf_dir), "doc_id", "text", kind="image"
+    )
+    pa = D.simhash_pairs(M.image_ahash(media), max_distance=3, bits=64).select(
+        "doc_a", "doc_b", F.col("hamming").alias("ahash_hamming")
+    )
+    pd = D.simhash_pairs(M.image_dhash(media), max_distance=3, bits=64).select(
+        "doc_a", "doc_b", F.col("hamming").alias("dhash_hamming")
+    )
+    return pa.join(pd, ["doc_a", "doc_b"], "full").select(
+        "doc_a",
+        "doc_b",
+        "ahash_hamming",
+        "dhash_hamming",
+        (
+            F.col("ahash_hamming").isNotNull() & F.col("dhash_hamming").isNotNull()
+        ).alias("in_both"),
+    )
+
+
+@query(
+    "q208_embedding_robust_stats",
+    """
+    WITH ex AS (SELECT vec_id AS id, i - 1 AS dim,
+                       CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+                            AS BIGINT) AS q
+                FROM embeddings,
+                     UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    r1 AS (SELECT dim, q,
+                  ROW_NUMBER() OVER (PARTITION BY dim ORDER BY q, id) AS rn,
+                  COUNT(*) OVER (PARTITION BY dim) AS n
+           FROM ex),
+    med AS (SELECT dim, q AS median_q FROM r1 WHERE rn * 2 = n + n % 2),
+    dev AS (SELECT ex.id, ex.dim, ABS(ex.q - med.median_q) AS d
+            FROM ex JOIN med USING (dim)),
+    r2 AS (SELECT dim, d,
+                  ROW_NUMBER() OVER (PARTITION BY dim ORDER BY d, id) AS rn,
+                  COUNT(*) OVER (PARTITION BY dim) AS n
+           FROM dev),
+    mad AS (SELECT dim, d AS mad_q FROM r2 WHERE rn * 2 = n + n % 2)
+    SELECT CAST(dev.dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ANY_VALUE(med.median_q) AS BIGINT) AS median_q,
+           CAST(ANY_VALUE(mad.mad_q) AS BIGINT) AS mad_q,
+           CAST(SUM(CASE WHEN dev.d > 10 * mad.mad_q THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev
+    JOIN med ON med.dim = dev.dim
+    JOIN mad ON mad.dim = dev.dim
+    GROUP BY dev.dim
+    """,
+)
+def q208_embedding_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension robust stats of the embedding table
+    (operators/similarity.embedding_robust_stats): lower-median and
+    MAD as exact ORDER STATISTICS (rank ⌈n/2⌉ by (value, id) — no
+    interpolation, so no cross-engine float arithmetic) over
+    floor(x·2²⁰)-quantized elements, plus the |x−med| > 10·MAD outlier
+    count — the hygiene pass before a codebook build trusts min/max
+    ranges (q138). Windows partition by DIMENSION (64 parallel
+    partitions, never global); the two statistic tables broadcast back
+    at |dims| rows. The oracle re-ranks both passes with plain window
+    functions."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.embedding_robust_stats(e, "vec_id", "embedding")
+
+
+@query(
+    "q209_interleaved_order",
+    """
+    WITH r AS (SELECT doc_id, source,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY doc_id) AS rk
+               FROM documents),
+    gi AS (SELECT source,
+                  ROW_NUMBER() OVER (ORDER BY source) AS gidx
+           FROM (SELECT DISTINCT source FROM documents)),
+    ng AS (SELECT COUNT(*) AS n_groups
+           FROM (SELECT DISTINCT source FROM documents))
+    SELECT doc_id, source,
+           CAST((rk - 1) * n_groups + (gidx - 1) AS BIGINT) AS position
+    FROM r JOIN gi USING (source), ng
+    ORDER BY position, doc_id
+    LIMIT 100
+    """,
+)
+def q209_interleaved_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin training order across sources
+    (operators/text.interleaved_training_order): the k-th document of
+    every source lands in the k-th block, sources in name order within
+    the block — any window of the resulting stream is domain-balanced
+    WITHOUT a global shuffle (a random corpus shuffle at 100 TB is a
+    full sort; this is a per-row integer formula over bounded
+    per-group windows + a |groups|-row broadcast). Complements q200:
+    weights decide HOW MUCH of each source, this decides the ORDER.
+    Top-100 by (position, doc_id) is TakeOrderedAndProject; the
+    oracle re-derives ranks, group indices, and the position formula
+    with plain window functions."""
+    d = t(spark, sf_dir, "documents")
+    return T.interleaved_training_order(d, "source", "doc_id", limit=100)

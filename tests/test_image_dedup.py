@@ -259,3 +259,22 @@ def test_simhash_matches_between_equals_bruteforce(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_multihash_union_provenance(spark):
+    """An exact byte replica lands in BOTH hash families (in_both,
+    hamming 0/0); the union never loses a single-hash-only pair."""
+    rows = [(1, "some payload text here"), (2, "some payload text here"),
+            (3, "completely different content!")]
+    media = _media(spark, rows)
+    pa = D.simhash_pairs(M.image_ahash(media), max_distance=3, bits=64).select(
+        "doc_a", "doc_b", F.col("hamming").alias("ahash_hamming")
+    )
+    pd = D.simhash_pairs(M.image_dhash(media), max_distance=3, bits=64).select(
+        "doc_a", "doc_b", F.col("hamming").alias("dhash_hamming")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["ahash_hamming"], r["dhash_hamming"])
+        for r in pa.join(pd, ["doc_a", "doc_b"], "full").collect()
+    }
+    assert got[(1, 2)] == (0, 0)

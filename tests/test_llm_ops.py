@@ -2582,3 +2582,53 @@ def test_bpe_train_then_encode_composes(spark):
         ).collect()
     }
     assert all(enc[i] < base[i] for i in base)
+
+
+def test_embedding_robust_stats_reference(spark):
+    """Median/MAD/outliers match a Python reference on a fixture with
+    one corrupted vector (the case min/max codebooks die on), both
+    parities of n, and tie-heavy dims."""
+    from excel_to_database_spark.operators import similarity as S
+
+    vecs = {
+        0: [0.1, 0.5], 1: [0.1, 0.5], 2: [0.2, 0.5],
+        3: [0.15, 0.5], 4: [100.0, 0.5],  # corrupt dim-0 element
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["dim"]: (r["n"], r["median_q"], r["mad_q"], r["n_outliers"])
+        for r in S.embedding_robust_stats(df, "vec_id", "embedding").collect()
+    }
+    import math
+    sc = 1 << 20
+    for dim in (0, 1):
+        qs = sorted(
+            (math.floor(float(str(__import__('numpy').float32(v[dim]))) * sc), i)
+            for i, v in vecs.items()
+        )
+        med = qs[(len(qs) + 1) // 2 - 1][0]
+        ds = sorted((abs(q - med), i) for q, i in qs)
+        mad = ds[(len(ds) + 1) // 2 - 1][0]
+        out = sum(1 for d, _ in ds if d > 10 * mad)
+        assert got[dim] == (5, med, mad, out), dim
+
+
+def test_interleaved_order_round_robin(spark):
+    """Unbalanced groups: positions are unique, block k holds the k-th
+    row of each surviving group, groups in name order within a block."""
+    rows = [(i, "b" if i % 3 == 0 else "a") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["position"], r["doc_id"], r["source"])
+        for r in T.interleaved_training_order(df, "source", "doc_id").collect()
+    )
+    positions = [p for p, _, _ in got]
+    assert len(set(positions)) == len(positions)
+    # group a: docs 1,2,4,5,7,8 (gidx 1); group b: docs 0,3,6 (gidx 2)
+    assert got[0] == (0, 1, "a") and got[1] == (1, 0, "b")
+    assert got[2] == (2, 2, "a") and got[3] == (3, 3, "b")
+    # after b exhausts (3 rows), a keeps its block slots with holes
+    tail_a = [(p, d) for p, d, s in got if s == "a"]
+    assert tail_a == [(0, 1), (2, 2), (4, 4), (6, 5), (8, 7), (10, 8)]
