@@ -179,6 +179,12 @@ HEADLINE = [
     "q204_stream_image_dedup",
     "q205_spearman_rank_agreement",
     "q206_bpe_train_merges",
+    # round-13 close: multi-hash union, per-dim robust stats, exact
+    # grouped quantiles, the one-row corpus datasheet
+    "q207_image_multihash_union",
+    "q208_embedding_robust_stats",
+    "q210_exact_group_quantiles",
+    "q211_corpus_datasheet",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

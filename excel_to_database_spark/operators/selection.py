@@ -329,3 +329,48 @@ def spearman_rho(
             )
         ).alias("rho"),
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    quantiles=(10, 50, 90),
+) -> DataFrame:
+    """EXACT per-group percentiles as order statistics — the exact
+    complement to the GK sketch (q101): quantile p is the row at rank
+    ``ceil(p·n/100)`` by ``(value, id)`` within the group (discrete
+    lower statistic — no interpolation, so nothing float-dependent to
+    match across engines). One bounded per-group window pass emits
+    every requested percentile (a rank filter per p), then one pivot
+    to ``(group, n, p10, p50, p90, …)``.
+
+    Use the sketch when groups are huge and ±ε is fine; use this when
+    the value feeds a decision that must be reproducible (budget
+    cutoffs, SLA reports). Per-group windows, never a global one."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    ranked = df.select(group_col, value_col, id_col).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    hits = None
+    for p in quantiles:
+        # rank ceil(p*n/100) == -floor(-p*n/100) == (p*n + 99) div 100
+        h = ranked.filter(
+            F.col("__rn") * 100 == ((F.col("__n") * p + 99) / 100).cast("bigint") * 100
+        ).select(
+            group_col,
+            F.col("__n").alias("n"),
+            F.lit(p).alias("__p"),
+            F.col(value_col).alias("__v"),
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    agg = [
+        F.max(F.when(F.col("__p") == p, F.col("__v"))).alias(f"p{p}")
+        for p in quantiles
+    ]
+    return hits.groupBy(group_col).agg(
+        F.max("n").cast("bigint").alias("n"), *agg
+    )

@@ -437,3 +437,16 @@ def test_spearman_rho_hand_cases(spark):
     d2 = sum((i - perm[i]) ** 2 for i in range(n))
     assert got["sum_d2"] == d2
     assert got["rho"] == 1.0 - (6.0 * d2) / (n * (n * n - 1))
+
+
+def test_exact_group_quantiles_hand_case(spark):
+    """Percentiles are the ceil(p*n/100)-rank order statistics: for
+    n=10 values 1..10, p10=1, p50=5, p90=9; for n=4, p50 is rank 2."""
+    rows = [("a", v, v) for v in range(1, 11)] + [("b", v * 10, v) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {
+        r["g"]: (r["n"], r["p10"], r["p50"], r["p90"])
+        for r in SEL.exact_group_quantiles(df, "g", "v", "id").collect()
+    }
+    assert got["a"] == (10, 1, 5, 9)
+    assert got["b"] == (4, 10, 20, 40)
