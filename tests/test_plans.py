@@ -256,3 +256,22 @@ def test_excess_share_reuses_pair_partitioning_q198(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q198_excess_share_suppliers")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_robust_stats_and_quantiles_no_global_funnel(spark, sf_dir):
+    """The order-statistic family's scale claim: q208's per-dimension
+    windows and q210's per-group windows hash-partition on their keys
+    — no Exchange SinglePartition anywhere (the global-window funnel
+    these constructions exist to avoid)."""
+    for q in ("q208_embedding_robust_stats", "q210_exact_group_quantiles"):
+        plan = _plan(spark, sf_dir, q)
+        assert "Exchange SinglePartition" not in plan, q
+
+
+def test_jl_projection_single_join(spark, sf_dir):
+    """q203: the projection is a zero-shuffle map; the only join is
+    the id+1 equi-join — never a cartesian, never a second exchange
+    family."""
+    plan = _plan(spark, sf_dir, "q203_jl_distortion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
