@@ -2632,3 +2632,50 @@ def test_interleaved_order_round_robin(spark):
     # after b exhausts (3 rows), a keeps its block slots with holes
     tail_a = [(p, d) for p, d, s in got if s == "a"]
     assert tail_a == [(0, 1), (2, 2), (4, 4), (6, 5), (8, 7), (10, 8)]
+
+
+def _bpe_ref_tokens(word, merges):
+    """Independent reference encoder: per-rank EXHAUSTIVE left-to-right
+    non-overlapping merging, swept until a fixed point. The engine
+    implements each rank as exactly TWO literal-replace passes (the
+    fixed-point argument in operators/text._bpe_word_tokens); if any
+    input ever needed a third pass, this reference would diverge and
+    the property test below would catch the argument being wrong."""
+    syms = list(word.replace("\x1f", ""))
+    for a, b in merges:
+        changed = True
+        while changed:
+            changed = False
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                    changed = True
+                i += 1
+    return len(syms)
+
+
+def test_bpe_encoder_matches_exhaustive_reference_randomized(spark):
+    """200 seeded-random words over a tiny alphabet with
+    chain-stressing merges ((a,a) self-pairs, (ab,a) cascades onto a
+    merged symbol, th/the rank cascade) — engine token counts equal
+    the loop-until-fixed-point reference byte-for-byte."""
+    import random as _r
+
+    rng = _r.Random(137)
+    merges = [("a", "a"), ("a", "b"), ("ab", "a"), ("t", "h"),
+              ("th", "e"), ("b", "b"), ("e", "t")]
+    words = ["".join(rng.choice("aabthe") for _ in range(rng.randint(0, 20)))
+             for _ in range(200)]
+    words += ["aaaa", "aaaaa", "ababab", "ababa", "the", "ththth", ""]
+    rows = [(i, w if w else " ") for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in T.bpe_encode_token_counts(
+            df, "doc_id", "text", merges=merges
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        want = _bpe_ref_tokens(w, merges)
+        assert got[i] == want, (i, w, got[i], want)

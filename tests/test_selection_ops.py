@@ -450,3 +450,26 @@ def test_exact_group_quantiles_hand_case(spark):
     }
     assert got["a"] == (10, 1, 5, 9)
     assert got["b"] == (4, 10, 20, 40)
+
+
+def test_exact_group_quantiles_randomized_reference(spark):
+    """Seeded-random groups with heavy ties: every percentile equals
+    the ceil(p*n/100)-th element of the (value, id)-sorted group."""
+    rng = random.Random(211)
+    rows = []
+    gid = 0
+    for g in ("a", "b", "c", "d"):
+        n = rng.randint(1, 40)
+        for _ in range(n):
+            rows.append((g, rng.choice([0, 1, 5, 5, 5, 9, 42]), gid))
+            gid += 1
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {
+        r["g"]: (r["n"], r["p10"], r["p50"], r["p90"])
+        for r in SEL.exact_group_quantiles(df, "g", "v", "id").collect()
+    }
+    for g in ("a", "b", "c", "d"):
+        vals = sorted((v, i) for gg, v, i in rows if gg == g)
+        n = len(vals)
+        want = tuple(vals[-(-p * n // 100) - 1][0] for p in (10, 50, 90))
+        assert got[g] == (n, *want), g
