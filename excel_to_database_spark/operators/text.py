@@ -1621,9 +1621,16 @@ def hashed_ngram_score(
 # BPE-merge tokenization (q199)
 # ---------------------------------------------------------------------------
 
-#: Separator interleaved between symbols while merges apply. Stripped
-#: from input words first, so it can never collide with content.
+#: Symbol START delimiter while merges apply. Stripped from input
+#: words first, so it can never collide with content.
 BPE_SEP = "\x1f"
+
+#: Symbol END delimiter (record separator). Every live symbol is
+#: encoded ``␟sym␞`` — complete-symbol delimitation on BOTH sides is
+#: what makes one literal ``replace`` per rank exactly the greedy
+#: left-to-right merge (see ``_bpe_word_tokens``). Also stripped from
+#: input words.
+BPE_END = "\x1e"
 
 #: Ordered demonstration merge table (rank order = list order; a real
 #: tokenizer's exported merges drop in unchanged). Later merges may
@@ -1638,30 +1645,35 @@ BPE_MERGES_EN = [
 def _bpe_word_tokens(word: Column, merges) -> Column:
     """Token count of one word after applying ``merges`` in rank order.
 
-    Symbols are separator-WRAPPED (``␟s1␟s2␟…␟sn␟``), so a merge
-    pattern ``␟a␟b␟`` can only match two complete adjacent symbols —
-    a trailing-separator-only encoding lets rank patterns match a
-    symbol's suffix against the next symbol's prefix (er+e firing as
-    r+e), which is not BPE. Because a match consumes the boundary
-    separator shared with the next candidate, each rank's literal
-    ``replace`` runs TWICE: pass one merges alternating occurrences of
-    a shared-boundary chain, pass two the isolated leftovers — two
-    passes are the fixed point (a replacement's output symbol can
-    never re-form the same rank's pair with a neighbor, since symbol
-    lengths add). Tokens == separators − 1 after the fold."""
-    s = F.concat(
-        F.lit(BPE_SEP),
-        F.regexp_replace(
-            F.replace(word, F.lit(BPE_SEP), F.lit("")), "(.)", "$1" + BPE_SEP
+    Every symbol is delimited on BOTH sides — encoded ``␟sym␞`` — so
+    the rank pattern ``␟a␞␟b␞`` can only ever match two complete
+    adjacent symbols: the leading ``␟`` anchors the first symbol's
+    start, each ``␞`` anchors a symbol's end (an encoding delimited on
+    one side only lets a rank pattern match a symbol's suffix against
+    the next symbol's prefix — er+e firing as r+e — which is not BPE).
+    With complete-symbol delimitation, ONE literal ``replace`` per
+    rank IS the canonical greedy left-to-right merge: a literal
+    replace scans left to right taking non-overlapping matches, the
+    pattern consumes no boundary shared with the next candidate (the
+    round-13 two-pass scheme consumed the shared separator, which
+    misaligned pairing inside self-pair (a,a) runs ≥ 6 — the round-13
+    advisor finding), and one pass is the per-rank fixed point for
+    EVERY pair including a==b: the output symbol ``ab`` can never
+    re-form the rank's own pair with a neighbor (for a≠b lengths add;
+    for a==a the merged ``aa`` ≠ ``a``). Tokens == end-markers after
+    the fold."""
+    s = F.regexp_replace(
+        F.replace(
+            F.replace(word, F.lit(BPE_SEP), F.lit("")), F.lit(BPE_END), F.lit("")
         ),
+        "(.)",
+        BPE_SEP + "$1" + BPE_END,
     )
     for a, b in merges:
-        pat = F.lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP)
-        rep = F.lit(BPE_SEP + a + b + BPE_SEP)
-        s = F.replace(F.replace(s, pat, rep), pat, rep)
-    return (
-        F.length(s) - F.length(F.replace(s, F.lit(BPE_SEP), F.lit(""))) - F.lit(1)
-    )
+        pat = F.lit(BPE_SEP + a + BPE_END + BPE_SEP + b + BPE_END)
+        rep = F.lit(BPE_SEP + a + b + BPE_END)
+        s = F.replace(s, pat, rep)
+    return F.length(s) - F.length(F.replace(s, F.lit(BPE_END), F.lit("")))
 
 
 def bpe_encode_token_counts(
@@ -1673,12 +1685,12 @@ def bpe_encode_token_counts(
     than the whitespace/regex proxies (token_count_ws/_bpe).
 
     Pure column expressions end to end: lower/split (the shared
-    ``words`` normalization), per-word separator-wrapped symbol
-    interleave, two literal ``replace`` passes per merge rank (the
-    per-rank fixed point — see ``_bpe_word_tokens``), an ``aggregate``
+    ``words`` normalization), per-word ``␟sym␞`` complete-delimitation
+    encode, ONE literal ``replace`` per merge rank (exactly the greedy
+    left-to-right merge — see ``_bpe_word_tokens``), an ``aggregate``
     fold over the word array. Zero shuffles, zero UDFs, composes into
     the scan — at 100 TB this is a map-only pass whose cost is
-    2·|merges| linear string scans per word. The reference has no
+    |merges| linear string scans per word. The reference has no
     tokenizer at all (SURVEY.md §2 extension surface)."""
     if merges is None:
         merges = BPE_MERGES_EN
@@ -1697,18 +1709,20 @@ def bpe_encode_token_counts(
 
 def sql_bpe_word_tokens(w: str, merges=None) -> str:
     """DuckDB spelling of ``_bpe_word_tokens`` (oracle twin — one
-    definition of the merge fold per engine, same rank order)."""
+    definition of the merge fold per engine, same rank order, same
+    ``␟sym␞`` complete-symbol delimitation and one literal replace
+    per rank)."""
     if merges is None:
         merges = BPE_MERGES_EN
     s = (
-        f"('{BPE_SEP}' || regexp_replace(replace({w}, '{BPE_SEP}', ''),"
-        f" '(.)', '\\1{BPE_SEP}', 'g'))"
+        f"regexp_replace(replace(replace({w}, '{BPE_SEP}', ''),"
+        f" '{BPE_END}', ''), '(.)', '{BPE_SEP}\\1{BPE_END}', 'g')"
     )
     for a, b in merges:
-        pat = f"'{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}'"
-        rep = f"'{BPE_SEP}{a}{b}{BPE_SEP}'"
-        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
-    return f"length({s}) - length(replace({s}, '{BPE_SEP}', '')) - 1"
+        pat = f"'{BPE_SEP}{a}{BPE_END}{BPE_SEP}{b}{BPE_END}'"
+        rep = f"'{BPE_SEP}{a}{b}{BPE_END}'"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"length({s}) - length(replace({s}, '{BPE_END}', ''))"
 
 
 # ---------------------------------------------------------------------------
@@ -1763,7 +1777,8 @@ def bpe_train_merges(df, id_col: str, text_col: str, n_merges: int = 8):
     adjacent symbol pairs over the current corpus state, picking the
     argmax pair (ties → lexicographically first, matching the SQL
     oracle's ORDER BY), and folding it into the state with the same
-    separator-wrapped two-pass replace the encoder uses.
+    complete-symbol-delimited single replace the encoder uses (the
+    exact greedy merge, self-pairs included — ``_bpe_word_tokens``).
 
     Two scale decisions, both measured:
 
@@ -1793,11 +1808,14 @@ def bpe_train_merges(df, id_col: str, text_col: str, n_merges: int = 8):
     If the corpus runs out of pairs early, the table is short."""
     from excel_to_database_spark.operators.caching import pin
 
-    wrapped = F.concat(
-        F.lit(BPE_SEP),
-        F.regexp_replace(
-            F.replace(F.col("__w"), F.lit(BPE_SEP), F.lit("")), "(.)", "$1" + BPE_SEP
+    wrapped = F.regexp_replace(
+        F.replace(
+            F.replace(F.col("__w"), F.lit(BPE_SEP), F.lit("")),
+            F.lit(BPE_END),
+            F.lit(""),
         ),
+        "(.)",
+        BPE_SEP + "$1" + BPE_END,
     )
     state = pin(
         df.select(F.explode(words(F.col(text_col))).alias("__w"))
@@ -1807,7 +1825,10 @@ def bpe_train_merges(df, id_col: str, text_col: str, n_merges: int = 8):
     )
     learned = []
     for r in range(1, n_merges + 1):
-        syms = F.filter(F.split(F.col("s"), BPE_SEP), lambda x: x != "")
+        syms = F.filter(
+            F.split(F.replace(F.col("s"), F.lit(BPE_END), F.lit("")), BPE_SEP),
+            lambda x: x != "",
+        )
         # size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0])
         # rather than producing an empty range (the hashed-ngram lesson)
         prs = F.when(
@@ -1831,9 +1852,9 @@ def bpe_train_merges(df, id_col: str, text_col: str, n_merges: int = 8):
         learned.append((r, pair, cnt))
         if r < n_merges:
             a, b = pair.split(" ", 1)
-            pat = F.lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP)
-            rep = F.lit(BPE_SEP + a + b + BPE_SEP)
-            folded = F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
+            pat = F.lit(BPE_SEP + a + BPE_END + BPE_SEP + b + BPE_END)
+            rep = F.lit(BPE_SEP + a + b + BPE_END)
+            folded = F.replace(F.col("s"), pat, rep)
             state = pin(state.select(folded.alias("s"), "w"))
     return df.sparkSession.createDataFrame(
         learned, "rank bigint, pair string, cnt bigint"

@@ -3920,13 +3920,13 @@ def _q199_oracle() -> str:
 def q199_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document BPE token counts under the fixture merge table
     (operators/text.bpe_encode_token_counts) — the real merge
-    procedure, not a whitespace/regex proxy: per-word separator-
-    wrapped symbol interleave, two literal replace passes per merge
-    rank — pattern ␟a␟b␟ matches only complete adjacent symbols, and
-    the second pass closes the shared-boundary chain the first pass's
-    match-consumed separator skips (later merges consume symbols
-    earlier ranks created: t+h→th, th+e→the); token count = separator
-    count − 1 after the fold. Pure column expressions,
+    procedure, not a whitespace/regex proxy: per-word ␟sym␞
+    complete-symbol delimitation, ONE literal replace per merge rank —
+    pattern ␟a␞␟b␞ matches only complete adjacent symbols and the
+    left-to-right non-overlapping literal scan IS the canonical greedy
+    merge, self-pairs (a,a) included (later merges consume symbols
+    earlier ranks created: t+h→th, th+e→the); token count = end-marker
+    count after the fold. Pure column expressions,
     zero shuffle, zero UDFs — a map-only pass composing into the scan
     at any scale. The oracle re-runs the identical rank-ordered fold
     through DuckDB's replace/regexp_replace over exploded words, so a
@@ -4247,11 +4247,14 @@ def q205_spearman_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q206_oracle(n_merges: int = 8) -> str:
-    sep = "chr(31)"
+    sep, end = "chr(31)", "chr(30)"
     w = T.SQL_WORDS.format(t="text")
+    # ␟sym␞ complete-symbol delimitation: ONE literal replace per rank
+    # is the exact greedy merge, self-pairs included (the same encoding
+    # as text._bpe_word_tokens / sql_bpe_word_tokens)
     wrap = (
-        f"({sep} || regexp_replace(replace(wd, chr(31), ''),"
-        f" '(.)', '\\1' || {sep}, 'g'))"
+        f"regexp_replace(replace(replace(wd, chr(31), ''), chr(30), ''),"
+        f" '(.)', {sep} || '\\1' || {end}, 'g')"
     )
     parts = [
         f"""st0 AS (SELECT {wrap} AS s
@@ -4261,7 +4264,8 @@ def _q206_oracle(n_merges: int = 8) -> str:
         parts.append(f"""c{r} AS (SELECT pr AS pair, COUNT(*) AS cnt FROM (
         SELECT UNNEST([sy[i] || ' ' || sy[i + 1]
                        FOR i IN range(1, len(sy))]) AS pr
-        FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS sy
+        FROM (SELECT list_filter(string_split(replace(s, chr(30), ''), chr(31)),
+                                 x -> x <> '') AS sy
               FROM st{r - 1}) q{r}) z{r}
       GROUP BY pr)""")
         parts.append(f"""m{r} AS (SELECT pair, cnt,
@@ -4270,10 +4274,8 @@ def _q206_oracle(n_merges: int = 8) -> str:
       FROM c{r} ORDER BY cnt DESC, pair LIMIT 1)""")
         if r < n_merges:
             parts.append(f"""st{r} AS (SELECT
-        replace(replace(s, {sep} || a || {sep} || b || {sep},
-                        {sep} || a || b || {sep}),
-                {sep} || a || {sep} || b || {sep},
-                {sep} || a || b || {sep}) AS s
+        replace(s, {sep} || a || {end} || {sep} || b || {end},
+                {sep} || a || b || {end}) AS s
       FROM st{r - 1}, m{r})""")
     union = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS rank, pair, CAST(cnt AS BIGINT) AS cnt FROM m{r}"

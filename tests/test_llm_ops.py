@@ -2439,7 +2439,7 @@ def test_bpe_encode_hand_vectors(spark):
         (5, "hothead"),      # h o th e a d -> the: h o the a d: 5 tokens
         (6, "x\x1fy"),       # separator stripped from content first: xy
         (7, "to be or not"), # to / b e / or? (o+r not in table) ...
-        (8, "erere"),        # shared-boundary chain: er er e (two-pass)
+        (8, "erere"),        # shared-boundary chain: er er e (greedy)
         (9, "herer"),        # er symbol must NOT re-match r+e across
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -2556,6 +2556,24 @@ def test_bpe_train_merges_hand_trajectory(spark):
     assert got == [(1, "h e", 3), (2, "t he", 3), (3, "the n", 1)]
 
 
+def test_bpe_train_merges_self_pair_run_trajectory(spark):
+    """Self-pair learning on a run-6 corpus (the round-13 advisor
+    counterexample): round 1 learns (a,a) and the fold must pair the
+    run GREEDILY — aa,aa,aa — so round 2 sees (aa,aa) cnt 4 and round
+    3 (aaaa,aa) cnt 2. The misaligned two-pass fold left aa,a,aa,a
+    after round 1, making round 2's argmax 'a aa' instead."""
+    df = spark.createDataFrame(
+        [(1, "aaaaaa"), (2, "aaaaaa")], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["pair"], r["cnt"])
+        for r in T.bpe_train_merges(df, "doc_id", "text", n_merges=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, "a a", 10), (2, "aa aa", 4), (3, "aaaa aa", 2)]
+
+
 def test_bpe_train_then_encode_composes(spark):
     """The learned table feeds the encoder (split each pair on the
     space): token counts strictly drop versus merge-free encoding, and
@@ -2636,12 +2654,15 @@ def test_interleaved_order_round_robin(spark):
 
 def _bpe_ref_tokens(word, merges):
     """Independent reference encoder: per-rank EXHAUSTIVE left-to-right
-    non-overlapping merging, swept until a fixed point. The engine
-    implements each rank as exactly TWO literal-replace passes (the
-    fixed-point argument in operators/text._bpe_word_tokens); if any
-    input ever needed a third pass, this reference would diverge and
-    the property test below would catch the argument being wrong."""
-    syms = list(word.replace("\x1f", ""))
+    non-overlapping merging, swept until a fixed point — the canonical
+    greedy merge (one sweep is already the fixed point: a merged
+    symbol can never re-form its own rank's pair). The engine
+    implements each rank as ONE literal replace over the ␟sym␞
+    complete-symbol-delimited encoding (operators/text.
+    _bpe_word_tokens); if that single pass ever mis-paired — the
+    round-13 two-pass scheme misaligned self-pair (a,a) runs ≥ 6 —
+    this reference diverges and the property test below catches it."""
+    syms = list(word.replace("\x1f", "").replace("\x1e", ""))
     for a, b in merges:
         changed = True
         while changed:
@@ -2657,17 +2678,25 @@ def _bpe_ref_tokens(word, merges):
 
 def test_bpe_encoder_matches_exhaustive_reference_randomized(spark):
     """200 seeded-random words over a tiny alphabet with
-    chain-stressing merges ((a,a) self-pairs, (ab,a) cascades onto a
-    merged symbol, th/the rank cascade) — engine token counts equal
-    the loop-until-fixed-point reference byte-for-byte."""
+    chain-stressing merges ((a,a) self-pairs — including runs ≥ 6,
+    the round-13 advisor counterexample — (aa,aa)/(aa,a) cascades
+    onto merged self-pair symbols, (ab,a) cascades, th/the rank
+    cascade) — engine token counts equal the loop-until-fixed-point
+    reference byte-for-byte."""
     import random as _r
 
     rng = _r.Random(137)
     merges = [("a", "a"), ("a", "b"), ("ab", "a"), ("t", "h"),
-              ("th", "e"), ("b", "b"), ("e", "t")]
+              ("th", "e"), ("b", "b"), ("e", "t"), ("aa", "aa"),
+              ("aa", "a"), ("e", "e")]
     words = ["".join(rng.choice("aabthe") for _ in range(rng.randint(0, 20)))
              for _ in range(200)]
-    words += ["aaaa", "aaaaa", "ababab", "ababa", "the", "ththth", ""]
+    # long self-pair runs: the two-pass literal fold yields 4 tokens on
+    # 'aaaaaa' under (a,a) vs the correct greedy 3 — these words MUST
+    # be present so a regression to boundary-consuming patterns fails
+    words += ["aaaa", "aaaaa", "aaaaaa", "aaaaaaa", "aaaaaaaa",
+              "baaaaaaab", "a" * 13 + "b" + "a" * 9, "eeeeee",
+              "ababab", "ababa", "the", "ththth", ""]
     rows = [(i, w if w else " ") for i, w in enumerate(words)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
