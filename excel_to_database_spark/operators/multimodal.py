@@ -447,6 +447,14 @@ def audio_fingerprint(
 
     Empty payloads are dropped (no signal, no fingerprint), mirroring
     the SQL oracle's ``length >= 1`` guard."""
+    if n_frames < 65:
+        # the 64-bit assembly compares frames (k, k+1) for k < 64, so
+        # it reads frame index 64 — fewer frames would IndexError deep
+        # inside the Arrow worker (round-13 advisor finding)
+        raise ValueError(
+            f"audio_fingerprint needs n_frames >= 65 (64 adjacent-frame "
+            f"energy comparisons), got {n_frames}"
+        )
     codec = sample_codec or codepoint_pixel_codec()
 
     def run(batches) -> Iterator:

@@ -268,6 +268,27 @@ def test_robust_stats_and_quantiles_no_global_funnel(spark, sf_dir):
         assert "Exchange SinglePartition" not in plan, q
 
 
+def test_group_rank_consumers_no_group_only_window(spark, sf_dir):
+    """The round-13 `weak` marks, retired: q209/q210/q140 rank within
+    groups through selection.group_rank (range repartition + bounded
+    (partition, group) count read + per-group offsets) — so NO Window
+    on their data path may partition by the group column alone (the
+    single-task-per-group funnel: ~5 sources at 100 TB would sort
+    ~20 TB per task). Every windowspec that mentions the group column
+    must also carry the physical partition id, and nothing plans an
+    Exchange SinglePartition."""
+    for q, gfrag in (
+        ("q209_interleaved_order", "source#"),
+        ("q210_exact_group_quantiles", "source#"),
+        ("q140_per_group_sample", "source#"),
+    ):
+        plan = _plan(spark, sf_dir, q)
+        assert "Exchange SinglePartition" not in plan, q
+        for l in plan.splitlines():
+            if "windowspecdefinition" in l and gfrag in l:
+                assert "__pid" in l, f"{q} group-only window: {l.strip()[:160]}"
+
+
 def test_jl_projection_single_join(spark, sf_dir):
     """q203: the projection is a zero-shuffle map; the only join is
     the id+1 equi-join — never a cartesian, never a second exchange
