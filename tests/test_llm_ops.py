@@ -2574,6 +2574,91 @@ def test_bpe_train_merges_self_pair_run_trajectory(spark):
     assert got == [(1, "a a", 10), (2, "aa aa", 4), (3, "aaaa aa", 2)]
 
 
+def _bpe_ref_train(texts, n_merges):
+    """Instance-level reference trainer: every word OCCURRENCE carries
+    weight 1 (no dictionary trick), pair counts summed over instances,
+    argmax (cnt DESC, space-joined pair ASC), canonical greedy fold."""
+    import re
+
+    insts = []
+    for t in texts:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if w:
+                insts.append(list(w.replace("\x1f", "").replace("\x1e", "")))
+    out = []
+    for r in range(1, n_merges + 1):
+        counts = {}
+        for syms in insts:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + 1
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        out.append((r, a + " " + b, cnt))
+        for syms in insts:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+    return out
+
+
+def test_bpe_train_local_256_merges_matches_instance_reference(spark):
+    """The driver-local trainer at a REALISTIC merge count: 256 merges
+    over a 160-word fixture corpus in seconds, trajectory identical to
+    the instance-level reference (which never uses the dictionary
+    trick), self-pair runs included."""
+    import random as _r
+
+    rng = _r.Random(1414)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcdeth") for _ in range(rng.randint(4, 18)))
+            for _ in range(8)
+        )
+        for _ in range(20)
+    ]
+    texts.append("aaaaaaaa aaaaaaaa baaaaab")  # self-pair runs >= 6
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [
+        (r["rank"], r["pair"], r["cnt"])
+        for r in T.bpe_train_merges_local(df, "doc_id", "text", n_merges=256)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = _bpe_ref_train(texts, 256)
+    assert len(got) == len(want) and got == want
+
+
+def test_bpe_train_local_equals_spark_path_and_caps(spark):
+    """Same trajectory as the per-round Spark trainer on the shared
+    8-merge case, and the documented vocabulary cap rejects loudly."""
+    df = spark.createDataFrame(
+        [(1, "the then there aaaaaa"), (2, "other ether aaaaaa the")],
+        "doc_id long, text string",
+    )
+    spark_path = [
+        (r["rank"], r["pair"], r["cnt"])
+        for r in T.bpe_train_merges(df, "doc_id", "text", n_merges=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    local = [
+        (r["rank"], r["pair"], r["cnt"])
+        for r in T.bpe_train_merges_local(df, "doc_id", "text", n_merges=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert local == spark_path
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        T.bpe_train_merges_local(df, "doc_id", "text", max_vocab_rows=2)
+
+
 def test_bpe_train_then_encode_composes(spark):
     """The learned table feeds the encoder (split each pair on the
     space): token counts strictly drop versus merge-free encoding, and
