@@ -185,6 +185,9 @@ HEADLINE = [
     "q208_embedding_robust_stats",
     "q210_exact_group_quantiles",
     "q211_corpus_datasheet",
+    # round-14: video clip near-dup (frame-sampled aHash through the
+    # same band join, frame-offset-tolerant vote)
+    "q212_video_clip_near_dup",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

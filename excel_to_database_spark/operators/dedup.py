@@ -889,6 +889,64 @@ def simhash_matches_between(
     )
 
 
+def clip_vote_pairs(
+    frame_fp: DataFrame,
+    max_distance: int = 3,
+    min_frames: int = 2,
+    bits: int = 64,
+    frame_stride: int = 1024,
+) -> DataFrame:
+    """Clip-level (video) near-dup pairs from per-frame fingerprints
+    ``(clip, frame_no, fingerprint)`` — a FRAME-OFFSET-TOLERANT vote
+    over the same pigeonhole band join every other modality uses: two
+    clips are near-dups when ≥ ``min_frames`` of their frames match
+    within Hamming ``max_distance`` AT A CONSISTENT TEMPORAL OFFSET
+    (a re-encode matches at offset 0; a head-trimmed clip at offset
+    ±k — per-offset counting is what makes the vote survive
+    frame-boundary shifts without trying all alignments).
+
+    Plan shape: frames re-enter :func:`simhash_pairs` under the
+    composite id ``clip · frame_stride + frame_no`` (zero new join
+    machinery — the banded equi-join is pigeonhole-complete, never
+    all-pairs), intra-clip matches drop, surviving frame pairs
+    aggregate to ≤|matching frame pairs| rows keyed (clip_a, clip_b,
+    offset), and one more map-side-combinable aggregation picks each
+    pair's best offset deterministically (max frame count, ties → the
+    smallest offset). Returns ``(clip_a, clip_b, offset,
+    n_matching_frames)`` with ``clip_a < clip_b``."""
+    enc = frame_fp.select(
+        (
+            F.col("clip") * F.lit(frame_stride) + F.col("frame_no")
+        ).alias("doc"),
+        "fingerprint",
+    )
+    p = simhash_pairs(enc, max_distance=max_distance, bits=bits)
+    ca = F.expr(f"doc_a div {frame_stride}")
+    cb = F.expr(f"doc_b div {frame_stride}")
+    per_off = (
+        p.filter(ca != cb)  # doc_a < doc_b already implies ca <= cb
+        .groupBy(
+            ca.cast("bigint").alias("clip_a"),
+            cb.cast("bigint").alias("clip_b"),
+            (
+                F.expr(f"doc_a % {frame_stride}") - F.expr(f"doc_b % {frame_stride}")
+            )
+            .cast("bigint")
+            .alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nf"))
+    )
+    best = per_off.groupBy("clip_a", "clip_b").agg(
+        F.max(F.struct(F.col("nf"), (-F.col("offset")).alias("no"))).alias("b")
+    )
+    return best.select(
+        "clip_a",
+        "clip_b",
+        (-F.col("b.no")).cast("bigint").alias("offset"),
+        F.col("b.nf").cast("bigint").alias("n_matching_frames"),
+    ).filter(F.col("n_matching_frames") >= min_frames)
+
+
 def shingle_contamination(
     docs: DataFrame,
     id_col: str,

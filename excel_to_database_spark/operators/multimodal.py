@@ -417,6 +417,48 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) 
     )
 
 
+def clip_frame_ahash(
+    df: DataFrame,
+    every_n_bytes: int = 256,
+    max_frames: int = 8,
+    pixel_codec=None,
+    frame_stride: int = 1024,
+) -> DataFrame:
+    """Per-FRAME perceptual fingerprints of video-shaped payloads —
+    the missing third leg of the multimodal near-dup family (images
+    q190/q194, audio q201): :func:`sample_frames` cuts the payload
+    into time-stride stand-in frames (one row per frame, the row
+    shape a real ffmpeg sampler produces), and each frame hashes
+    through the SAME 64-bit aHash seam as still images
+    (:func:`image_ahash` — one Arrow ``mapInPandas`` projection, no
+    shuffle, codec injectable). Returns ``(clip, frame_no,
+    fingerprint)``.
+
+    Frames ride the image path via a composite id ``clip ·
+    frame_stride + frame_no`` (``max_frames`` must stay below
+    ``frame_stride``; decoded back before returning), so NO new hash
+    or join machinery exists for video — the dedup layer is
+    :func:`~excel_to_database_spark.operators.dedup.clip_vote_pairs`
+    over these rows."""
+    if max_frames >= frame_stride:
+        raise ValueError(
+            f"max_frames={max_frames} must be < frame_stride={frame_stride}"
+        )
+    frames = sample_frames(df, every_n_bytes=every_n_bytes, max_frames=max_frames)
+    enc = frames.select(
+        (
+            F.col("media_id") * F.lit(frame_stride) + F.col("frame_no")
+        ).alias("media_id"),
+        F.col("frame_payload").alias("payload"),
+    )
+    fp = image_ahash(enc, pixel_codec=pixel_codec)
+    return fp.select(
+        F.expr(f"doc div {frame_stride}").cast("bigint").alias("clip"),
+        F.expr(f"doc % {frame_stride}").cast("int").alias("frame_no"),
+        "fingerprint",
+    )
+
+
 def audio_fingerprint(
     df: DataFrame, sample_codec=None, id_col: str = "media_id", n_frames: int = 65
 ) -> DataFrame:

@@ -4549,3 +4549,105 @@ def q211_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_quality"),
     )
+
+
+#: shared oracle CTE chain for the video family (q212): the clip
+#: corpus (documents repeated to >= 1100 chars so every clip yields
+#: >= 4 byte-stride frames) plus two replica families — a RE-ENCODE
+#: (one char overwritten inside frame 1: matches at offset 0) and a
+#: HEAD-TRIM (first frame dropped: every surviving frame matches the
+#: original one frame later, offset +1).
+_SQL_VIDEO_FRAMES = """vb AS (
+      SELECT doc_id,
+             repeat(text, CAST((1100 + length(text) - 1) // length(text)
+                               AS INT)) AS text
+      FROM documents WHERE doc_id % 5 = 0),
+    vcorpus AS (
+      SELECT doc_id, text FROM vb
+      UNION ALL
+      SELECT doc_id + 10000000,
+             substring(text, 1, 299) || 'Z' || substring(text, 301)
+      FROM vb WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, substring(text, 257)
+      FROM vb WHERE doc_id % 10 = 5),
+    vf AS (SELECT doc_id * 1024 + k AS doc,
+                  substring(text, 1 + k * 256, 256) AS ftext
+           FROM vcorpus,
+                UNNEST(generate_series(0,
+                    LEAST(GREATEST(length(text) // 256, 1), 8) - 1)) AS t(k)),
+    px AS (SELECT doc, ftext AS text, length(ftext) AS n FROM vf)"""
+
+
+def _q212_oracle() -> str:
+    return f"""
+    WITH {_SQL_VIDEO_FRAMES},
+    {_sql_ahash_chain('px', 'v')},
+    pr AS (SELECT a.doc AS da, b.doc AS db,
+                  bit_count(xor(a.fingerprint, b.fingerprint)) AS ham
+           FROM vfp a JOIN vfp b ON (a.doc // 1024) < (b.doc // 1024)
+           WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3),
+    po AS (SELECT da // 1024 AS clip_a, db // 1024 AS clip_b,
+                  (da % 1024) - (db % 1024) AS "offset", COUNT(*) AS nf
+           FROM pr GROUP BY 1, 2, 3),
+    rk AS (SELECT clip_a, clip_b, "offset", nf,
+                  ROW_NUMBER() OVER (PARTITION BY clip_a, clip_b
+                                     ORDER BY nf DESC, "offset" ASC) AS rn
+           FROM po)
+    SELECT CAST(clip_a AS BIGINT) AS clip_a,
+           CAST(clip_b AS BIGINT) AS clip_b,
+           CAST("offset" AS BIGINT) AS "offset",
+           CAST(nf AS BIGINT) AS n_matching_frames
+    FROM rk WHERE rn = 1 AND nf >= 2
+    """
+
+
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_VIDEO_FRAMES's clip corpus (base + re-encode
+    + head-trim replicas)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "repeat(text, CAST((1100 + length(text) - 1) div length(text)"
+            " AS INT))"
+        ).alias("text"),
+    )
+    re_enc = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, 299), 'Z', substring(text, 301))"
+        ).alias("text"),
+    )
+    trimmed = base.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.expr("substring(text, 257)").alias("text"),
+    )
+    return base.unionByName(re_enc).unionByName(trimmed)
+
+
+@query("q212_video_clip_near_dup", _q212_oracle())
+def q212_video_clip_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO clip near-dup dedup — completing image → audio → video
+    over the same decode seam and band join (round-13 verdict item 6):
+    clips frame-sample through multimodal.sample_frames (byte-stride
+    stand-in for time-stride; the row-explosion shape a real ffmpeg
+    sampler produces), every frame hashes through the SAME 64-bit aHash
+    mapInPandas projection as still images (multimodal.
+    clip_frame_ahash), and clip pairs come from dedup.clip_vote_pairs:
+    the q77/q190 pigeonhole band join over composite (clip, frame)
+    ids, then a FRAME-OFFSET-TOLERANT vote — >= 2 frames matching at a
+    consistent temporal offset, best offset per pair picked
+    deterministically (max count, ties -> smallest offset). The
+    corpus plants both failure modes the vote must separate: a
+    re-encode replica (one overwritten char: offset 0, all frames) and
+    a head-trimmed replica (first frame dropped: offset +1, n-1
+    frames). The oracle rebuilds frames, pixels, hashes, the
+    brute-force Hamming scan, per-offset counts, AND the vote
+    independently in SQL; no all-pairs scan exists on the Spark side
+    (no-cartesian plan contract)."""
+    media = M.attach_payload(
+        _video_corpus(spark, sf_dir), "doc_id", "text", kind="video"
+    )
+    fp = M.clip_frame_ahash(media, every_n_bytes=256, max_frames=8)
+    return D.clip_vote_pairs(fp, max_distance=3, min_frames=2)

@@ -278,3 +278,42 @@ def test_multihash_union_provenance(spark):
         for r in pa.join(pd, ["doc_a", "doc_b"], "full").collect()
     }
     assert got[(1, 2)] == (0, 0)
+
+
+def test_clip_vote_pairs_offset_tolerance_and_tiebreak(spark):
+    """Hand fixture at the vote layer: clip 2 = clip 1 shifted one
+    frame (match at offset +1 only), clip 3 shares exactly one frame
+    with clip 1 (below min_frames, dropped), and a constructed tie
+    (same match count at offsets 0 and +2) resolves to the smallest
+    offset."""
+    # distinct letters are > max_distance apart (asserted below), so
+    # only planted alignments match at d=3
+    A, B, C, D_, E, Fp = (
+        0x0F0F0F0F0F0F0F0F, 0x00FF00FF00FF00FF, 0x0000FFFF0000FFFF,
+        0x00000000FFFFFFFF, 0x3333333333333333, 0x5555555555555555,
+    )
+    G, H = 0x0F0F0F0F00000000, 0x00000000F0F0F0F0
+    letters = [A, B, C, D_, E, Fp, G, H]
+    for i, x in enumerate(letters):
+        for y in letters[i + 1:]:
+            assert bin(x ^ y).count("1") > 3
+    rows = [
+        # clip 1: frames 0..3 with fingerprints A B C D
+        (1, 0, A), (1, 1, B), (1, 2, C), (1, 3, D_),
+        # clip 2 = head-trimmed clip 1: B C D at frames 0..2
+        (2, 0, B), (2, 1, C), (2, 2, D_),
+        # clip 3: one shared frame only
+        (3, 0, A), (3, 1, G), (3, 2, H),
+        # clips 4/5: equal fingerprints E F at two alignments ->
+        # offsets 0 (4.f0=5.f0) and +2 (4.f2=5.f0) tie at count 2
+        (4, 0, E), (4, 1, Fp), (4, 2, E), (4, 3, Fp),
+        (5, 0, E), (5, 1, Fp),
+    ]
+    fp = spark.createDataFrame(rows, "clip long, frame_no int, fingerprint long")
+    got = {
+        (r["clip_a"], r["clip_b"]): (r["offset"], r["n_matching_frames"])
+        for r in D.clip_vote_pairs(fp, max_distance=3, min_frames=2).collect()
+    }
+    assert got[(1, 2)] == (1, 3)          # offset-tolerant: +1, 3 frames
+    assert (1, 3) not in got              # 1 shared frame < min_frames
+    assert got[(4, 5)] == (0, 2)          # count tie 0 vs +2 -> smallest

@@ -296,3 +296,13 @@ def test_jl_projection_single_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q203_jl_distortion")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_clip_near_dup_no_cartesian_q212(spark, sf_dir):
+    """The video vote rides the same pigeonhole band join as every
+    other modality: frame candidates come from hash equi-joins on
+    (band, chunk) — a cartesian or nested-loop join here means the
+    composite-id banding broke and clip dedup went all-pairs."""
+    plan = _plan(spark, sf_dir, "q212_video_clip_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
