@@ -186,8 +186,12 @@ HEADLINE = [
     "q210_exact_group_quantiles",
     "q211_corpus_datasheet",
     # round-14: video clip near-dup (frame-sampled aHash through the
-    # same band join, frame-offset-tolerant vote)
+    # same band join, frame-offset-tolerant vote) and the fused
+    # end-to-end pipeline (one documents scan: URL dedup -> exact
+    # dedup -> classifier gate -> balanced sample -> packing ->
+    # datasheet)
     "q212_video_clip_near_dup",
+    "q213_pipeline_fused",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
