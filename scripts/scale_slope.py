@@ -39,6 +39,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+#: Accept/retry bar on |cal_before/cal_after − 1| for a slope rep
+#: (round-14: symmetric — see the acceptance comment in run_slope).
+CAL_DRIFT_BAR = 0.25
+
 SLOPE_QUERIES = [
     # the three round-11 `weak`/watch rows run FIRST (round-12 judge
     # protocol): they get the quietest part of the measurement window
@@ -201,12 +205,16 @@ def time_pair(
     from excel_to_database_spark.operators.caching import deep_evict
     from excel_to_database_spark.queries import QUERIES
 
-    # throwaway calibration first: in a fresh JVM the first cal pays
+    # throwaway calibrations first: in a fresh JVM the first cal pays
     # whole-JVM C2/codegen warm-up (measured: cal_before was
     # SYSTEMATICALLY ~1.5-4x cal_after across every round-12 point,
     # with zero steal), which is warm-up, not host drift — without
-    # this, the drift acceptance below false-positives on nearly
-    # every fresh-session window
+    # this, the drift acceptance false-positives on nearly every
+    # fresh-session window. TWO throwaways since round 14: the
+    # symmetric drift bar (judge finding r13 #4) no longer waves
+    # through a faster after-probe, so residual warm-up must be paid
+    # down here, before the recorded before-probe.
+    sandbox_calibration(spark)
     sandbox_calibration(spark)
     out: dict = {"cal_before": sandbox_calibration(spark)}
     for tag, d in (("base", base_dir), ("scaled", scaled_dir)):
@@ -307,15 +315,23 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
         # whiplash: the box steals 45-126 cpu-s in bursts, and one
         # burst inside a min-of-3 used to become the recorded "truth".
         attempts = []
-        for _ in range(3):
+        for _ in range(4):
             r = _run_one_isolated(name, sf_dir, scaled_dir)
             attempts.append(r)
-            # DIRECTIONAL drift acceptance: the hazard is the box
-            # getting SLOWER during the window (inflates the scaled
-            # point); a faster after-probe is residual JVM warm-up and
-            # benign. drift_pct is still recorded unsigned for readers.
+            # SYMMETRIC drift acceptance (round-13 judge finding #4:
+            # the directional rule let 50-86%-drift rows into the
+            # blessed artifact because a FASTER after-probe was waved
+            # through as warm-up). The documented bar: a rep is clean
+            # only if its before/after calibration probes agree within
+            # CAL_DRIFT_BAR in EITHER direction — a window where the
+            # box's speed is not even self-consistent cannot support a
+            # slope claim, whatever the direction. Residual warm-up is
+            # handled where it belongs (the throwaway probes in
+            # time_pair), not by accepting the drift.
             cb, ca = r.get("cal_before"), r.get("cal_after")
-            drift_ok = not (cb and ca and ca > cb * 1.2)
+            drift_ok = bool(
+                cb and ca and (max(cb, ca) / min(cb, ca) - 1) <= CAL_DRIFT_BAR
+            )
             # steal_s is CPU-seconds summed over every core; normalize
             # by wall x cores to get the fraction of compute stolen
             ncpu = os.cpu_count() or 1
@@ -335,12 +351,13 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
                 file=sys.stderr,
             )
         else:
-            # no clean window in 3 tries: record the attempt whose box
-            # slowed down the least during the window
+            # no clean window in 4 tries: record the attempt with the
+            # least |cal drift| (its cal + steal columns still ship, so
+            # a reader can reject it; the accept loop above means this
+            # only happens when the box never settles)
             r = min(
                 attempts,
-                key=lambda a: (a.get("cal_after") or 1e9)
-                / (a.get("cal_before") or 1.0),
+                key=lambda a: abs((a.get("cal_drift_pct") or 1e9)),
             )
         out["base"][name] = r["base"]
         out["scaled"][name] = r["scaled"]
