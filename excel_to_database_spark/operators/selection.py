@@ -339,6 +339,7 @@ def _group_rank_build(
     id_col: str,
     out_col: str,
     max_meta_rows: int = 1 << 20,
+    value_desc: bool = False,
 ):
     """Shared construction behind :func:`group_rank` and its
     consumers: EXACT within-group ranks 1..n_g by ``(value, id)``
@@ -370,12 +371,17 @@ def _group_rank_build(
     value to its exact row count (driver-known for free — consumers
     like the quantile rank targets need it). NULL group values are
     rejected loudly: a null never equi-joins back to its offset row,
-    which would silently drop the group."""
+    which would silently drop the group. ``value_desc`` ranks by
+    ``(value DESC, id ASC)`` — the quality-rank order — by flipping
+    the value's direction in BOTH the range partitioning and the
+    window (the offset prefix-sum is direction-agnostic: partition
+    ids follow whatever order the ranges were drawn in)."""
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window
 
+    vcol = F.col(value_col).desc() if value_desc else F.col(value_col).asc()
     ranged = df.repartitionByRange(
-        F.col(group_col), F.col(value_col), F.col(id_col)
+        F.col(group_col), vcol, F.col(id_col)
     ).withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
     cells = (
         ranged.groupBy("__pid", group_col)
@@ -414,9 +420,7 @@ def _group_rank_build(
         ]
     )
     off = df.sparkSession.createDataFrame(offsets, off_schema)
-    w = Window.partitionBy("__pid", group_col).orderBy(
-        F.col(value_col), F.col(id_col)
-    )
+    w = Window.partitionBy("__pid", group_col).orderBy(vcol, F.col(id_col))
     ranked = (
         ranged.withColumn("__pid", F.col("__pid").cast("long"))
         .join(F.broadcast(off), ["__pid", group_col])
@@ -435,12 +439,16 @@ def group_rank(
     value_col: str,
     id_col: str,
     out_col: str = "rank_in_group",
+    value_desc: bool = False,
 ) -> DataFrame:
-    """EXACT within-group ranks 1..n_g by ``(value, id)`` for LOW-
-    CARDINALITY group keys, with no per-group window funnel — see
+    """EXACT within-group ranks 1..n_g by ``(value, id)`` (or
+    ``(value DESC, id)`` with ``value_desc``) for LOW-CARDINALITY
+    group keys, with no per-group window funnel — see
     :func:`_group_rank_build` for the construction and its contract.
     Returns the input columns plus ``out_col``."""
-    return _group_rank_build(df, group_col, value_col, id_col, out_col)[0]
+    return _group_rank_build(
+        df, group_col, value_col, id_col, out_col, value_desc=value_desc
+    )[0]
 
 
 def exact_group_quantiles(

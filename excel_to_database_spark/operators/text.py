@@ -844,58 +844,39 @@ def quality_rank_buckets(
     assignment pretraining pipelines use to keep only the head/middle
     slices per language.
 
-    Scale shape — a distributed per-group rank, NOT one window
-    partition per group (a billion-document language would serialize
-    its whole score list into one task): scores quantize into ``bins``
-    monotone integer bins; the per-(group, bin) histogram cumulates in
-    a window whose input is one row per occupied BIN (bounded by
-    ``bins``, never by rows); each row's rank is then its bin's
-    preceding-count offset plus an intra-bin ``row_number`` whose
-    partition is (group, bin) — bounded by bin occupancy, which the
-    operator controls via ``bins``. Because the bin function is
-    monotone in the score, the output is INDEPENDENT of ``bins``
-    (pytest pins bins=4 ≡ bins=2^20); heavy score ties all land in one
-    bin by definition — exactly the rows a per-group sort would also
-    have to co-locate for the tiebreak.
+    Scale shape — ranks come from ``selection.group_rank``'s skew-safe
+    construction with ``value_desc=True`` (range repartition on
+    (group, score DESC, id) + bounded (partition, group) count read +
+    per-group offsets; the round-14 migration of the low-cardinality
+    per-group rank family behind one primitive). This strictly
+    improves on the previous score-bin histogram: range partitioning
+    splits even heavy score TIES across partitions by the id
+    tiebreaker, where a tie-heavy bin used to serialize into one
+    intra-bin window task. Per-group totals fall out of the same
+    bounded read as driver literals — no totals aggregation, no
+    broadcast-join of a totals frame. ``bins`` is retained for
+    signature compatibility and ignored: the construction is exact
+    with no quantization step at all (the old contract "output is
+    independent of bins" now holds trivially; pytest still pins
+    bins=4 ≡ bins=2^20 ≡ the naive per-group window).
 
     Returns the input columns plus (rank_in_group BIGINT,
     n_in_group BIGINT, bucket INT). Scores must be non-null."""
-    from pyspark.sql.window import Window
+    del bins  # compat only — see docstring
+    from excel_to_database_spark.operators.selection import _group_rank_build
 
-    from excel_to_database_spark.operators.caching import pin
-
-    s = F.col(score_col)
-    # pinned: the histogram, the per-group totals, and the final rank
-    # join all consume this frame — an expensive upstream score
-    # pipeline (e.g. the q167 corpus LM) would re-run per consumer
-    base = pin(
-        scored.withColumn(
-            "_qb", F.floor(s * F.lit(float(bins))).cast("bigint")
-        )
+    ranked, totals = _group_rank_build(
+        scored, group_col, score_col, id_col, "rank_in_group", value_desc=True
     )
-    hist = base.groupBy(group_col, "_qb").agg(F.count(F.lit(1)).alias("_c"))
-    wg = Window.partitionBy(group_col).orderBy(F.col("_qb").desc())
-    offsets = hist.select(
-        group_col,
-        "_qb",
-        (F.sum("_c").over(wg) - F.col("_c")).alias("_off"),
+    n_map = F.create_map(
+        *[x for g, n in sorted(totals.items()) for x in (F.lit(g), F.lit(n))]
     )
-    totals = hist.groupBy(group_col).agg(F.sum("_c").alias("n_in_group"))
-    wb = Window.partitionBy(group_col, "_qb").orderBy(
-        s.desc(), F.col(id_col).asc()
-    )
-    ranked = (
-        base.join(offsets, [group_col, "_qb"])
-        .join(F.broadcast(totals), group_col)
-        .withColumn(
-            "rank_in_group",
-            (F.col("_off") + F.row_number().over(wb)).cast("bigint"),
-        )
-    )
-    return ranked.select(
+    return ranked.withColumn(
+        "n_in_group", n_map[F.col(group_col)].cast("bigint")
+    ).select(
         *scored.columns,
         "rank_in_group",
-        F.col("n_in_group").cast("bigint").alias("n_in_group"),
+        "n_in_group",
         F.expr(
             f"CAST(1 + ({n_buckets} * (rank_in_group - 1)) div n_in_group"
             " AS INT)"

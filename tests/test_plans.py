@@ -281,6 +281,7 @@ def test_group_rank_consumers_no_group_only_window(spark, sf_dir):
         ("q209_interleaved_order", "source#"),
         ("q210_exact_group_quantiles", "source#"),
         ("q140_per_group_sample", "source#"),
+        ("q167_ccnet_quality_buckets", "lang#"),
     ):
         plan = _plan(spark, sf_dir, q)
         assert "Exchange SinglePartition" not in plan, q
