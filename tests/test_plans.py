@@ -309,19 +309,21 @@ def test_video_clip_near_dup_no_cartesian_q212(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_pipeline_fused_single_documents_scan_q213(spark, sf_dir):
-    """The fused pipeline's whole point (round-13 verdict item 5):
-    URL dedup -> exact dedup -> classifier gate -> balanced sample ->
-    packing -> datasheet compose into ONE linear plan whose data path
-    scans the documents parquet exactly once — a second scan means a
-    stage broke fusion and re-reads the corpus (at 100 TB, a second
-    100 TB read). The weight table is a generated Range, the rate
-    table a literal fold; no cartesian anywhere."""
+def test_pipeline_fused_no_documents_rescan_q213(spark, sf_dir):
+    """The fused pipeline's whole point (round-13 item 5, hardened by
+    round-14 verdict #1): the gated doc-level frame is pinned by an
+    eager localCheckpoint before the totals read, so the RETURNED plan
+    must read the pinned frame — ZERO documents FileScans — making a
+    corpus re-scan at action time structurally impossible (the old
+    one-FileScan grep PASSED while the internal totals collect
+    re-executed the whole chain from the parquet). The runtime
+    bytes-read companion lives in test_llm_ops.py; no cartesian
+    anywhere."""
     plan = _plan(spark, sf_dir, "q213_pipeline_fused")
     scans = [
         l for l in plan.splitlines()
         if "FileScan parquet" in l and "documents" in l
     ]
-    assert len(scans) == 1, f"documents scanned {len(scans)}x"
+    assert not scans, f"returned plan re-scans documents: {scans[:2]}"
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the pinned frame
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan  # the 4096-row weight join
