@@ -2689,11 +2689,25 @@ def embedding_robust_stats(
     of |x − median|; an outlier is ``|x − median| > mad_k · MAD``
     (integer comparison).
 
-    Scale shape: one posexplode, TWO window passes partitioned by
-    DIMENSION (|dims| partitions of n rows each — parallel across
-    dims, never a global window), and two |dims|-row broadcast joins.
-    Returns ``(dim, n, median_q, mad_q, n_outliers)``."""
-    from pyspark.sql.window import Window
+    Scale shape (round-15, verdict #2): a DIMENSION is the textbook
+    low-cardinality group (dim=64 → a per-dim window funnels all N
+    vectors of a dimension into ONE task, ~N/64 of the corpus at
+    100 TB) — so both medians rank through
+    ``selection._group_rank_build``: range repartition on
+    (dim, value, id) + eager localCheckpoint + bounded ≤(P+G−1)-row
+    (partition, dim) count read + per-dim prefix offsets broadcast
+    back; every window is bounded by one partition's share of one
+    dim, NEVER a whole dim (plan-contracted: no dim-only windowspec).
+    The lower median is the row at rank ⌈n/2⌉ — per-dim n is
+    driver-known from the same bounded read, so the target ranks join
+    back as a |dims|-row broadcast frame. The deviation and outlier
+    passes reuse the CHECKPOINTED ranked frames (no second posexplode
+    of the source). One posexplode, two group_rank builds, three
+    |dims|-row broadcast joins, one final aggregation. Returns
+    ``(dim, n, median_q, mad_q, n_outliers)``."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from excel_to_database_spark.operators.selection import _group_rank_build
 
     ex = df.select(
         F.col(id_col).alias("id"),
@@ -2702,24 +2716,30 @@ def embedding_robust_stats(
         "id", "dim", F.floor(F.col("x").cast("double") * F.lit(float(scale))).alias("q")
     )
 
-    def _lower_median(frame: DataFrame, val: str, out: str) -> DataFrame:
-        # the lower median is the row at rank ceil(n/2), i.e.
-        # 2·rn == n + (n % 2)
-        w = Window.partitionBy("dim").orderBy(F.col(val), F.col("id"))
-        ranked = frame.withColumn("__rn", F.row_number().over(w)).withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy("dim"))
+    def _lower_median(frame: DataFrame, val: str, out: str):
+        # rank within each dim by (value, id) — skew-safe — and pick
+        # the lower-median row (rank ceil(n/2)) via a |dims|-row
+        # broadcast target join; returns (median frame, ranked frame)
+        # so callers reuse the checkpointed data instead of re-deriving
+        ranked, totals = _group_rank_build(frame, "dim", val, "id", "__rn")
+        tschema = StructType(
+            [StructField("dim", IntegerType()), StructField("__rn", LongType())]
         )
-        return ranked.filter(
-            F.col("__rn") * 2 == F.col("__n") + F.col("__n") % 2
-        ).select("dim", F.col(val).alias(out))
+        targets = frame.sparkSession.createDataFrame(
+            [(d, (n + 1) // 2) for d, n in totals.items()], tschema
+        )
+        med = ranked.join(F.broadcast(targets), ["dim", "__rn"]).select(
+            "dim", F.col(val).alias(out)
+        )
+        return med, ranked.drop("__rn")
 
-    med = _lower_median(ex, "q", "median_q")
-    dev = ex.join(F.broadcast(med.select("dim", "median_q")), "dim").select(
+    med, ranked_q = _lower_median(ex, "q", "median_q")
+    dev = ranked_q.join(F.broadcast(med), "dim").select(
         "id", "dim", F.abs(F.col("q") - F.col("median_q")).alias("d")
     )
-    mad = _lower_median(dev, "d", "mad_q").select("dim", "mad_q")
+    mad, ranked_d = _lower_median(dev, "d", "mad_q")
     out = (
-        dev.join(F.broadcast(mad), "dim")
+        ranked_d.join(F.broadcast(mad), "dim")
         .groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2731,7 +2751,7 @@ def embedding_robust_stats(
         )
     )
     return (
-        out.join(F.broadcast(med.select("dim", "median_q")), "dim")
+        out.join(F.broadcast(med), "dim")
         .join(F.broadcast(mad), "dim")
         .select(
             F.col("dim").cast("int").alias("dim"),

@@ -525,12 +525,29 @@ def q31_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q32_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
-    return (
-        t(spark, sf_dir, "customer")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    """Top-3 per segment — rank-only, so it routes through
+    selection.group_rank (round-14 verdict #5): ~5 market segments is
+    exactly the low-cardinality shape where
+    ``Window.partitionBy(c_mktsegment)`` funnels each segment's whole
+    customer set into one task (~20% of the table per task at 100 TB).
+    group_rank's (value DESC, id) order matches the oracle's ORDER BY
+    c_acctbal DESC, c_custkey tie-break; see PLANS.md for why q31
+    (lag/lead/ntile over the same segments) deliberately stays on the
+    built-in window surface."""
+    from excel_to_database_spark.operators.selection import group_rank
+
+    ranked = group_rank(
+        t(spark, sf_dir, "customer").select(
+            "c_mktsegment", "c_acctbal", "c_custkey"
+        ),
+        "c_mktsegment",
+        "c_acctbal",
+        "c_custkey",
+        out_col="rn",
+        value_desc=True,
+    )
+    return ranked.filter(F.col("rn") <= 3).select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
     )
 
 

@@ -2847,3 +2847,45 @@ def test_pipeline_fused_runtime_single_corpus_read_q213(spark, sf_dir):
         f"q213 read {q213_docs_bytes}b of documents vs reference "
         f"{one_scan}b — the corpus was re-scanned at runtime"
     )
+
+
+def test_embedding_robust_stats_reference_many_vectors_few_dims(spark):
+    """The skew shape the round-15 migration exists for (few dims x
+    many vectors — every dim holds ALL N rows, the per-dim window
+    funnel class): 3000 vectors x 4 dims, tie-heavy values, one
+    corrupted tail; median/MAD/outliers still equal the sorted Python
+    reference exactly, while ranks come from group_rank's bounded
+    (partition, dim) construction instead of a dim-only window."""
+    import math
+    import random as _r
+
+    import numpy as np
+
+    from excel_to_database_spark.operators import similarity as S
+
+    rng = _r.Random(1505)
+    n = 3000
+    vecs = {
+        i: [rng.choice([0.0, 0.125, 0.125, 0.25, 0.875]) for _ in range(4)]
+        for i in range(n)
+    }
+    for i in range(20):  # corrupted tail in dim 2
+        vecs[i][2] = 50.0 + i
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    ).repartition(7)
+    got = {
+        r["dim"]: (r["n"], r["median_q"], r["mad_q"], r["n_outliers"])
+        for r in S.embedding_robust_stats(df, "vec_id", "embedding").collect()
+    }
+    sc = 1 << 20
+    for dim in range(4):
+        qs = sorted(
+            (math.floor(float(np.float32(v[dim])) * sc), i)
+            for i, v in vecs.items()
+        )
+        med = qs[(len(qs) + 1) // 2 - 1][0]
+        ds = sorted((abs(q - med), i) for q, i in qs)
+        mad = ds[(len(ds) + 1) // 2 - 1][0]
+        out = sum(1 for d, _ in ds if d > 10 * mad)
+        assert got[dim] == (n, med, mad, out), dim

@@ -282,6 +282,13 @@ def test_group_rank_consumers_no_group_only_window(spark, sf_dir):
         ("q210_exact_group_quantiles", "source#"),
         ("q140_per_group_sample", "source#"),
         ("q167_ccnet_quality_buckets", "lang#"),
+        # round-15 (verdict #2): the per-dim robust stats rank through
+        # the same primitive — a dim-only window funnels all N vectors
+        # of a dimension into one task
+        ("q208_embedding_robust_stats", "dim#"),
+        # round-15 (verdict #5): top-k-per-group is rank-only, so it
+        # routes through group_rank too
+        ("q32_topk_per_group", "c_mktsegment#"),
     ):
         plan = _plan(spark, sf_dir, q)
         assert "Exchange SinglePartition" not in plan, q
