@@ -257,7 +257,15 @@ def global_rank(
          partitioning the counts below describe — a plain persist
          bounds re-execution but NOT re-planning, so an intervening
          cache eviction could silently shift rows between partitions
-         after the counts were read: the round-13 advisor finding);
+         after the counts were read: the round-13 advisor finding).
+         Cluster tradeoff, chosen deliberately: localCheckpoint
+         blocks are NON-RELIABLE — an executor loss fails the job
+         (correctly: recomputation would re-draw the boundaries) and
+         the caller re-runs; on a cluster with a configured reliable
+         checkpoint dir, swap in ``checkpoint()`` to survive executor
+         loss at the cost of a filesystem round-trip. Blocks are
+         freed when the plan handle is GC'd (deep_evict's GC cycle),
+         not by ``evict_caches``;
       3. count rows per partition and prefix-sum on the DRIVER — a
          ≤|partitions|-row bounded meta read (the histogram-read
          discipline: the driver sees counts, never data rows);
@@ -356,7 +364,10 @@ def _group_rank_build(
          (partition, group) cells is ≤ partitions + groups − 1;
       2. eager ``localCheckpoint`` freezes the sampled range
          boundaries (the :func:`global_rank` discipline — a persist
-         bounds re-execution, not re-planning);
+         bounds re-execution, not re-planning; same non-reliable-
+         blocks tradeoff as documented there: executor loss fails
+         the job rather than silently re-drawing boundaries, and
+         blocks free on GC, not evict_caches);
       3. ONE count aggregation to the ≤(P+G)-row cell table, read on
          the driver (counts, never data rows; ``max_meta_rows``
          rejects loudly if the group key is too wide for the
@@ -383,17 +394,23 @@ def _group_rank_build(
     ranged = df.repartitionByRange(
         F.col(group_col), vcol, F.col(id_col)
     ).withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # bounded: ≤ partitions + groups − 1 rows (contiguity argument).
+    # The limit(max+1) bounds what the driver MATERIALIZES before the
+    # guard fires — a high-cardinality group key must reject loudly,
+    # not OOM the driver inside the very collect the guard protects
+    # (round-14 advisor finding)
     cells = (
         ranged.groupBy("__pid", group_col)
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_meta_rows + 1)
         .collect()
-    )  # bounded: ≤ partitions + groups − 1 rows (contiguity argument)
+    )
     if len(cells) > max_meta_rows:
         raise ValueError(
-            f"group_rank meta read would be {len(cells)} rows "
-            f"(> max_meta_rows={max_meta_rows}): {group_col!r} is too "
-            "high-cardinality for the driver-literal construction — a "
-            "plain per-group window is well-balanced at that cardinality"
+            f"group_rank meta read exceeds max_meta_rows={max_meta_rows}: "
+            f"{group_col!r} is too high-cardinality for the "
+            "driver-literal construction — a plain per-group window is "
+            "well-balanced at that cardinality"
         )
     by_group: dict = {}
     for r in cells:

@@ -868,12 +868,33 @@ def quality_rank_buckets(
     ranked, totals = _group_rank_build(
         scored, group_col, score_col, id_col, "rank_in_group", value_desc=True
     )
-    n_map = F.create_map(
-        *[x for g, n in sorted(totals.items()) for x in (F.lit(g), F.lit(n))]
-    )
-    return ranked.withColumn(
-        "n_in_group", n_map[F.col(group_col)].cast("bigint")
-    ).select(
+    # totals attach as a literal map only while the expression stays
+    # small; past 256 groups a create_map literal bloats the analyzed
+    # plan (2·|groups| expression nodes through every rule pass —
+    # round-14 advisor finding), so the same driver-known totals ship
+    # as a |groups|-row broadcast-join frame instead. Same values,
+    # same bounded read; only the attachment mechanism switches.
+    if len(totals) <= 256:
+        n_map = F.create_map(
+            *[x for g, n in sorted(totals.items()) for x in (F.lit(g), F.lit(n))]
+        )
+        ranked = ranked.withColumn(
+            "n_in_group", n_map[F.col(group_col)].cast("bigint")
+        )
+    else:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        tdf = scored.sparkSession.createDataFrame(
+            sorted(totals.items()),
+            StructType(
+                [
+                    StructField(group_col, scored.schema[group_col].dataType),
+                    StructField("n_in_group", LongType()),
+                ]
+            ),
+        )
+        ranked = ranked.join(F.broadcast(tdf), group_col)
+    return ranked.select(
         *scored.columns,
         "rank_in_group",
         "n_in_group",

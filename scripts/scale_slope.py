@@ -355,9 +355,16 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
             # least |cal drift| (its cal + steal columns still ship, so
             # a reader can reject it; the accept loop above means this
             # only happens when the box never settles)
+            # explicit None check: cal_drift_pct is rounded to one
+            # decimal, so a drift of exactly 0.0 is falsy — `or 1e9`
+            # would rank the CLEANEST attempt worst (round-14 advisor)
             r = min(
                 attempts,
-                key=lambda a: abs((a.get("cal_drift_pct") or 1e9)),
+                key=lambda a: (
+                    abs(a["cal_drift_pct"])
+                    if a.get("cal_drift_pct") is not None
+                    else 1e9
+                ),
             )
         out["base"][name] = r["base"]
         out["scaled"][name] = r["scaled"]

@@ -2889,3 +2889,32 @@ def test_embedding_robust_stats_reference_many_vectors_few_dims(spark):
         mad = ds[(len(ds) + 1) // 2 - 1][0]
         out = sum(1 for d, _ in ds if d > 10 * mad)
         assert got[dim] == (n, med, mad, out), dim
+
+
+def test_quality_rank_buckets_broadcast_fallback_many_groups(spark):
+    """Past 256 groups the totals attach via a broadcast-join frame
+    instead of a create_map literal (round-14 advisor: a 100k-group
+    caller got a 200k-entry literal map expression — analysis/codegen
+    blowup). 300 groups exercises the fallback; results must equal
+    the naive per-group reference exactly, and the plan must carry NO
+    create_map totals literal."""
+    import random
+
+    rng = random.Random(1515)
+    rows = [
+        (f"g{i % 300:03d}", i, rng.choice([0.1, 0.5, 0.5, 0.9]))
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, doc long, score double")
+    out = T.quality_rank_buckets(df, "grp", "score", "doc", n_buckets=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "map_from" not in plan and "keys: [" not in plan
+    got = {
+        r["doc"]: (r["rank_in_group"], r["n_in_group"], r["bucket"])
+        for r in out.collect()
+    }
+    for g in {r[0] for r in rows}:
+        members = sorted((r for r in rows if r[0] == g), key=lambda r: (-r[2], r[1]))
+        n = len(members)
+        for rank, (_, doc, _s) in enumerate(members, 1):
+            assert got[doc] == (rank, n, 1 + (3 * (rank - 1)) // n), (g, doc)
