@@ -202,6 +202,48 @@ def _median(xs: list[float]) -> float:
     return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
 
 
+#: Accept/retry bar for ONE recording's rep spread (round-14 verdict
+#: #3: headline rows had no gate, so a steal burst inside one rep
+#: became the blessed number — q171 shipped at 5.68 s vs a 2.6 s
+#: cross-run median). If max/min across the reps exceeds this, up to
+#: REP_RETRY_MAX extra reps run and the median is taken over ALL of
+#: them — a burst that hits one rep is voted out. A window where every
+#: rep is uniformly elevated (sustained steal) has low spread and
+#: passes this gate by design: that case is cross-run territory —
+#: scripts/bless_bench.py medians the ≥3 same-tree recordings.
+REP_SPREAD_BAR = 1.6
+REP_RETRY_MAX = 2
+
+
+def _timed_reps(run_once, after_rep=None) -> list[float]:
+    """BENCH_REPS timed calls of ``run_once`` plus up to REP_RETRY_MAX
+    spread-triggered retries (see REP_SPREAD_BAR). ``after_rep`` runs
+    UNTIMED after each rep (cache eviction — outside the timed span,
+    matching every prior round's methodology). Returns all rep times —
+    callers median over the full list."""
+    reps = []
+
+    def one():
+        start = time.perf_counter()
+        run_once()
+        reps.append(round(time.perf_counter() - start, 3))
+        if after_rep is not None:
+            after_rep()
+
+    for _ in range(BENCH_REPS):
+        one()
+    extra = 0
+    while (
+        len(reps) >= 2
+        and min(reps) > 0
+        and max(reps) / min(reps) > REP_SPREAD_BAR
+        and extra < REP_RETRY_MAX
+    ):
+        one()
+        extra += 1
+    return reps
+
+
 def sandbox_calibration(spark) -> float:
     """One fixed, data-independent calibration measurement (median of
     3): a codegen sum over a generated range plus a 1000-key shuffle
@@ -254,15 +296,17 @@ def etl_benchmarks(
     dest = LocalDestination()
 
     def timed(label, fn):
-        reps, n = [], 0
-        for _ in range(BENCH_REPS):
-            start = time.perf_counter()
-            n = fn()
-            reps.append(round(time.perf_counter() - start, 3))
+        state = {}
+
+        def run_once():
+            state["n"] = fn()
+
+        reps = _timed_reps(run_once)
         timings[label] = round(_median(reps), 3)
         rep_detail[label] = reps
         print(
-            f"# {label}: median {timings[label]:.3f}s of {reps} ({n} rows)",
+            f"# {label}: median {timings[label]:.3f}s of {reps} "
+            f"({state['n']} rows)",
             file=sys.stderr,
         )
 
@@ -282,6 +326,51 @@ def etl_benchmarks(
             path="bench",
         ).n_records,
     )
+
+    # directory ingest at two file counts (round-14 verdict #7): the
+    # distributed Excel front door benched the single-workbook path
+    # only. 120 workbooks × 500 rows through write_excel_dir (setup,
+    # untimed) then read_excel(dir) + sync (timed) — plus a 12-workbook
+    # point with the SAME rows-per-workbook so the recorded ratio is a
+    # 10×-files/10×-rows slope. Near-linear-or-better is the pass:
+    # binaryFile packs whole workbooks into ~bytes-per-core tasks, so
+    # wall-clock grows SLOWER than 10× while the per-workbook decode
+    # stays executor-side (sub-linear slope = scale-out works).
+    from excel_to_database_spark.sources.xlsx_writer import write_excel_dir
+
+    li8 = [f"`{c}`" for c in lineitem.columns[:8]]
+    dir_rows = lineitem.selectExpr(
+        *[f"CAST({c} AS STRING) AS {c}" for c in li8]
+    ).limit(60000)
+    write_excel_dir(dir_rows.repartition(120), f"{work}/wb120")
+    write_excel_dir(dir_rows.limit(6000).repartition(12), f"{work}/wb12")
+    timed(
+        "etl_xlsx_dir_sync",
+        lambda: dest.sync(
+            read_excel(spark, f"{work}/wb120"),
+            "bench_lineitem_xlsx_dir",
+            path="bench",
+        ).n_records,
+    )
+    timed(
+        "etl_xlsx_dir_sync_small",
+        lambda: dest.sync(
+            read_excel(spark, f"{work}/wb12"),
+            "bench_lineitem_xlsx_dir_small",
+            path="bench",
+        ).n_records,
+    )
+    if timings["etl_xlsx_dir_sync_small"] > 0:
+        slope = round(
+            timings["etl_xlsx_dir_sync"] / timings["etl_xlsx_dir_sync_small"], 2
+        )
+        # leading underscore: a meta row, not a rep array — readers of
+        # query_reps (bless_bench) skip keys that are not lists
+        rep_detail["_etl_xlsx_dir_slope"] = {
+            "files": 120, "files_small": 12, "slope_10x_files": slope,
+        }
+        print(f"# etl_xlsx_dir slope (120 vs 12 workbooks): {slope}x",
+              file=sys.stderr)
 
 
 def main() -> None:
@@ -331,23 +420,25 @@ def main() -> None:
     etl_benchmarks(spark, sf_dir, timings, rep_detail)
     for name in HEADLINE:
         fn = QUERIES[name]
-        reps = []
-        for _ in range(BENCH_REPS):
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            reps.append(time.perf_counter() - start)
-            # deep: pins + stray persists + localCheckpoint blocks
-            # must not carry across reps or into the next query
-            deep_evict(spark)
+        state = {}
+
+        def run_once():
+            state["n"] = fn(spark, sf_dir).count()
+
+        # deep eviction after every rep, UNTIMED (same as all prior
+        # rounds): pins + stray persists + localCheckpoint blocks must
+        # not carry across reps or into the next query
+        reps = _timed_reps(run_once, after_rep=lambda: deep_evict(spark))
         timings[name] = round(_median(reps), 3)
         # per-rep times land in the full run-stamped artifact (NOT the
         # compact driver line): a median alone hid the q146
-        # GC-recovery decay (8.9 -> 8.2 -> 6.7s) for a whole round
-        rep_detail[name] = [round(r, 3) for r in reps]
+        # GC-recovery decay (8.9 -> 8.2 -> 6.7s) for a whole round;
+        # >BENCH_REPS entries mean the spread gate fired (see
+        # REP_SPREAD_BAR) and the median is over all reps
+        rep_detail[name] = reps
         print(
             f"# {name}: median {timings[name]:.3f}s of "
-            f"{rep_detail[name]} ({n} rows)",
+            f"{rep_detail[name]} ({state['n']} rows)",
             file=sys.stderr,
         )
 

@@ -68,6 +68,12 @@ SLOPE_QUERIES = [
     # posexplode centroid aggregation and the per-cell rank window
     # stay bounded as cells grow √N-style with the corpus
     "q171_prototypicality_prune",
+    # round-15 (verdict #6): a group_rank consumer on the slope
+    # record — the migration's +0.3–0.8 s at sf0.1 is claimed to be a
+    # SCALE-INVARIANT fixed cost (eager localCheckpoint + bounded
+    # count read + broadcast join), so its share of the runtime must
+    # SHRINK with scale; this row is the evidence
+    "q167_ccnet_quality_buckets",
 ]
 
 
