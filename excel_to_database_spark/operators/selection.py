@@ -468,6 +468,57 @@ def group_rank(
     )[0]
 
 
+def group_shift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    payload_cols: list[str],
+    offsets=(-1, 1),
+    out_col: str = "rank_in_group",
+) -> DataFrame:
+    """EXACT per-group LAG/LEAD without ``Window.partitionBy(group)``
+    on the data path — the concrete form of the q31 migration recipe
+    (PLANS.md round-15 design note): sequence analytics over a
+    LOW-CARDINALITY group key (~5 event types at 100 TB would funnel
+    ~20 TB into one lag/lead window task).
+
+    Construction: ranks 1..n_g by ``(value, id)`` come from
+    :func:`group_rank`'s skew-safe build (range repartition + bounded
+    cell count read + broadcast offsets; the ranked frame is
+    checkpoint-backed, so the self-joins below re-read it, never
+    recompute it); then each requested offset is ONE balanced
+    equi-join of the ranked frame to itself on ``(group, rank +
+    offset)`` — rank is unique within a group, so the join key is
+    skew-free BY CONSTRUCTION even when the group itself is massive.
+    Negative offsets are lags, positive are leads; each payload column
+    ``c`` gains ``c_lag{k}`` / ``c_lead{k}`` (NULL beyond the group
+    edge, matching SQL LAG/LEAD default semantics). The exact
+    row_number ships as ``out_col``."""
+    if not payload_cols:
+        raise ValueError("payload_cols must name at least one column")
+    if any(o == 0 for o in offsets):
+        raise ValueError("offsets must be non-zero (0 is the row itself)")
+    ranked = group_rank(df, group_col, value_col, id_col, out_col=out_col)
+    out = ranked
+    for off in offsets:
+        suffix = f"lag{-off}" if off < 0 else f"lead{off}"
+        # a right-side row of rank rr supplies the values seen from
+        # rank rr - off (left rank + off == rr)
+        right = ranked.select(
+            F.col(group_col).alias("__sg"),
+            (F.col(out_col) - F.lit(off)).alias("__sr"),
+            *[F.col(c).alias(f"{c}_{suffix}") for c in payload_cols],
+        )
+        out = out.join(
+            right,
+            (F.col(group_col) == F.col("__sg"))
+            & (F.col(out_col) == F.col("__sr")),
+            "left",
+        ).drop("__sg", "__sr")
+    return out
+
+
 def exact_group_quantiles(
     df: DataFrame,
     group_col: str,

@@ -793,3 +793,55 @@ def q144_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("approx_ok"),
     )
+
+
+@query(
+    "q214_event_gap_profile",
+    """
+    WITH o AS (SELECT event_type, epoch_us(ts) AS ts_us,
+                      LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                              ORDER BY epoch_us(ts), event_id)
+                          AS prev_us
+               FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(prev_us) AS BIGINT) AS n_gaps,
+           CAST(MAX(ts_us - prev_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(ts_us - prev_us) AS BIGINT) AS sum_gap_us,
+           CAST(SUM(ts_us - prev_us) AS DOUBLE) / COUNT(prev_us) AS mean_gap_us
+    FROM o GROUP BY event_type
+    """,
+)
+def q214_event_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival gap profile — the ingestion-health
+    monitor a streaming pipeline runs per source/type (a max_gap spike
+    means a producer stalled; mean_gap drift means volume shifted).
+    The sequence step is the scale-interesting part: event_type is a
+    LOW-CARDINALITY group, so the LAG comes from
+    ``selection.group_shift`` (group_rank's skew-safe ranks + ONE
+    balanced self-equi-join on (type, rank−1) — rank is unique within
+    the group, so the join key is skew-free even when one type is 90%
+    of the stream), never ``Window.partitionBy(event_type)`` on the
+    data path. Gaps are integer microseconds (unix_micros ≡ DuckDB
+    epoch_us), max/sum exact bigints, the mean one final double
+    division."""
+    from excel_to_database_spark.operators.selection import group_shift
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        # parquet timestamps are NTZ; the session TZ is UTC, so the
+        # cast is the identity and unix_micros ≡ DuckDB epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    shifted = group_shift(
+        e, "event_type", "ts_us", "event_id", ["ts_us"], offsets=(-1,)
+    )
+    gap = F.col("ts_us") - F.col("ts_us_lag1")
+    return shifted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("ts_us_lag1").alias("n_gaps"),
+        F.max(gap).cast("bigint").alias("max_gap_us"),
+        F.sum(gap).cast("bigint").alias("sum_gap_us"),
+        (F.sum(gap).cast("double") / F.count("ts_us_lag1")).alias("mean_gap_us"),
+    )

@@ -289,6 +289,9 @@ def test_group_rank_consumers_no_group_only_window(spark, sf_dir):
         # round-15 (verdict #5): top-k-per-group is rank-only, so it
         # routes through group_rank too
         ("q32_topk_per_group", "c_mktsegment#"),
+        # round-15: per-type LAG through group_shift (rank + balanced
+        # self-equi-join), never a type-only window
+        ("q214_event_gap_profile", "event_type#"),
     ):
         plan = _plan(spark, sf_dir, q)
         assert "Exchange SinglePartition" not in plan, q

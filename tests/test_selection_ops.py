@@ -546,3 +546,36 @@ def test_exact_group_quantiles_rejects_bad_quantiles(spark):
     for bad in ((), (0,), (101,), (50, 0)):
         with pytest.raises(ValueError, match="quantiles"):
             SEL.exact_group_quantiles(df, "g", "v", "id", quantiles=bad)
+
+
+def test_group_shift_equals_lag_lead_reference_under_skew(spark):
+    """group_shift (the q31-recipe primitive: skew-safe ranks + one
+    balanced self-equi-join per offset) must equal SQL LAG/LEAD
+    semantics exactly — NULL beyond the group edge, (value, id) tie
+    order — on a 90%-skew input where one group holds 900 of 1000
+    rows, including singleton and two-row groups."""
+    rng = random.Random(1504)
+    rows = [("big", rng.choice([3, 3, 7, 9]), i) for i in range(900)]
+    rows += [("s1", rng.choice([1, 2]), 900 + j) for j in range(98)]
+    rows += [("one", 5, 998), ("two", 4, 999), ("two", 4, 1000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, v long, id long").repartition(7)
+    got = {
+        r["id"]: (r["rank_in_group"], r["v_lag1"], r["v_lead1"])
+        for r in SEL.group_shift(df, "g", "v", "id", ["v"]).collect()
+    }
+    assert len(got) == len(rows)
+    for g in ("big", "s1", "one", "two"):
+        members = sorted((v, i) for gg, v, i in rows if gg == g)
+        for k, (v, i) in enumerate(members):
+            lag = members[k - 1][0] if k > 0 else None
+            lead = members[k + 1][0] if k + 1 < len(members) else None
+            assert got[i] == (k + 1, lag, lead), (g, i)
+
+
+def test_group_shift_rejects_zero_offset_and_empty_payload(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "g string, v long, id long")
+    with pytest.raises(ValueError, match="non-zero"):
+        SEL.group_shift(df, "g", "v", "id", ["v"], offsets=(0,))
+    with pytest.raises(ValueError, match="payload_cols"):
+        SEL.group_shift(df, "g", "v", "id", [])
