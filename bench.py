@@ -192,6 +192,12 @@ HEADLINE = [
     # datasheet)
     "q212_video_clip_near_dup",
     "q213_pipeline_fused",
+    # round-15: per-type inter-arrival gaps (group_shift lag), BM25
+    # keyword top-k (lexical retrieval), per-source top bigrams
+    # (group_rank over the gram type table)
+    "q214_event_gap_profile",
+    "q215_bm25_keyword_topk",
+    "q216_top_bigrams_per_source",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

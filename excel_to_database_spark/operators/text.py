@@ -2007,3 +2007,105 @@ def interleaved_training_order(
     if limit is not None:
         out = out.orderBy(F.asc("position"), F.asc(id_col)).limit(limit)
     return out
+
+
+def bm25_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+):
+    """Lexical relevance scoring of every document against a fixed
+    query-term set — the keyword-retrieval complement to the embedding
+    ANN family (a training-data pipeline greps its corpus constantly:
+    contamination probes, topical subsets, eval-leak hunts; at 100 TB
+    that must be one scan + aggregations, not a driver grep).
+
+    The score is the BM25 shape (k1 = 6/5, b = 3/4) with the RAW idf
+    ratio (N − df + ½)/(df + ½) instead of its logarithm — documented
+    variant: log is a libm transcendental whose last bit differs
+    across engines, while the raw ratio keeps every term score a
+    single IEEE division of EXACT integers (the oracle-exactness
+    discipline). Monotone per term in the classic idf, same tf/length
+    saturation. Denominators clear completely:
+
+        score_t = (2N−2df_t+1)·22·L·tf_t
+                  ───────────────────────────────── (one double div)
+                  (2df_t+1)·(10·L·tf_t + 3·L + 9·dl·N)
+
+    with N docs, L total tokens, dl the doc's token count — every
+    factor an exact integer, products routed through decimal(38,0)
+    (convention 7), and the per-doc score the FIXED-ORDER sum of the
+    per-term doubles (identical expression tree in SQL, so bit-equal).
+
+    Scale shape: one corpus scan (token counts + term tf in the same
+    pass), term tf filtered to the ≤|terms| literal set BEFORE any
+    shuffle (the explode output for non-query terms never leaves the
+    map side), df/N/L as two 1-row-per-term / 1-row broadcast frames.
+    Returns (id, dl, tf_<term>..., score)."""
+    if not terms:
+        raise ValueError("terms must name at least one query term")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate query terms: {terms!r}")
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        token_count_ws(F.col(text_col)).cast("bigint").alias("dl"),
+        words(F.col(text_col)).alias("__w"),
+    )
+    tf_raw = (
+        base.select("id", F.explode("__w").alias("w"))
+        .filter(F.col("w").isin(list(terms)))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    tf = tf_raw.groupBy("id").pivot("w", list(terms)).sum("tf")
+    tf = tf.select(
+        "id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"tf_{t}") for t in terms]
+    )
+    # conditional counts, not a pivot: a global agg over an EMPTY
+    # (doc, term) frame still returns one all-zero row, so a query
+    # whose terms match nothing scores every document exactly 0.0
+    # instead of producing an empty result
+    df_row = tf_raw.agg(
+        *[
+            F.count(F.when(F.col("w") == t, 1)).cast("bigint").alias(f"df_{t}")
+            for t in terms
+        ]
+    )
+    nl = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    scored = (
+        base.select("id", "dl")
+        .join(tf, "id", "left")
+        .crossJoin(F.broadcast(df_row))
+        .crossJoin(F.broadcast(nl))
+    )
+    dec = "decimal(38,0)"
+
+    def term_score(t):
+        tf_c = F.coalesce(F.col(f"tf_{t}"), F.lit(0)).cast("bigint")
+        df_c = F.col(f"df_{t}")
+        num = (
+            (F.lit(2) * F.col("n_docs") - F.lit(2) * df_c + F.lit(1)).cast(dec)
+            * F.lit(22).cast(dec)
+            * F.col("total_tokens").cast(dec)
+            * tf_c.cast(dec)
+        )
+        den = (F.lit(2) * df_c + F.lit(1)).cast(dec) * (
+            F.lit(10).cast(dec) * F.col("total_tokens").cast(dec) * tf_c.cast(dec)
+            + F.lit(3).cast(dec) * F.col("total_tokens").cast(dec)
+            + F.lit(9).cast(dec) * F.col("dl").cast(dec) * F.col("n_docs").cast(dec)
+        )
+        return num.cast("double") / den.cast("double")
+
+    score = term_score(terms[0])
+    for t in terms[1:]:
+        score = score + term_score(t)
+    return scored.select(
+        F.col("id"),
+        "dl",
+        *[F.coalesce(F.col(f"tf_{t}"), F.lit(0)).cast("bigint").alias(f"tf_{t}") for t in terms],
+        score.alias("score"),
+    )

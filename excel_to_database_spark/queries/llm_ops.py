@@ -4863,3 +4863,123 @@ def q213_pipeline_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_packs"),
         F.sum("sum_weight").cast("bigint").alias("sum_gram_weight"),
     )
+
+
+_Q215_TERMS = ["join", "vector", "stream", "window"]
+
+
+def _q215_oracle() -> str:
+    w = T.SQL_WORDS.format(t="text")
+    tok = T.SQL_TOKEN_COUNT_WS.format(t="text")
+    tf_cols = ",\n                 ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _Q215_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(COUNT(CASE WHEN tf_{t} > 0 THEN 1 END) AS BIGINT) AS df_{t}"
+        for t in _Q215_TERMS
+    )
+    score = "\n             + ".join(
+        f"(CAST((2*n_docs - 2*df_{t} + 1) * 22 * total_tokens * tf_{t} AS DOUBLE)"
+        f" / CAST((2*df_{t} + 1) * (10*total_tokens*tf_{t} + 3*total_tokens"
+        f" + 9*dl*n_docs) AS DOUBLE))"
+        for t in _Q215_TERMS
+    )
+    tf_sel = ", ".join(f"tf_{t}" for t in _Q215_TERMS)
+    return f"""
+    WITH base AS (SELECT doc_id, CAST({tok} AS BIGINT) AS dl, {w} AS w
+                  FROM documents),
+    tf AS (SELECT doc_id, dl,
+                 {tf_cols}
+           FROM base),
+    nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS total_tokens
+           FROM base),
+    dfr AS (SELECT {df_cols} FROM tf)
+    SELECT doc_id, dl, {tf_sel},
+           {score} AS score
+    FROM tf, nl, dfr
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("q215_bm25_keyword_topk", _q215_oracle())
+def q215_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed keyword query through
+    operators/text.bm25_scores — the lexical-retrieval complement to
+    the embedding ANN family (contamination probes and topical
+    subsetting are keyword hunts before they are vector hunts). BM25
+    shape (k1 = 6/5, b = 3/4) with the RAW idf ratio instead of its
+    log (a libm transcendental would break oracle exactness); every
+    term score is one IEEE division of exact integers (denominators
+    cleared, products through decimal(38,0)) and the doc score the
+    fixed-order sum of the term scores, so the DuckDB replay is
+    bit-identical. Global top-10 by (score DESC, doc_id) compiles to
+    TakeOrderedAndProject — no global sort."""
+    d = t(spark, sf_dir, "documents")
+    scored = T.bm25_scores(d, "doc_id", "text", _Q215_TERMS)
+    return (
+        scored.orderBy(F.desc("score"), "id")
+        .limit(10)
+        .select(
+            F.col("id").alias("doc_id"),
+            "dl",
+            *[f"tf_{t}" for t in _Q215_TERMS],
+            "score",
+        )
+    )
+
+
+def _q216_oracle() -> str:
+    w = T.SQL_WORDS.format(t="text")
+    return f"""
+    WITH base AS (SELECT source, {w} AS w FROM documents),
+    g AS (SELECT source,
+                 UNNEST(CASE WHEN len(w) >= 2
+                        THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                        ELSE CAST([] AS VARCHAR[]) END) AS gram
+          FROM base),
+    c AS (SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS n_occ
+          FROM g GROUP BY source, gram),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n_occ DESC, gram) AS rn
+          FROM c)
+    SELECT source, gram, n_occ, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 5
+    """
+
+
+@query("q216_top_bigrams_per_source", _q216_oracle())
+def q216_top_bigrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent word bigrams PER SOURCE — the boilerplate
+    forensics report (a source whose top bigrams are navigation
+    chrome needs q142's line removal before it joins the mixture).
+    Scale shape: the occurrence stream folds to the (source, gram)
+    TYPE table in one map-side-combinable aggregation; the per-source
+    top-k then ranks the type table through selection.group_rank
+    (value_desc, gram tiebreak) — the skew-safe primitive applied to
+    a derived table: even if one source dominates the corpus, ranking
+    cost is bounded by one partition's share of its distinct-gram set,
+    and the raw occurrence stream is never windowed at all."""
+    from excel_to_database_spark.operators.selection import group_rank
+
+    d = t(spark, sf_dir, "documents")
+    w = F.col("__w")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select("source", T.words(F.col("text")).alias("__w"))
+        .select("source", F.explode(grams).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+    ranked = group_rank(
+        counts, "source", "n_occ", "gram", out_col="rn", value_desc=True
+    )
+    return ranked.filter(F.col("rn") <= 5).select("source", "gram", "n_occ", "rn")

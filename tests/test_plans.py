@@ -292,6 +292,9 @@ def test_group_rank_consumers_no_group_only_window(spark, sf_dir):
         # round-15: per-type LAG through group_shift (rank + balanced
         # self-equi-join), never a type-only window
         ("q214_event_gap_profile", "event_type#"),
+        # round-15: per-source top bigrams rank the (source, gram)
+        # TYPE table through group_rank — no source-only window
+        ("q216_top_bigrams_per_source", "source#"),
     ):
         plan = _plan(spark, sf_dir, q)
         assert "Exchange SinglePartition" not in plan, q
@@ -336,4 +339,18 @@ def test_pipeline_fused_no_documents_rescan_q213(spark, sf_dir):
     ]
     assert not scans, f"returned plan re-scans documents: {scans[:2]}"
     assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the pinned frame
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_take_ordered_q215(spark, sf_dir):
+    """q215's global top-10 must compile to TakeOrderedAndProject
+    (per-partition heaps + one merge), never a global sort; the only
+    joins are the tf equi-join and the two 1-row broadcast stat
+    frames (BroadcastNestedLoopJoin on a 1-row side is the intended
+    shape, same as bigram_lm_fluency's vocab frame; the Exchange
+    SinglePartition feeding the 1-row N/L and df aggregates is the
+    normal global-agg final step over map-side partials — counts, not
+    data rows — so it is NOT asserted away here)."""
+    plan = _plan(spark, sf_dir, "q215_bm25_keyword_topk")
+    assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan

@@ -579,3 +579,56 @@ def test_group_shift_rejects_zero_offset_and_empty_payload(spark):
         SEL.group_shift(df, "g", "v", "id", ["v"], offsets=(0,))
     with pytest.raises(ValueError, match="payload_cols"):
         SEL.group_shift(df, "g", "v", "id", [])
+
+
+# ---------------------------------------------------------------- bm25
+def test_bm25_scores_match_hand_formula(spark):
+    """bm25_scores equals the cleared-denominator formula computed by
+    hand: docs with all/some/none of the query terms, plus the
+    df/N/L bookkeeping. Python floats ARE IEEE doubles, so equality
+    is exact, not approximate."""
+    rows = [
+        (1, "join join window scan"),          # two terms, tf 2/1
+        (2, "vector vector vector"),           # one term, tf 3
+        (3, "scan table row"),                 # no query terms
+        (4, "join stream stream window scan"),  # three terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["join", "vector", "stream", "window"]
+    got = {
+        r["id"]: (r["dl"], tuple(r[f"tf_{t}"] for t in terms), r["score"])
+        for r in T.bm25_scores(df, "doc_id", "text", terms).collect()
+    }
+    toks = {i: t.split() for i, t in rows}
+    N = len(rows)
+    L = sum(len(w) for w in toks.values())
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+
+    def score(i):
+        dl = len(toks[i])
+        s = 0.0
+        for t in terms:
+            tf = toks[i].count(t)
+            num = (2 * N - 2 * dfreq[t] + 1) * 22 * L * tf
+            den = (2 * dfreq[t] + 1) * (10 * L * tf + 3 * L + 9 * dl * N)
+            s = s + float(num) / float(den)
+        return s
+
+    for i, _ in rows:
+        dl = len(toks[i])
+        assert got[i] == (dl, tuple(toks[i].count(t) for t in terms), score(i)), i
+
+
+def test_bm25_no_matching_terms_scores_zero(spark):
+    """Query terms absent from the whole corpus must yield all-zero
+    scores over ALL docs (the empty-(doc,term)-frame edge: a pivot
+    would produce an empty stat frame and silently drop every row)."""
+    df = spark.createDataFrame(
+        [(1, "scan table row"), (2, "group agg")], "doc_id long, text string"
+    )
+    out = T.bm25_scores(df, "doc_id", "text", ["nonexistent"]).collect()
+    assert {r["id"]: r["score"] for r in out} == {1: 0.0, 2: 0.0}
+    with pytest.raises(ValueError, match="terms"):
+        T.bm25_scores(df, "doc_id", "text", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        T.bm25_scores(df, "doc_id", "text", ["a", "a"])
