@@ -198,6 +198,9 @@ HEADLINE = [
     "q214_event_gap_profile",
     "q215_bm25_keyword_topk",
     "q216_top_bigrams_per_source",
+    # round-15 late addition: hybrid lexical+vector retrieval (RRF of
+    # BM25 and exact-cosine ranks, both through global_rank)
+    "q217_hybrid_rrf_search",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

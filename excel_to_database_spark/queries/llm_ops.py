@@ -4983,3 +4983,136 @@ def q216_top_bigrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts, "source", "n_occ", "gram", out_col="rn", value_desc=True
     )
     return ranked.filter(F.col("rn") <= 5).select("source", "gram", "n_occ", "rn")
+
+
+def _q217_oracle() -> str:
+    w = T.SQL_WORDS.format(t="text")
+    tok = T.SQL_TOKEN_COUNT_WS.format(t="text")
+    tf_cols = ",\n                 ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _Q215_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(COUNT(CASE WHEN tf_{t} > 0 THEN 1 END) AS BIGINT) AS df_{t}"
+        for t in _Q215_TERMS
+    )
+    score = "\n               + ".join(
+        f"(CAST((2*n_docs - 2*df_{t} + 1) * 22 * total_tokens * tf_{t} AS DOUBLE)"
+        f" / CAST((2*df_{t} + 1) * (10*total_tokens*tf_{t} + 3*total_tokens"
+        f" + 9*dl*n_docs) AS DOUBLE))"
+        for t in _Q215_TERMS
+    )
+    return f"""
+    WITH cand AS (SELECT d.doc_id, d.text, e.embedding
+                  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    base AS (SELECT doc_id, CAST({tok} AS BIGINT) AS dl, {w} AS w FROM cand),
+    tf AS (SELECT doc_id, dl,
+                 {tf_cols}
+           FROM base),
+    nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS total_tokens
+           FROM base),
+    dfr AS (SELECT {df_cols} FROM tf),
+    lex AS (SELECT doc_id,
+                 {score} AS bm25
+            FROM tf, nl, dfr),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 7),
+    dims AS (SELECT UNNEST(generate_series(1, len(q))) AS i FROM qv),
+    e2 AS (SELECT c.doc_id,
+                  CAST(CAST(c.embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)
+                       AS DECIMAL(30,12)) AS xy,
+                  CAST(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,12)) AS xx,
+                  CAST(CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)
+                       AS DECIMAL(30,12)) AS qq
+           FROM cand c CROSS JOIN qv CROSS JOIN dims),
+    vec AS (SELECT doc_id,
+                   CAST(SUM(xy) AS DOUBLE)
+                   / (SQRT(CAST(SUM(xx) AS DOUBLE)) * SQRT(CAST(SUM(qq) AS DOUBLE)))
+                       AS cosine
+            FROM e2 GROUP BY doc_id),
+    rl AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+           FROM lex),
+    rv AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+           FROM vec)
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           1.0 / (60 + lex_rank) + 1.0 / (60 + vec_rank) AS rrf_score
+    FROM rl JOIN rv USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("q217_hybrid_rrf_search", _q217_oracle())
+def q217_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion of the lexical (BM25,
+    q215's log-free exact arithmetic) and vector (exact decimal-routed
+    cosine vs a fixed query embedding, q80's fold) rankers over the
+    documents∩embeddings candidate set — the two-tower search pattern
+    every retrieval pipeline runs, fused engine-side. RRF =
+    1/(60+r_lex) + 1/(60+r_vec) with k=60, both ranks EXACT global
+    ranks from ``selection.global_rank`` on the negated scores (the
+    (value, id) tiebreak reproduces ROW_NUMBER ... DESC, doc_id) — a
+    ROW_NUMBER over a single global window here would plan the exact
+    Exchange-SinglePartition funnel the rank primitive exists to
+    avoid, so at 100 TB candidates both rank passes stay distributed.
+    Final top-10 by (rrf DESC, doc_id) is a TakeOrderedAndProject.
+    Every score is an IEEE expression over exact integers/decimals
+    (IEEE sqrt is correctly rounded), so the DuckDB replay is
+    bit-identical end to end."""
+    from excel_to_database_spark.operators.selection import global_rank
+
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    cand = d.join(e, d["doc_id"] == e["vec_id"]).select("doc_id", "text", "embedding")
+    lex = T.bm25_scores(cand, "doc_id", "text", _Q215_TERMS).select(
+        F.col("id").alias("doc_id"), F.col("score").alias("bm25")
+    )
+
+    def dfold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, x: (acc + x).cast("decimal(30,12)"),
+        ).cast("double")
+
+    qv = e.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+    sq = lambda c: dfold(  # noqa: E731
+        F.transform(c, lambda a: (a.cast("double") * a.cast("double")).cast("decimal(30,12)"))
+    )
+    vec = (
+        cand.select("doc_id", "embedding")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            (
+                dfold(
+                    F.zip_with(
+                        "embedding",
+                        "q",
+                        lambda a, b: (a.cast("double") * b.cast("double")).cast(
+                            "decimal(30,12)"
+                        ),
+                    )
+                )
+                / (F.sqrt(sq("embedding")) * F.sqrt(sq("q")))
+            ).alias("cosine"),
+        )
+    )
+    rl = global_rank(
+        lex.select("doc_id", (-F.col("bm25")).alias("neg")), "neg", "doc_id", "lex_rank"
+    ).select("doc_id", "lex_rank")
+    rv = global_rank(
+        vec.select("doc_id", (-F.col("cosine")).alias("neg")), "neg", "doc_id", "vec_rank"
+    ).select("doc_id", "vec_rank")
+    fused = rl.join(rv, "doc_id").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.lit(1.0) / (F.lit(60) + F.col("lex_rank"))
+            + F.lit(1.0) / (F.lit(60) + F.col("vec_rank"))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)

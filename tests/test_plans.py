@@ -354,3 +354,17 @@ def test_bm25_topk_is_take_ordered_q215(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q215_bm25_keyword_topk")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_ranks_distributed_q217(spark, sf_dir):
+    """q217: both global rank passes must ride global_rank's bounded
+    (__pid) windows — a plain ROW_NUMBER() OVER (ORDER BY score) would
+    plan Exchange SinglePartition on the whole candidate set; the
+    final top-10 is a TakeOrderedAndProject; no cartesian (the 1-row
+    query-vector broadcast is a BroadcastNestedLoopJoin by design)."""
+    plan = _plan(spark, sf_dir, "q217_hybrid_rrf_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for l in plan.splitlines():
+        if "windowspecdefinition" in l:
+            assert "__pid" in l, f"unbounded rank window: {l.strip()[:160]}"
