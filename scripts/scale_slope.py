@@ -74,6 +74,10 @@ SLOPE_QUERIES = [
     # count read + broadcast join), so its share of the runtime must
     # SHRINK with scale; this row is the evidence
     "q167_ccnet_quality_buckets",
+    # round-15: the q208 migration pays TWO group_rank builds (median
+    # + MAD) — the largest fixed-cost delta of the round (+2.7 s at
+    # sf0.1), so its amortization gets its own slope row
+    "q208_embedding_robust_stats",
 ]
 
 
