@@ -2038,19 +2038,30 @@ def bm25_scores(
     (convention 7), and the per-doc score the FIXED-ORDER sum of the
     per-term doubles (identical expression tree in SQL, so bit-equal).
 
-    Scale shape: one corpus scan (token counts + term tf in the same
-    pass), term tf filtered to the ≤|terms| literal set BEFORE any
-    shuffle (the explode output for non-query terms never leaves the
-    map side), df/N/L as two 1-row-per-term / 1-row broadcast frames.
-    Returns (id, dl, tf_<term>..., score)."""
+    Scale shape: ONE corpus scan — the tokenized frame (id, dl, words)
+    is pinned by an EAGER localCheckpoint before it fans out to its
+    three consumers (the tf explode, the N/L aggregate, and the
+    (id, dl) join side), so each branch re-reads the pinned blocks,
+    never the source (the q213 single-scan discipline; pre-pin the
+    executed plan held 4 source FileScans and runtime bytes-read was
+    2.0× one scan — round-15 advisor finding). The pin costs one
+    linear materialization of ≈corpus-sized blocks to executor-local
+    storage, no shuffle; term tf is filtered to the ≤|terms| literal
+    set BEFORE any shuffle (the explode output for non-query terms
+    never leaves the map side), df/N/L ride two 1-row broadcast
+    frames. Returns (id, dl, tf_<term>..., score)."""
     if not terms:
         raise ValueError("terms must name at least one query term")
     if len(set(terms)) != len(terms):
         raise ValueError(f"duplicate query terms: {terms!r}")
-    base = spread(df).select(
-        F.col(id_col).alias("id"),
-        token_count_ws(F.col(text_col)).cast("bigint").alias("dl"),
-        words(F.col(text_col)).alias("__w"),
+    base = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            token_count_ws(F.col(text_col)).cast("bigint").alias("dl"),
+            words(F.col(text_col)).alias("__w"),
+        )
+        .localCheckpoint(eager=True)
     )
     tf_raw = (
         base.select("id", F.explode("__w").alias("w"))

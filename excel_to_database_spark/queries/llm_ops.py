@@ -5105,7 +5105,15 @@ def q217_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     e = t(spark, sf_dir, "embeddings")
-    cand = d.join(e, d["doc_id"] == e["vec_id"]).select("doc_id", "text", "embedding")
+    # pin the candidate set ONCE before it fans out to the two towers
+    # (round-15 advisor finding: unpinned, each branch rebuilt the
+    # documents⋈embeddings join from the parquet — the q213 defect
+    # class). One scan of each table, both towers read the blocks.
+    cand = (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select("doc_id", "text", "embedding")
+        .localCheckpoint(eager=True)
+    )
     lex = T.bm25_scores(cand, "doc_id", "text", _Q215_TERMS).select(
         F.col("id").alias("doc_id"), F.col("score").alias("bm25")
     )

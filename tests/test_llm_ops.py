@@ -2849,6 +2849,79 @@ def test_pipeline_fused_runtime_single_corpus_read_q213(spark, sf_dir):
     )
 
 
+def test_bm25_runtime_single_corpus_read_q215(spark, sf_dir):
+    """RUNTIME scan-count contract for bm25_scores (round-15 advisor
+    finding, the q213 defect class): pre-pin, `base` fed three
+    unpinned plan branches (tf explode, N/L aggregate, (id, dl) join
+    side) — 4 documents FileScans in the executed plan and 2.0× one
+    reference scan of runtime bytes. Post-pin (eager localCheckpoint
+    of the tokenized frame), building + collecting q215 reads exactly
+    1× (measured sf0.001 ledger: ref 5954 = footer + pruned
+    doc_id/text data; q215 = 5954). Bound 1.25× separates with margin
+    on both sides."""
+    from excel_to_database_spark.queries import QUERIES
+
+    b0 = _hadoop_file_bytes_read(spark)
+    ref_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # same column set bm25 reads (doc_id, text) — pruned-scan reference
+    ref_df.selectExpr("sum(length(concat_ws('|', doc_id, text)))").collect()
+    b1 = _hadoop_file_bytes_read(spark)
+    one_scan = b1 - b0
+    assert one_scan > 0
+
+    rows = QUERIES["q215_bm25_keyword_topk"](spark, sf_dir).collect()
+    b2 = _hadoop_file_bytes_read(spark)
+    assert rows and rows[0]["score"] > 0
+    q215_bytes = b2 - b1
+    assert q215_bytes <= 1.25 * one_scan, (
+        f"q215 read {q215_bytes}b vs reference {one_scan}b — "
+        "bm25_scores re-scanned the corpus at runtime"
+    )
+
+
+def test_hybrid_runtime_single_candidate_build_q217(spark, sf_dir):
+    """RUNTIME scan-count contract for the hybrid retriever: the
+    documents⋈embeddings candidate set is pinned ONCE (eager
+    localCheckpoint) before fanning out to the lexical and vector
+    towers — pre-pin each branch rebuilt the join from the parquet
+    (round-15 advisor finding). The fixed 1-row query-vector probe is
+    calibrated separately and subtracted: its filtered-scan path
+    bypasses the vectorized reader and books ~the whole (tiny) file
+    as checksummed page reads (measured 67608b on a 193KB sf0.001
+    file — a reader-path accounting artifact, not a corpus re-scan),
+    which would otherwise dominate the denominator and hide a real
+    re-scan. Post-pin measured ledger at sf0.001: q217 − qv_ref =
+    10098 = exactly docs_ref + emb_ref (ratio 1.0); the pre-pin shape
+    adds ≥3 candidate rebuilds (~2.5×). Bound 1.3×."""
+    from excel_to_database_spark.queries import QUERIES
+
+    b0 = _hadoop_file_bytes_read(spark)
+    dref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dref.selectExpr("sum(length(concat_ws('|', doc_id, text)))").collect()
+    eref = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eref.selectExpr("sum(length(concat_ws('|', vec_id, embedding)))").collect()
+    b1 = _hadoop_file_bytes_read(spark)
+    ref_scans = b1 - b0
+    # same shape as the query's internal 1-row probe (vec_id == 7)
+    import pyspark.sql.functions as F
+
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") == 7
+    ).select("embedding").collect()
+    b2 = _hadoop_file_bytes_read(spark)
+    qv_ref = b2 - b1
+    assert ref_scans > 0
+
+    rows = QUERIES["q217_hybrid_rrf_search"](spark, sf_dir).collect()
+    b3 = _hadoop_file_bytes_read(spark)
+    assert len(rows) == 10
+    q217_bytes = (b3 - b2) - qv_ref
+    assert q217_bytes <= 1.3 * ref_scans, (
+        f"q217 read {q217_bytes}b (qv-adjusted) vs reference "
+        f"{ref_scans}b — the candidate set was rebuilt per tower"
+    )
+
+
 def test_embedding_robust_stats_reference_many_vectors_few_dims(spark):
     """The skew shape the round-15 migration exists for (few dims x
     many vectors — every dim holds ALL N rows, the per-dim window
