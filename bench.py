@@ -228,14 +228,20 @@ def _timed_reps(run_once, after_rep=None) -> list[float]:
     """BENCH_REPS timed calls of ``run_once`` plus up to REP_RETRY_MAX
     spread-triggered retries (see REP_SPREAD_BAR). ``after_rep`` runs
     UNTIMED after each rep (cache eviction — outside the timed span,
-    matching every prior round's methodology). Returns all rep times —
-    callers median over the full list."""
-    reps = []
+    matching every prior round's methodology). Returns all rep times
+    (rounded for storage) — callers median over the full list.
+
+    The spread gate computes on the UNROUNDED perf_counter deltas
+    (round-15 advisor: a sub-millisecond rep rounded to 0.0 silently
+    disabled the gate via the ``min > 0`` guard, and 3-decimal
+    rounding distorted max/min near the 1.6 bar); rounding happens
+    only at return."""
+    raw: list[float] = []
 
     def one():
         start = time.perf_counter()
         run_once()
-        reps.append(round(time.perf_counter() - start, 3))
+        raw.append(time.perf_counter() - start)
         if after_rep is not None:
             after_rep()
 
@@ -243,14 +249,83 @@ def _timed_reps(run_once, after_rep=None) -> list[float]:
         one()
     extra = 0
     while (
-        len(reps) >= 2
-        and min(reps) > 0
-        and max(reps) / min(reps) > REP_SPREAD_BAR
+        len(raw) >= 2
+        and min(raw) > 0
+        and max(raw) / min(raw) > REP_SPREAD_BAR
         and extra < REP_RETRY_MAX
     ):
         one()
         extra += 1
-    return reps
+    return [round(r, 3) for r in raw]
+
+
+def _git_head() -> "str | None":
+    """Current commit hash — stamps each recording so slope adoption
+    (below) only ever crosses recordings of the SAME tree."""
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        )
+        return out.stdout.strip() or None
+    except Exception:
+        return None
+
+
+def _adopt_clean_slopes(block: dict, run_dir: str, head: "str | None") -> None:
+    """Round-15 verdict #6: the driver-captured artifact led with
+    steal-contaminated 30× slope raws while the clean accepted points
+    lived in other recordings. When this run's accept/retry loop never
+    found a clean window for a query (``clean[q] is False``), adopt the
+    most recent SAME-TREE clean recording of the same (query, factor)
+    from bench_runs/ and nest this run's raw row as provenance — the
+    shipped artifact is then self-consistently clean, with nothing
+    hidden. No same-tree clean history → the raw row ships, still
+    flagged ``clean: false`` (a reader must reject it)."""
+    dirty = [q for q, ok in (block.get("clean") or {}).items() if not ok]
+    if not dirty or head is None:
+        return
+    import glob
+
+    hist = sorted(glob.glob(os.path.join(run_dir, "bench_*.json")), reverse=True)
+    factor = block.get("factor")
+    for q in dirty:
+        for path in hist:
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if rec.get("git_head") != head:
+                continue
+            adopted = False
+            for key in ("scale_slope", "scale_slope_30x"):
+                b = rec.get(key) or {}
+                if b.get("factor") != factor:
+                    continue
+                if (b.get("clean") or {}).get(q) and q in (b.get("slope") or {}):
+                    block.setdefault("adopted", {})[q] = {
+                        "from": os.path.basename(path),
+                        "raw_this_run": {
+                            "base": block["base"][q],
+                            "scaled": block["scaled"][q],
+                            "slope": block["slope"][q],
+                            "cal": (block.get("cal") or {}).get(q),
+                        },
+                    }
+                    block["base"][q] = b["base"][q]
+                    block["scaled"][q] = b["scaled"][q]
+                    block["slope"][q] = b["slope"][q]
+                    block["clean"][q] = True
+                    adopted = True
+                    break
+            if adopted:
+                break
 
 
 def sandbox_calibration(spark) -> float:
@@ -477,6 +552,11 @@ def main() -> None:
         for q, sl in out["scale_slope"]["slope"].items():
             print(f"# slope {q}: {sl}x at {factor}x rows", file=sys.stderr)
 
+    out["git_head"] = _git_head()
+    run_dir_abs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs")
+    if "scale_slope" in out:
+        _adopt_clean_slopes(out["scale_slope"], run_dir_abs, out["git_head"])
+
     # 30x slope: the same fresh-session-per-query protocol at a deeper
     # factor, RECORDED per round (round 10 kept the 30x check as a
     # one-off PLANS.md table; the round-9 artifact-vs-claim discrepancy
@@ -493,6 +573,7 @@ def main() -> None:
         from scripts.scale_slope import run_slope
 
         out["scale_slope_30x"] = run_slope(spark, sf_dir, 30)
+        _adopt_clean_slopes(out["scale_slope_30x"], run_dir_abs, out["git_head"])
         for q, sl in out["scale_slope_30x"]["slope"].items():
             print(f"# slope {q}: {sl}x at 30x rows", file=sys.stderr)
 
@@ -528,6 +609,19 @@ def main() -> None:
         compact[f"slope_{out['scale_slope']['factor']}x"] = out["scale_slope"]["slope"]
     if "scale_slope_30x" in out:
         compact["slope_30x"] = out["scale_slope_30x"]["slope"]
+    # slope-row hygiene flags (round-16): which rows were adopted from
+    # a same-tree clean recording, and which ship contaminated because
+    # no clean window exists anywhere — so the driver-captured line is
+    # self-describing about measurement quality
+    for key in ("scale_slope", "scale_slope_30x"):
+        blk = out.get(key)
+        if not blk:
+            continue
+        dirty = sorted(q for q, ok in (blk.get("clean") or {}).items() if not ok)
+        if dirty:
+            compact[f"{key}_contaminated"] = dirty
+        if blk.get("adopted"):
+            compact[f"{key}_adopted"] = sorted(blk["adopted"])
     print(json.dumps(compact, separators=(",", ":")))
 
 

@@ -84,6 +84,18 @@ def main() -> int:
         n_run += 1
         try:
             sdf = fn(spark, SF_DIR)
+            # sweep-level window-funnel lint (round-16 verdict #3):
+            # every registered query's optimized plan is checked for
+            # low-cardinality-only window partitioning — the defect
+            # class six rounds migrated off one hand-enumerated
+            # contract at a time. Violations fail the gate.
+            from excel_to_database_spark.operators.plan_lint import (
+                lint_window_funnels,
+            )
+
+            for v in lint_window_funnels(sdf, name):
+                failures.append((name, f"window-funnel lint: {v}"))
+                print(f"FAIL {name}: window-funnel lint: {v[:200]}")
             scols = sdf.columns
             srows = sdf.collect()
         except Exception as e:

@@ -314,6 +314,13 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
         "slope": {},
         "cal": {},
         "reps": {},
+        # per-query accept-loop verdict (round-16, verdict #6): True
+        # when the recorded window passed BOTH gates (cal drift ≤
+        # CAL_DRIFT_BAR and best-rep steal ≤ 10%); False when the box
+        # never settled and the least-drift attempt shipped anyway.
+        # bench.py uses this to adopt a same-tree clean recording
+        # instead of leading the artifact with a contaminated raw.
+        "clean": {},
     }
     for name in queries:
         # contaminated-window retry (round-12 protocol): a point whose
@@ -353,6 +360,7 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
                     steals.append(ss[best] / max(ts[best] * ncpu, 1e-9))
             steal_ok = all(s <= 0.10 for s in steals) if steals else True
             if drift_ok and steal_ok:
+                r["clean"] = True
                 break
             print(
                 f"# slope[{name}]: window contaminated "
@@ -379,6 +387,7 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
         out["base"][name] = r["base"]
         out["scaled"][name] = r["scaled"]
         out["slope"][name] = r["slope"]
+        out["clean"][name] = bool(r.get("clean"))
         out["cal"][name] = {
             "before": r.get("cal_before"),
             "after": r.get("cal_after"),

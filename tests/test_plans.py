@@ -390,3 +390,110 @@ def test_hybrid_rrf_ranks_distributed_q217(spark, sf_dir):
     for l in plan.splitlines():
         if "windowspecdefinition" in l:
             assert "__pid" in l, f"unbounded rank window: {l.strip()[:160]}"
+
+
+# ---------------------------------------------------------------------------
+# window-funnel lint (round-16 verdict #3): the sweep-level guard that
+# makes the low-cardinality-window defect class un-reintroducible
+# ---------------------------------------------------------------------------
+
+
+def test_window_lint_flags_group_only_window(spark, sf_dir):
+    """A window partitioned solely by a low-cardinality domain column
+    (lang) without __pid is the funnel the lint exists to catch."""
+    from pyspark.sql.window import Window
+
+    from excel_to_database_spark.operators.plan_lint import lint_window_funnels
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = d.select(
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    hits = lint_window_funnels(bad, "q999_bad")
+    assert hits and "lang#" in hits[0]
+
+
+def test_window_lint_accepts_pid_composite_and_high_cardinality(spark, sf_dir):
+    """__pid co-partitioning (the group_rank contract) and composites
+    with a high-cardinality component are balanced — no hit. The
+    showcase allowlist suppresses its three documented queries."""
+    from pyspark.sql.window import Window
+
+    from excel_to_database_spark.operators.plan_lint import (
+        SHOWCASE_ALLOWLIST,
+        lint_window_funnels,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pid = d.withColumn("__pid", F.spark_partition_id())
+    ok = pid.select(
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("__pid", "lang").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    assert lint_window_funnels(ok, "q999_pid") == []
+    comp = d.select(
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang", "doc_id").orderBy("n_chars"))
+        .alias("rn"),
+    )
+    assert lint_window_funnels(comp, "q999_comp") == []
+    bad = d.select(
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    assert SHOWCASE_ALLOWLIST == {
+        "q31_rank_lag_lead",
+        "q44_rank_distributions",
+        "q47_null_ordering",
+        "q113_lateral_topk",  # LATERAL-decorrelation surface parity
+    }
+    for name in SHOWCASE_ALLOWLIST:
+        assert lint_window_funnels(bad, name) == []
+    # the bounded-input category must carry a boundedness argument
+    from excel_to_database_spark.operators.plan_lint import (
+        BOUNDED_INPUT_ALLOWLIST,
+    )
+
+    assert set(BOUNDED_INPUT_ALLOWLIST) == {"q153_gapfill_locf"}
+    assert all(v for v in BOUNDED_INPUT_ALLOWLIST.values())
+    assert lint_window_funnels(bad, "q153_gapfill_locf") == []
+
+
+def test_window_lint_parser_units():
+    """Parser-level units: nested parens in partition expressions,
+    ordered-arg boundary detection, bare-attribute matching."""
+    from excel_to_database_spark.operators.plan_lint import (
+        _base_name,
+        _partition_cols,
+        _split_top_level,
+        window_funnels,
+    )
+
+    assert _split_top_level("a#1, f(b#2, c#3), d#4 ASC NULLS FIRST") == [
+        "a#1",
+        "f(b#2, c#3)",
+        "d#4 ASC NULLS FIRST",
+    ]
+    body = "lang#5, n#6L ASC NULLS FIRST, specifiedwindowframe(RowFrame, x, y)"
+    assert _partition_cols(body) == ["lang#5"]
+    assert _base_name("lang#13") == "lang"
+    assert _base_name("doc_id#13L") == "doc_id"
+    assert _base_name("CASE WHEN x THEN lang#3 END") is None
+    plan = (
+        "Window [row_number() windowspecdefinition(source#9, doc_id#1L ASC"
+        " NULLS FIRST, specifiedwindowframe(RowFrame, a$(), b$())) AS rn#77]"
+    )
+    assert window_funnels(plan)
+    plan_ok = plan.replace("source#9", "__pid#4, source#9")
+    assert window_funnels(plan_ok) == []
+    # a non-domain bare attribute anywhere in the clause → balanced
+    plan_ok2 = plan.replace("source#9", "cluster#9")
+    assert window_funnels(plan_ok2) == []
