@@ -201,6 +201,11 @@ HEADLINE = [
     # round-15 late addition: hybrid lexical+vector retrieval (RRF of
     # BM25 and exact-cosine ranks, both through global_rank)
     "q217_hybrid_rrf_search",
+    # round-16: token-distribution Gini per source (group_rank) and
+    # token-weighted median length (group_cumsum — per-group running
+    # sums with no group-only window)
+    "q218_token_gini_per_source",
+    "q219_weighted_median_length",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

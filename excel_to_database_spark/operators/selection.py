@@ -251,13 +251,17 @@ def global_rank(
 
       1. range-repartition on the key (Spark's distributed sort
          partitioning — every partition holds a contiguous key range);
-      2. localCheckpoint the ranged frame, EAGERLY (range boundaries
-         come from a sampling pass, so a replan would re-sample and
-         re-draw them; truncating the lineage freezes the physical
+      2. localCheckpoint the ranged frame (range boundaries come from
+         a sampling pass, so a replan would re-sample and re-draw
+         them; truncating the lineage freezes the physical
          partitioning the counts below describe — a plain persist
          bounds re-execution but NOT re-planning, so an intervening
          cache eviction could silently shift rows between partitions
          after the counts were read: the round-13 advisor finding).
+         Since round 16 the checkpoint is LAZY: the count read in
+         step 3 is the first job over the RDD, so materialization
+         folds into it — one fixed job per build instead of two,
+         with the boundaries still frozen exactly once.
          Cluster tradeoff, chosen deliberately: localCheckpoint
          blocks are NON-RELIABLE — an executor loss fails the job
          (correctly: recomputation would re-draw the boundaries) and
@@ -280,9 +284,13 @@ def global_rank(
     which is what q205's Spearman formula requires."""
     from pyspark.sql.window import Window
 
+    # eager=False: the per-partition count read below is the first job
+    # over the checkpointed RDD, so materialization folds into it —
+    # one fixed job per build instead of two (see _group_rank_build
+    # for the full argument and the round-16 A/B numbers)
     ranged = df.repartitionByRange(F.col(value_col), F.col(id_col)).withColumn(
         "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     counts = sorted(
         (r["__pid"], r["n"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -348,6 +356,8 @@ def _group_rank_build(
     out_col: str,
     max_meta_rows: int = 1 << 20,
     value_desc: bool = False,
+    weight_col: "str | None" = None,
+    cum_col: "str | None" = None,
 ):
     """Shared construction behind :func:`group_rank` and its
     consumers: EXACT within-group ranks 1..n_g by ``(value, id)``
@@ -362,7 +372,7 @@ def _group_rank_build(
          holds a contiguous (group, value, id) range, so a group
          spans CONSECUTIVE partitions and the number of distinct
          (partition, group) cells is ≤ partitions + groups − 1;
-      2. eager ``localCheckpoint`` freezes the sampled range
+      2. ``localCheckpoint`` freezes the sampled range
          boundaries (the :func:`global_rank` discipline — a persist
          bounds re-execution, not re-planning; same non-reliable-
          blocks tradeoff as documented there: executor loss fails
@@ -386,22 +396,51 @@ def _group_rank_build(
     ``(value DESC, id ASC)`` — the quality-rank order — by flipping
     the value's direction in BOTH the range partitioning and the
     window (the offset prefix-sum is direction-agnostic: partition
-    ids follow whatever order the ranges were drawn in)."""
+    ids follow whatever order the ranges were drawn in).
+
+    ``weight_col`` (round 16) additionally threads EXACT per-group
+    running sums of a bigint-castable weight through the SAME
+    construction at zero extra shuffles: the cells aggregation also
+    sums the weight per (partition, group) cell, the driver prefix-
+    sums weight offsets next to the count offsets, and ``cum_col``
+    lands as offset + a running sum over the bounded (partition,
+    group) window — a per-group cumulative sum with no group-only
+    window anywhere (weighted quantiles, Lorenz/Gini reports). With
+    ``weight_col`` set, ``totals`` maps each group to
+    ``(n_rows, weight_sum)``; NULL weights are rejected loudly (a
+    silent sum-skip would corrupt every later prefix)."""
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window
 
     vcol = F.col(value_col).desc() if value_desc else F.col(value_col).asc()
+    # eager=False (round-16 verdict #7): fold the checkpoint
+    # materialization INTO the cells-count job below — one fixed job
+    # per build instead of two. The checkpointed RDD (and its range
+    # partitioner) is created at THIS call; laziness defers only WHEN
+    # blocks materialize — the first job over them, which here is the
+    # cells read itself, so the counts describe exactly the blocks
+    # they materialized and boundaries still freeze once (the
+    # cells aggregation sits above the range shuffle, so its map
+    # stage computes — and stores — every partition). Interleaved A/B
+    # at sf0.1 (paired medians, 4 reps each): q208 4.15→3.89 s,
+    # q167 2.80→2.43 s. Same non-reliable-blocks tradeoff as before.
     ranged = df.repartitionByRange(
         F.col(group_col), vcol, F.col(id_col)
-    ).withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    ).withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)
     # bounded: ≤ partitions + groups − 1 rows (contiguity argument).
     # The limit(max+1) bounds what the driver MATERIALIZES before the
     # guard fires — a high-cardinality group key must reject loudly,
     # not OOM the driver inside the very collect the guard protects
     # (round-14 advisor finding)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if weight_col is not None:
+        aggs += [
+            F.sum(F.col(weight_col).cast("bigint")).alias("__w"),
+            F.count(F.col(weight_col)).alias("__nw"),
+        ]
     cells = (
         ranged.groupBy("__pid", group_col)
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(*aggs)
         .limit(max_meta_rows + 1)
         .collect()
     )
@@ -420,20 +459,33 @@ def _group_rank_build(
                 f"{group_col!r} has NULL value(s) — group ranks over a "
                 "NULL group are undefined here; filter or coalesce first"
             )
-        by_group.setdefault(g, []).append((r["__pid"], int(r["n"])))
+        if weight_col is not None:
+            if int(r["__nw"]) != int(r["n"]):
+                raise ValueError(
+                    f"{weight_col!r} has NULL value(s) — running sums "
+                    "over NULL weights are undefined here; filter or "
+                    "coalesce them first"
+                )
+            by_group.setdefault(g, []).append(
+                (r["__pid"], int(r["n"]), int(r["__w"]))
+            )
+        else:
+            by_group.setdefault(g, []).append((r["__pid"], int(r["n"]), 0))
     offsets, totals = [], {}
     for g, lst in by_group.items():
-        acc = 0
-        for pid, n in sorted(lst):
-            offsets.append((pid, g, acc))
+        acc = wacc = 0
+        for pid, n, wsum in sorted(lst):
+            offsets.append((pid, g, acc, wacc))
             acc += n
-        totals[g] = acc
+            wacc += wsum
+        totals[g] = (acc, wacc) if weight_col is not None else acc
     gfield = df.schema[group_col]
     off_schema = StructType(
         [
             StructField("__pid", LongType()),
             StructField(group_col, gfield.dataType),
             StructField("__goff", LongType()),
+            StructField("__woff", LongType()),
         ]
     )
     off = df.sparkSession.createDataFrame(offsets, off_schema)
@@ -445,8 +497,17 @@ def _group_rank_build(
             out_col,
             (F.col("__goff") + F.row_number().over(w)).cast("bigint"),
         )
-        .drop("__pid", "__goff")
     )
+    if weight_col is not None:
+        wsum_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked = ranked.withColumn(
+            cum_col or "cum_w",
+            (
+                F.col("__woff")
+                + F.sum(F.col(weight_col).cast("bigint")).over(wsum_frame)
+            ).cast("bigint"),
+        )
+    ranked = ranked.drop("__pid", "__goff", "__woff")
     return ranked, totals
 
 
@@ -466,6 +527,49 @@ def group_rank(
     return _group_rank_build(
         df, group_col, value_col, id_col, out_col, value_desc=value_desc
     )[0]
+
+
+def group_cumsum(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    weight_col: str,
+    cum_col: str = "cum_w",
+    rank_col: str = "rank_in_group",
+    value_desc: bool = False,
+):
+    """EXACT per-group running (prefix) sums of a bigint-castable
+    weight in ``(value, id)`` order — with NO group-only window on the
+    data path (the cumulative-sum sibling of :func:`group_rank`, same
+    construction, zero extra shuffles: the per-cell weight sums ride
+    the same bounded meta read and the running sum is bounded by one
+    partition's share of one group).
+
+    The primitive behind weighted order statistics at scale: weighted
+    medians/quantiles (first row whose running weight crosses a share
+    of the group total), Lorenz curves and Gini coefficients of token
+    distribution across documents — reports a data-mixture planner
+    runs per source on the full corpus, where a
+    ``SUM() OVER (PARTITION BY source ORDER BY …)`` window would
+    funnel each source's slice into one task.
+
+    Returns ``(frame, totals)``: the input columns plus ``rank_col``
+    (exact 1..n_g rank) and ``cum_col`` (inclusive running weight
+    sum), and ``totals`` mapping each group to its exact
+    ``(n_rows, weight_sum)`` — driver-known for free from the same
+    bounded read (the share thresholds a weighted-quantile consumer
+    needs)."""
+    return _group_rank_build(
+        df,
+        group_col,
+        value_col,
+        id_col,
+        rank_col,
+        value_desc=value_desc,
+        weight_col=weight_col,
+        cum_col=cum_col,
+    )
 
 
 def group_shift(

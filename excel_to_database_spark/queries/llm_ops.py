@@ -5164,3 +5164,133 @@ def q217_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+def _q218_oracle() -> str:
+    tok = T.SQL_TOKEN_COUNT_WS.format(t="text")
+    return f"""
+    WITH tk AS (SELECT source, doc_id, CAST({tok} AS BIGINT) AS w
+                FROM documents),
+    r AS (SELECT source, w,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY w, doc_id) AS rn
+          FROM tk)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS total_tokens,
+           CAST(SUM(rn * w) AS BIGINT) AS weighted_rank_sum,
+           CAST(2 * SUM(rn * w) - (COUNT(*) + 1) * SUM(w) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(w) AS DOUBLE) AS gini
+    FROM r GROUP BY source
+    """
+
+
+@query("q218_token_gini_per_source", _q218_oracle())
+def q218_token_gini_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution inequality per source — the Gini coefficient
+    of per-document token counts, the data-mixture planner's skew
+    report (a source where 1% of documents carry 60% of the tokens
+    packs, samples, and deduplicates very differently from a uniform
+    one). Exact identity over integer ranks:
+    ``G = (2·Σᵢ i·wᵢ − (n+1)·Σw) / (n·Σw)`` with i the 1..n rank of
+    the doc by (tokens, doc_id) ascending — numerator and denominator
+    are exact bigints, the final value ONE IEEE division, so the
+    DuckDB replay is bit-identical. Ranks come from
+    ``selection.group_rank`` (range repartition + bounded cell read),
+    never a source-only window — at 100 TB each source's slice ranks
+    across the cluster, then ONE map-side-combinable aggregation
+    folds the report."""
+    from excel_to_database_spark.operators.selection import group_rank
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source",
+        "doc_id",
+        T.token_count_ws(F.col("text")).cast("bigint").alias("w"),
+    )
+    ranked = group_rank(tk, "source", "w", "doc_id", out_col="rn")
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("rn") * F.col("w")).cast("bigint").alias("weighted_rank_sum"),
+    )
+    num = (
+        F.lit(2) * F.col("weighted_rank_sum")
+        - (F.col("n_docs") + F.lit(1)) * F.col("total_tokens")
+    ).cast("double")
+    den = (F.col("n_docs") * F.col("total_tokens")).cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "weighted_rank_sum",
+        (num / den).alias("gini"),
+    )
+
+
+def _q219_oracle() -> str:
+    tok = T.SQL_TOKEN_COUNT_WS.format(t="text")
+    return f"""
+    WITH tk AS (SELECT lang, doc_id, n_chars, CAST({tok} AS BIGINT) AS w
+                FROM documents),
+    c AS (SELECT lang, n_chars, w,
+                 SUM(w) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cw,
+                 SUM(w) OVER (PARTITION BY lang) AS wt,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM tk)
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(wt) AS BIGINT) AS total_tokens,
+           CAST(MIN(CASE WHEN 2 * cw >= wt THEN n_chars END) AS BIGINT)
+               AS weighted_median_chars
+    FROM c GROUP BY lang
+    """
+
+
+@query("q219_weighted_median_length", _q219_oracle())
+def q219_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median document length per language: the
+    n_chars value at which the RUNNING token count first reaches half
+    the language's total — "half the training tokens come from
+    documents shorter than this". The running sum rides
+    ``selection.group_cumsum`` (the group_rank construction with
+    per-cell weight sums on the same bounded meta read — no lang-only
+    SUM-OVER window anywhere); the per-lang totals are driver-known
+    for free and broadcast back as a ≤|langs|-row frame, so the
+    crossing pick is one filter + one map-side-combinable min
+    aggregation. Integer weights ⇒ the crossing decision
+    (``2·cum ≥ total``) is engine-exact."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from excel_to_database_spark.operators.selection import group_cumsum
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        T.token_count_ws(F.col("text")).cast("bigint").alias("w"),
+    )
+    cum, totals = group_cumsum(
+        tk, "lang", "n_chars", "doc_id", "w", cum_col="cw", rank_col="__rn"
+    )
+    tot_rows = [(g, n, wsum) for g, (n, wsum) in sorted(totals.items())]
+    tschema = StructType(
+        [
+            StructField("lang", d.schema["lang"].dataType),
+            StructField("__n", LongType()),
+            StructField("__wt", LongType()),
+        ]
+    )
+    tdf = spark.createDataFrame(tot_rows, tschema)
+    j = cum.join(F.broadcast(tdf), "lang")
+    return (
+        j.filter(F.lit(2) * F.col("cw") >= F.col("__wt"))
+        .groupBy("lang")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_docs"),
+            F.max("__wt").cast("bigint").alias("total_tokens"),
+            F.min("n_chars").cast("bigint").alias("weighted_median_chars"),
+        )
+    )

@@ -78,6 +78,14 @@ SLOPE_QUERIES = [
     # + MAD) — the largest fixed-cost delta of the round (+2.7 s at
     # sf0.1), so its amortization gets its own slope row
     "q208_embedding_robust_stats",
+    # round-16 (verdict #5): the hybrid retriever pays TWO global_rank
+    # builds + the BM25 chain — the most expensive round-15 addition
+    # (~3.4 s at sf0.1), so its fixed-cost amortization goes on the
+    # slope record like q167/q208's. The scaled candidate set is 10×:
+    # scaled doc_ids cover a contiguous range that contains every
+    # scaled vec_id, so the doc⋈vec join yields factor·|embeddings|
+    # candidates by construction.
+    "q217_hybrid_rrf_search",
 ]
 
 

@@ -301,6 +301,11 @@ def test_group_rank_consumers_no_group_only_window(spark, sf_dir):
         # round-16 (verdict #2): NTILE(10) reconstructed arithmetically
         # from group_rank's rn + driver-known totals — no lang-only ntile
         ("q96_length_deciles", "lang#"),
+        # round-16 new coverage: Gini ranks through group_rank; the
+        # weighted-median running sum through group_cumsum — neither
+        # may window on the bare group key
+        ("q218_token_gini_per_source", "source#"),
+        ("q219_weighted_median_length", "lang#"),
     ):
         plan = _plan(spark, sf_dir, q)
         assert "Exchange SinglePartition" not in plan, q

@@ -632,3 +632,61 @@ def test_bm25_no_matching_terms_scores_zero(spark):
         T.bm25_scores(df, "doc_id", "text", [])
     with pytest.raises(ValueError, match="duplicate"):
         T.bm25_scores(df, "doc_id", "text", ["a", "a"])
+
+
+def test_group_cumsum_equals_reference_under_skew(spark):
+    """Randomized reference for the cumulative-sum sibling: 1000 rows,
+    90% in one group, tie-heavy values — rank AND inclusive running
+    weight sum must equal the sorted-Python reference exactly, and
+    totals must carry exact (n, Σw) per group."""
+    rng = random.Random(218)
+    rows = [
+        (
+            i,
+            "big" if rng.random() < 0.9 else rng.choice(["s1", "s2"]),
+            rng.randint(0, 19),
+            rng.randint(1, 50),
+        )
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, grp string, val long, w long"
+    ).repartition(7)
+    got_df, totals = SEL.group_cumsum(
+        df, "grp", "val", "id", "w", cum_col="cw", rank_col="rn"
+    )
+    got = {r["id"]: (r["rn"], r["cw"]) for r in got_df.collect()}
+    by_g: dict = {}
+    for i, g, v, w in rows:
+        by_g.setdefault(g, []).append((v, i, w))
+    want_totals = {}
+    for g, lst in by_g.items():
+        lst.sort()
+        acc = 0
+        for rn0, (v, i, w) in enumerate(lst):
+            acc += w
+            assert got[i] == (rn0 + 1, acc), (g, i, got[i], (rn0 + 1, acc))
+        want_totals[g] = (len(lst), acc)
+    assert totals == want_totals
+
+
+def test_group_cumsum_rejects_null_weights(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, 5), (2, "a", 2, None)],
+        "id long, grp string, val long, w long",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        SEL.group_cumsum(df, "grp", "val", "id", "w")
+
+
+def test_group_cumsum_plan_no_group_only_window(spark):
+    """The running sum must ride the (__pid, group) window — never a
+    group-only SUM OVER (the funnel the primitive exists to avoid)."""
+    rows = [(i, "g", i % 5, 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string, val long, w long")
+    out, _ = SEL.group_cumsum(df, "grp", "val", "id", "w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    for l in plan.splitlines():
+        if "windowspecdefinition" in l and "grp#" in l:
+            assert "__pid" in l, l
