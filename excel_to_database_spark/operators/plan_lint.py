@@ -21,12 +21,13 @@ contract: the physical partition id bounds every window task to one
 partition's share of one group) or by any non-domain column (a
 composite with a high-cardinality component is hash-balanced).
 
-The explicit allowlist carries the documented §2.5 showcase set
-(PLANS.md design note): q31/q44/q47 exist to demonstrate parity of the
-BUILT-IN window surface (rank/lag/lead/ntile, percent_rank/cume_dist/
-nth_value, null ordering) and their outputs are O(N)-consumer-bound;
-the note records the membership rule — parity showcases of built-in
-window functions only, never an LLM-pipeline scale path.
+Two explicit, documented allowlists (PLANS.md design note): the
+built-in-surface showcase set {q31, q44, q47, q113} — queries whose
+§2-parity purpose is to certify a built-in SQL/window surface itself
+(rank/lag/lead/ntile, percent_rank/cume_dist/nth_value, null
+ordering, LATERAL decorrelation) — and the bounded-input set, for
+windows whose input frame is bounded by something other than data
+volume. Never an LLM-pipeline scale path in either.
 """
 
 from __future__ import annotations

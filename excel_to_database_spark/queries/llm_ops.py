@@ -5209,21 +5209,33 @@ def q218_token_gini_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count_ws(F.col("text")).cast("bigint").alias("w"),
     )
     ranked = group_rank(tk, "source", "w", "doc_id", out_col="rn")
+    # decimal-routed products (convention 7 / base.py): at 100 TB,
+    # rn·w reaches ~10¹⁵ per row and Σrn·w ~10²⁷ — far past bigint;
+    # decimal(38,0) keeps every intermediate exact (the oracle side is
+    # safe for free: DuckDB sums integers in hugeint). The REPORTED
+    # weighted_rank_sum column stays bigint (exact at any SF the
+    # differential harness runs; the gini arithmetic below never
+    # narrows through it).
+    dec = "decimal(38,0)"
+    prod = F.col("rn").cast("decimal(19,0)") * F.col("w").cast("decimal(19,0)")
     agg = ranked.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("w").cast("bigint").alias("total_tokens"),
-        F.sum(F.col("rn") * F.col("w")).cast("bigint").alias("weighted_rank_sum"),
+        F.sum(prod.cast(dec)).alias("__wrs_dec"),
     )
     num = (
-        F.lit(2) * F.col("weighted_rank_sum")
-        - (F.col("n_docs") + F.lit(1)) * F.col("total_tokens")
+        F.lit(2).cast(dec) * F.col("__wrs_dec")
+        - (F.col("n_docs") + F.lit(1)).cast(dec)
+        * F.col("total_tokens").cast(dec)
     ).cast("double")
-    den = (F.col("n_docs") * F.col("total_tokens")).cast("double")
+    den = (
+        F.col("n_docs").cast(dec) * F.col("total_tokens").cast(dec)
+    ).cast("double")
     return agg.select(
         "source",
         "n_docs",
         "total_tokens",
-        "weighted_rank_sum",
+        F.col("__wrs_dec").cast("bigint").alias("weighted_rank_sum"),
         (num / den).alias("gini"),
     )
 
