@@ -206,6 +206,9 @@ HEADLINE = [
     # sums with no group-only window)
     "q218_token_gini_per_source",
     "q219_weighted_median_length",
+    # round-16: privacy-governance k-anonymity audit over the QI tuple
+    # (lang, source, length bucket) — one hash agg + a groups-frame agg
+    "q220_k_anonymity_audit",
 ]
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -5306,3 +5306,63 @@ def q219_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").cast("bigint").alias("weighted_median_chars"),
         )
     )
+
+
+#: k-anonymity threshold for the q220 audit: a quasi-identifier group
+#: with fewer than K members re-identifies its rows
+_K_ANON = 5
+
+
+@query(
+    "q220_k_anonymity_audit",
+    f"""
+    WITH g AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+                      COUNT(*) AS grp_n
+               FROM documents GROUP BY lang, source, len_bucket)
+    SELECT CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(grp_n) AS BIGINT) AS k_min,
+           CAST(SUM(CASE WHEN grp_n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singleton_groups,
+           CAST(SUM(CASE WHEN grp_n < {_K_ANON} THEN grp_n ELSE 0 END)
+                AS BIGINT) AS rows_below_k,
+           CAST(SUM(CASE WHEN grp_n < {_K_ANON} THEN grp_n ELSE 0 END)
+                AS DOUBLE) / SUM(grp_n) AS pct_at_risk,
+           CAST(CASE WHEN MIN(grp_n) >= {_K_ANON} THEN 1 ELSE 0 END AS INT)
+               AS k5_anonymous
+    FROM g
+    """,
+)
+def q220_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit a training-data release runs before
+    shipping a corpus: k-anonymity over the quasi-identifier tuple
+    (lang, source, length-bucket). A QI group smaller than K=5 means
+    those rows are re-identifiable by joining public metadata alone —
+    the report counts them, the singleton groups (worst case), and
+    whether the corpus as released IS k-anonymous (``k5_anonymous``).
+    Scale shape: ONE hash aggregation over the corpus keyed by the QI
+    tuple (partial map-side combine absorbs hot groups, so a skewed
+    source can't funnel a reducer), then a second aggregate over the
+    tiny per-group frame (|groups| rows, not |corpus|). No window, no
+    join, no driver read; integer-exact except the one output
+    division."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+    )
+    g = d.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    below = F.when(F.col("grp_n") < _K_ANON, F.col("grp_n")).otherwise(F.lit(0))
+    return g.agg(
+        F.sum("grp_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("grp_n").cast("bigint").alias("k_min"),
+        F.sum((F.col("grp_n") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_singleton_groups"),
+        F.sum(below).cast("bigint").alias("rows_below_k"),
+        (F.sum(below).cast("double") / F.sum("grp_n")).alias("pct_at_risk"),
+        (F.min("grp_n") >= _K_ANON).cast("int").alias("k5_anonymous"),
+    )

@@ -2991,3 +2991,29 @@ def test_quality_rank_buckets_broadcast_fallback_many_groups(spark):
         n = len(members)
         for rank, (_, doc, _s) in enumerate(members, 1):
             assert got[doc] == (rank, n, 1 + (3 * (rank - 1)) // n), (g, doc)
+
+
+def test_k_anonymity_audit_hand_counts(spark, tmp_path):
+    """q220 on a hand-built corpus: QI = (lang, source, n_chars//100).
+    Groups: (en,a,0)x6 -> safe; (en,a,1)x3 -> below k; (de,b,0)x1 ->
+    singleton; (fr,c,2)x2 -> below k. k_min=1, 6 rows below k of 12."""
+    from excel_to_database_spark.queries.llm_ops import q220_k_anonymity_audit
+
+    rows = (
+        [(i, "x", "en", "a", 50) for i in range(6)]
+        + [(10 + i, "x", "en", "a", 150) for i in range(3)]
+        + [(20, "x", "de", "b", 10)]
+        + [(30, "x", "fr", "c", 250), (31, "x", "fr", "c", 260)]
+    )
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    out = q220_k_anonymity_audit(spark, str(tmp_path)).collect()[0]
+    assert out.n_rows == 12
+    assert out.n_groups == 4
+    assert out.k_min == 1
+    assert out.n_singleton_groups == 1
+    assert out.rows_below_k == 6
+    assert abs(out.pct_at_risk - 0.5) < 1e-12
+    assert out.k5_anonymous == 0
