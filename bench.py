@@ -285,6 +285,39 @@ def _git_head() -> "str | None":
         return None
 
 
+def _code_tree() -> "str | None":
+    """Hash of the MEASURED code only (package + bench + scripts +
+    driver entry). Same-tree slope adoption keys on this rather than
+    the commit hash: committing a run's own artifact or a PLANS.md
+    note between recordings must not orphan the session's clean
+    windows — only a change to code that affects timings should."""
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            [
+                "git",
+                "rev-parse",
+                "HEAD:excel_to_database_spark",
+                "HEAD:bench.py",
+                "HEAD:scripts",
+                "HEAD:__spark_entry__.py",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        )
+        ids = out.stdout.split()
+        if len(ids) != 4:
+            return None
+        import hashlib
+
+        return hashlib.md5("\n".join(ids).encode()).hexdigest()
+    except Exception:
+        return None
+
+
 def _adopt_clean_slopes(block: dict, run_dir: str, head: "str | None") -> None:
     """Round-15 verdict #6: the driver-captured artifact led with
     steal-contaminated 30× slope raws while the clean accepted points
@@ -300,6 +333,7 @@ def _adopt_clean_slopes(block: dict, run_dir: str, head: "str | None") -> None:
         return
     import glob
 
+    code_tree = _code_tree()
     hist = sorted(glob.glob(os.path.join(run_dir, "bench_*.json")), reverse=True)
     factor = block.get("factor")
     for q in dirty:
@@ -309,7 +343,13 @@ def _adopt_clean_slopes(block: dict, run_dir: str, head: "str | None") -> None:
                     rec = json.load(f)
             except (OSError, ValueError):
                 continue
-            if rec.get("git_head") != head:
+            # same-tree = same measured code: prefer the code-tree hash
+            # (doc/artifact commits between recordings don't change it);
+            # fall back to commit-hash equality for pre-code_tree runs
+            if code_tree is not None and rec.get("code_tree") is not None:
+                if rec["code_tree"] != code_tree:
+                    continue
+            elif rec.get("git_head") != head:
                 continue
             adopted = False
             for key in ("scale_slope", "scale_slope_30x"):
@@ -561,6 +601,7 @@ def main() -> None:
             print(f"# slope {q}: {sl}x at {factor}x rows", file=sys.stderr)
 
     out["git_head"] = _git_head()
+    out["code_tree"] = _code_tree()
     run_dir_abs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs")
     if "scale_slope" in out:
         _adopt_clean_slopes(out["scale_slope"], run_dir_abs, out["git_head"])
