@@ -1012,22 +1012,35 @@ def connected_components(
     Per-round ``localCheckpoint`` cuts the plan lineage — it
     materializes only the (node, label) frame and the contracted edge
     list (2 columns each, bounded by duplicate volume, the latter
-    shrinking), never a corpus-sized table."""
+    shrinking), never a corpus-sized table.
+
+    Round-16 fixed-job fold (the group_rank discipline): the label
+    frame and every per-round contracted edge list are LAZY
+    checkpoints — the per-round convergence count is the materializing
+    action for the round's pending checkpoints, so the loop runs ONE
+    job per round instead of two, and the two up-front eager jobs
+    shrink to one. The edge list itself stays EAGER on purpose: round
+    1 references it through two independent stage trees (the
+    propagation join and the label build), and a lazy checkpoint would
+    race two concurrent computations of the possibly-expensive pair
+    pipeline behind ``pairs``; one eager job pins it exactly once.
+    Every later lineage reads stored checkpoint blocks only, where a
+    duplicate concurrent compute is a cheap local re-read."""
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
         # materialized once: every propagation round joins the edge
-        # list, and without the checkpoint each round would re-execute
-        # the (potentially expensive) pair-generation pipeline behind
-        # ``pairs`` — measured ~1s per round on the LSH pair graph
+        # list, and without the eager checkpoint round 1's two stage
+        # trees would each re-execute the (potentially expensive)
+        # pair-generation pipeline behind ``pairs``
         .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # shuffle-hash, not sort-merge: the probe side is the full
@@ -1077,7 +1090,9 @@ def connected_components(
             .select(F.col("src_l").alias("src"), F.col("dst_l").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the NEXT round's convergence count materializes the
+            # contracted list (and on the final round it is never built)
+            .localCheckpoint(eager=False)
         )
     return labels.select("doc", F.col("label").alias("cluster"))
 
@@ -1118,6 +1133,10 @@ def transitive_closure(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        # eager ON PURPOSE (round-16 fold review): level 1 references
+        # sym THREE times (frontier, edge list, anti-join target) in
+        # one job — a lazy checkpoint would race three concurrent
+        # stage computations of the expensive pair pipeline behind it
         .localCheckpoint(eager=True)
     )
     visited = sym
@@ -1967,8 +1986,11 @@ def leakage_safe_split(
 
     100 TB shape: one shingle pass, the bounded inverted-index pair
     join, the contracted CC loop (the q100 plan), two md5 expressions,
-    and two pair⋈label equi-joins — nothing pairwise beyond the
-    near-dup machinery itself; the per-split aggregate is three rows."""
+    and ONE pair⋈label equi-join pass — both audit counters (cluster
+    split and doc-level counterfactual) ride the same joined frame as
+    two conditional sums (round-16: the two audits previously ran two
+    independent pair⋈label⋈label join trees and two crossJoined
+    1-row aggregates); the per-split aggregate is three rows."""
     from excel_to_database_spark.operators.text import hash_split
 
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -1982,31 +2004,53 @@ def leakage_safe_split(
         .join(cc, "doc", "left")
         .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
     )
-    lab = pin(hash_split(labeled, "cluster", fractions, salt=salt))
-    naive = hash_split(
-        labeled.select("doc"), "doc", fractions, salt=salt
-    ).select("doc", F.col("split").alias("nsplit"))
-
-    def leaked(frame: DataFrame, key: str, col: str) -> DataFrame:
-        a = frame.select(F.col("doc").alias("doc_a"), F.col(col).alias("_sa"))
-        b = frame.select(F.col("doc").alias("doc_b"), F.col(col).alias("_sb"))
-        return (
-            prs.join(a, "doc_a")
-            .join(b, "doc_b")
-            .filter(F.col("_sa") != F.col("_sb"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias(key))
-        )
-
-    leak_cluster = leaked(
-        lab.select("doc", "split"), "leaked_pairs_cluster_split", "split"
+    # BOTH split labelings on one frame: the cluster-keyed split (the
+    # real assignment) and the doc-keyed counterfactual — same md5
+    # bucketing expressions hash_split always used, just side by side
+    both = hash_split(labeled, "cluster", fractions, salt=salt).withColumnRenamed(
+        "split", "_cs"
     )
-    leak_doc = leaked(naive, "leaked_pairs_doc_split", "nsplit")
+    lab = pin(
+        hash_split(both, "doc", fractions, salt=salt).withColumnRenamed(
+            "split", "_ds"
+        )
+    )
+    a = lab.select(
+        F.col("doc").alias("doc_a"),
+        F.col("_cs").alias("_ca"),
+        F.col("_ds").alias("_da"),
+    )
+    b = lab.select(
+        F.col("doc").alias("doc_b"),
+        F.col("_cs").alias("_cb"),
+        F.col("_ds").alias("_db"),
+    )
+    leaks = (
+        prs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.sum((F.col("_ca") != F.col("_cb")).cast("long"))
+            .cast("bigint")
+            .alias("leaked_pairs_cluster_split"),
+            F.sum((F.col("_da") != F.col("_db")).cast("long"))
+            .cast("bigint")
+            .alias("leaked_pairs_doc_split"),
+        )
+        # a pair frame with ZERO rows must still report 0, not null
+        .select(
+            F.coalesce("leaked_pairs_cluster_split", F.lit(0))
+            .cast("bigint")
+            .alias("leaked_pairs_cluster_split"),
+            F.coalesce("leaked_pairs_doc_split", F.lit(0))
+            .cast("bigint")
+            .alias("leaked_pairs_doc_split"),
+        )
+    )
     return (
-        lab.groupBy("split")
+        lab.groupBy(F.col("_cs").alias("split"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
         )
-        .crossJoin(F.broadcast(leak_cluster))
-        .crossJoin(F.broadcast(leak_doc))
+        .crossJoin(F.broadcast(leaks))
     )

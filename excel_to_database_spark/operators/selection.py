@@ -55,12 +55,49 @@ def _pinned(df: DataFrame):
     return out, (lambda: out.unpersist())
 
 
-def _descend(df: DataFrame, col: str, k: int, descending: bool) -> tuple[int, int]:
-    """Return ``(value, residual)``: the value of the k-th row under
-    ``ORDER BY col DESC`` (or ASC), and how many of the k rows lie at
-    that value (the tie-group residual). One ≤4096-row histogram
-    aggregation per level; the frame is re-filtered to the surviving
-    bucket between levels, so each level scans fewer rows.
+def _collect_bounds(df: DataFrame, col: str) -> tuple[int, int]:
+    """min/max of ``col`` with loud degenerate-input rejection
+    (round-12 advisor finding: an empty or all-NULL frame crashed with
+    an opaque int(None) TypeError, and NULLs were silently dropped by
+    the range filter)."""
+    c = F.col(col).cast("bigint")
+    bounds = df.agg(
+        F.min(c).alias("lo"),
+        F.max(c).alias("hi"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(c).alias("n_val"),
+    ).collect()[0]
+    if not bounds["n_all"]:
+        raise ValueError(f"cannot take an order statistic of an empty frame ({col!r})")
+    if bounds["n_val"] != bounds["n_all"]:
+        raise ValueError(
+            f"{col!r} has {int(bounds['n_all']) - int(bounds['n_val'])} NULL "
+            "value(s) — order statistics over NULLs are undefined here; "
+            "filter or coalesce them first"
+        )
+    return int(bounds["lo"]), int(bounds["hi"])
+
+
+def _descend_multi(
+    df: DataFrame,
+    col: str,
+    ks: "list[int]",
+    descending: bool,
+    bounds: "tuple[int, int] | None" = None,
+) -> "dict[int, tuple[int, int]]":
+    """Histogram descent for SEVERAL ranks of the same frame/column at
+    once: returns ``{k: (value, residual)}`` where ``value`` is the
+    k-th row's value under ``ORDER BY col DESC`` (or ASC) and
+    ``residual`` is how many of the k rows lie at that value (the
+    tie-group residual). Ranks that survive into the SAME bucket keep
+    sharing one ≤4096-row histogram aggregation per level (round-16:
+    skew_report's p50/p99 descents each re-ran their own bounds
+    aggregate + per-level histograms over the identical size frame —
+    fixed driver-bound jobs, guide §1.2/§5); ranks that diverge into
+    different buckets continue as separate groups, each over its own
+    shrinking re-filtered range. ``bounds`` lets a caller that already
+    aggregated min/max (e.g. alongside other meta) skip the bounds
+    job; it must be the exact (min, max) of ``col``.
 
     Buckets are 2^s wide and indexed by ARITHMETIC SHIFT, never by
     subtraction or double division (round-12 self-review): a
@@ -70,54 +107,62 @@ def _descend(df: DataFrame, col: str, k: int, descending: bool) -> tuple[int, in
     any bigint (Java >> is sign-preserving, matching Python), and the
     difference is ≤4095 by construction."""
     c = F.col(col).cast("bigint")
-    bounds = df.agg(
-        F.min(c).alias("lo"),
-        F.max(c).alias("hi"),
-        F.count(F.lit(1)).alias("n_all"),
-        F.count(c).alias("n_val"),
-    ).collect()[0]
-    # Loud degenerate-input rejection (round-12 advisor finding: an
-    # empty or all-NULL frame crashed with an opaque int(None)
-    # TypeError, and NULLs were silently dropped by the range filter).
-    if not bounds["n_all"]:
-        raise ValueError(f"cannot take an order statistic of an empty frame ({col!r})")
-    if bounds["n_val"] != bounds["n_all"]:
-        raise ValueError(
-            f"{col!r} has {int(bounds['n_all']) - int(bounds['n_val'])} NULL "
-            "value(s) — order statistics over NULLs are undefined here; "
-            "filter or coalesce them first"
-        )
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    while True:
-        span = hi - lo + 1  # Python int: cannot overflow
-        s = max(0, span.bit_length() - 12)  # 2^12 = 4096 buckets
-        while ((hi >> s) - (lo >> s)) > _FANOUT - 1:
-            s += 1  # alignment can spill one extra bucket
-        base = lo >> s
-        bcol = (F.shiftright(c, s) if s else c) - F.lit(base)
-        hist = {
-            int(r["b"]): int(r["n"])
-            for r in (
-                df.filter((c >= lo) & (c <= hi))
-                .groupBy(bcol.alias("b"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-        }
-        order = sorted(hist, reverse=descending)
-        cum = 0
-        for b in order:
-            if cum + hist[b] >= k:
-                k -= cum
-                break
-            cum += hist[b]
-        else:  # k exceeds the row count: cutoff is the last value
-            b = order[-1]
-            k = hist[b]
-        lo = max(lo, (base + b) << s)
-        hi = min(hi, ((base + b + 1) << s) - 1)
-        if s == 0:
-            return lo, k
+    if bounds is None:
+        lo0, hi0 = _collect_bounds(df, col)
+    else:
+        lo0, hi0 = int(bounds[0]), int(bounds[1])
+    out: dict[int, tuple[int, int]] = {}
+    # each group: (lo, hi, members) with members = [(orig_k, k_left)]
+    groups = [(lo0, hi0, [(k, k) for k in set(ks)])]
+    while groups:
+        nxt = []
+        for lo, hi, members in groups:
+            span = hi - lo + 1  # Python int: cannot overflow
+            s = max(0, span.bit_length() - 12)  # 2^12 = 4096 buckets
+            while ((hi >> s) - (lo >> s)) > _FANOUT - 1:
+                s += 1  # alignment can spill one extra bucket
+            base = lo >> s
+            bcol = (F.shiftright(c, s) if s else c) - F.lit(base)
+            hist = {
+                int(r["b"]): int(r["n"])
+                for r in (
+                    df.filter((c >= lo) & (c <= hi))
+                    .groupBy(bcol.alias("b"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+            }
+            order = sorted(hist, reverse=descending)
+            prefix = []  # (bucket, rows-before-bucket)
+            cum = 0
+            for b in order:
+                prefix.append((b, cum))
+                cum += hist[b]
+            by_bucket: dict[int, list[tuple[int, int]]] = {}
+            for orig, k in members:
+                for b, before in prefix:
+                    if before + hist[b] >= k:
+                        by_bucket.setdefault(b, []).append((orig, k - before))
+                        break
+                else:  # k exceeds the row count: cutoff is the last value
+                    b = order[-1]
+                    by_bucket.setdefault(b, []).append((orig, hist[b]))
+            for b, mem in by_bucket.items():
+                nlo = max(lo, (base + b) << s)
+                nhi = min(hi, ((base + b + 1) << s) - 1)
+                if s == 0:
+                    for orig, k in mem:
+                        out[orig] = (nlo, k)
+                else:
+                    nxt.append((nlo, nhi, mem))
+        groups = nxt
+    return out
+
+
+def _descend(df: DataFrame, col: str, k: int, descending: bool) -> tuple[int, int]:
+    """Single-rank form of :func:`_descend_multi` (see there for the
+    contract and the shift-bucketing rationale)."""
+    return _descend_multi(df, col, [k], descending)[k]
 
 
 def top_k_cutoff(df: DataFrame, score_col: str, id_col: str, k: int) -> dict:
@@ -219,10 +264,25 @@ def skew_report(df: DataFrame, key_col: str, label: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("n_rows"),
         F.max("cnt").cast("bigint").alias("max_size"),
+        # min rides the same meta read so the descent needs no bounds
+        # job of its own (round-16 fixed-job fold)
+        F.min("cnt").cast("bigint").alias("min_size"),
     ).collect()[0]  # 1-row meta read
     n_keys = int(meta["n_keys"])
-    p50 = kth_value(sizes, "cnt", (n_keys + 1) // 2, descending=True)
-    p99 = kth_value(sizes, "cnt", (n_keys + 99) // 100, descending=True)
+    if n_keys == 0:
+        raise ValueError("cannot take an order statistic of an empty frame ('cnt')")
+    k50 = (n_keys + 1) // 2
+    k99 = (n_keys + 99) // 100
+    # ONE shared descent for both percentiles (plus the pre-read
+    # bounds): 2 driver-bound jobs per report instead of 5
+    res = _descend_multi(
+        sizes,
+        "cnt",
+        [k50, k99],
+        descending=True,
+        bounds=(int(meta["min_size"]), int(meta["max_size"])),
+    )
+    p50, p99 = res[k50][0], res[k99][0]
     release()
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -2868,25 +2868,29 @@ def q177_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"sp_{a}_{b}")
         )
     mo = qz.agg(*aggs)
-    outs = []
+    # ONE pass: the three matrix rows explode out of the single 1-row
+    # co-moment aggregate. The previous 3-branch union re-executed the
+    # whole signal pipeline (fluency + novelty + quality joins and the
+    # co-moment aggregation) once PER OUTPUT ROW — three corpus passes
+    # for three rows (round-16, guide §2.4: duplicated subtrees).
+    entries = []
     for a, b in pairs:
         n = F.col("n")
         r = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")) / (
             F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
             * F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
         )
-        outs.append(
-            mo.select(
+        entries.append(
+            F.struct(
                 F.lit(a).alias("signal_a"),
                 F.lit(b).alias("signal_b"),
-                "n",
+                n.alias("n"),
                 r.alias("pearson_r"),
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return mo.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.signal_a", "e.signal_b", "e.n", "e.pearson_r"
+    )
 
 
 @query(
@@ -2933,15 +2937,26 @@ def q178_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = pin(D.shingles(d, "doc_id", "text", 3))
     cand = D.lsh_candidates(
         D.minhash_signatures(sh, num_hashes=16), bands=4, rows=4
+    ).withColumn("_c", F.lit(1).cast("long"))
+    truth = (
+        D.jaccard_pairs(sh, threshold=0.6)
+        .select("doc_a", "doc_b")
+        .withColumn("_t", F.lit(1).cast("long"))
     )
-    truth = D.jaccard_pairs(sh, threshold=0.6).select("doc_a", "doc_b")
-    hit = cand.join(truth, ["doc_a", "doc_b"])
-    ns = (
-        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
-        .crossJoin(
-            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-        )
-        .crossJoin(hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+    # ONE full-outer pass over the two (distinct-keyed) pair sets
+    # yields all three counts together. The previous shape (hit inner
+    # join + three crossJoined 1-row aggregates) executed the exact
+    # Jaccard truth join and the banded candidate join TWICE each —
+    # once for their own counts and once more inside the hit subtree
+    # (round-16, guide §2.4: duplicated subtrees).
+    flags = cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+    ns = flags.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_true"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n_candidates"),
+        # _c * _t is null unless the pair is in BOTH sets
+        F.coalesce(F.sum(F.col("_c") * F.col("_t")), F.lit(0))
+        .cast("bigint")
+        .alias("n_hit"),
     )
     return ns.select(
         "n_true",

@@ -214,6 +214,38 @@ def test_kth_value_matches_sort(spark):
         assert SEL.kth_value(df, "v", k, descending=True) == ordered[k - 1]
 
 
+def test_descend_multi_matches_sort_randomized(spark):
+    """Round-16: the shared multi-rank descent (skew_report's p50/p99
+    now ride one histogram pass) ≡ sort, across tie-heavy, huge-range
+    (multi-level, rank divergence into different buckets), and
+    negative regimes; also exercises the caller-supplied bounds path
+    and ascending order. Fixed seed — deterministic."""
+    rng = random.Random(23)
+    for trial in range(5):
+        n = rng.randint(5, 300)
+        lo, hi = rng.choice([(0, 4), (-1000, 1000), (0, 10**13), (-2, 2)])
+        rows = [(i, rng.randint(lo, hi)) for i in range(1, n + 1)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        for desc in (True, False):
+            ordered = sorted((v for _, v in rows), reverse=desc)
+            ks = sorted({1, 2, n // 3 or 1, n // 2 or 1, n})
+            got = SEL._descend_multi(df, "v", ks, descending=desc)
+            for k in ks:
+                val, resid = got[k]
+                assert val == ordered[k - 1], (trial, desc, k)
+                # residual = how many of the first k rows share val
+                assert resid == sum(
+                    1 for v in ordered[:k] if v == val
+                ), (trial, desc, k)
+        # caller-supplied bounds (the skew_report fold) must agree
+        vs = [v for _, v in rows]
+        got_b = SEL._descend_multi(
+            df, "v", [1, n], descending=True, bounds=(min(vs), max(vs))
+        )
+        ordered = sorted(vs, reverse=True)
+        assert got_b[1][0] == ordered[0] and got_b[n][0] == ordered[n - 1]
+
+
 def test_skew_report_hand_case(spark):
     """10 keys: one hot key with 91 rows, nine with 1 — max/p50/p99
     are exact values present in the data."""
