@@ -1586,26 +1586,40 @@ def soft_dedup_weights(
     an equi-join on doc or cluster (AQE broadcasts while duplicate
     volume is small)."""
     cc = connected_components(pairs, a, b)
-    labeled = (
+    # cluster sizes from the BOUNDED cc frame alone: every member of a
+    # multi-doc cluster appears in cc exactly once, and a doc absent
+    # from cc is definitionally a singleton (size 1) — so sizing off
+    # the labeled corpus frame (the round-11..15 shape) re-ran the
+    # docs⋈cc join, i.e. a SECOND corpus scan, to learn sizes the
+    # duplicate-bounded frame already determines (round-16, guide
+    # §2.2: shuffle/scan corpus-sized data only once)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
         docs.select(
             F.col(id_col).alias("doc"),
             F.col(tokens_col).cast("bigint").alias("n_tokens"),
         )
         .join(cc, "doc", "left")
-        .withColumn("cluster", F.coalesce("cluster", F.col("doc")))
-    )
-    sizes = labeled.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return labeled.join(sizes, "cluster").select(
-        "doc",
-        "cluster",
-        "cluster_size",
-        "n_tokens",
-        (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
-        (F.col("n_tokens").cast("double") / F.col("cluster_size")).alias(
-            "eff_tokens"
-        ),
+        # a NULL cluster (singleton) matches nothing; coalesce to 1
+        .join(sizes, "cluster", "left")
+        .select(
+            "doc",
+            F.coalesce("cluster", F.col("doc")).alias("cluster"),
+            F.coalesce("cluster_size", F.lit(1).cast("bigint")).alias(
+                "cluster_size"
+            ),
+            "n_tokens",
+        )
+        .select(
+            "doc",
+            "cluster",
+            "cluster_size",
+            "n_tokens",
+            (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+            (F.col("n_tokens").cast("double") / F.col("cluster_size")).alias(
+                "eff_tokens"
+            ),
+        )
     )
 
 
@@ -1845,15 +1859,24 @@ def lsh_tune(
         .select("gp", "doc_a", "doc_b")
         .distinct()
     )
-    ncand = cand.groupBy("gp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
-    )
-    nhit = (
-        cand.join(truth, ["doc_a", "doc_b"])
+    # ONE pass over the candidate set for BOTH counts: a left join
+    # tags each candidate with truth membership and a single groupBy
+    # emits n_candidates and n_hit together (round-16, the q178
+    # fusion: the previous shape read the pinned cand twice and ran a
+    # separate inner hit join + aggregate)
+    met = (
+        cand.join(
+            truth.withColumn("_t", F.lit(1).cast("long")),
+            ["doc_a", "doc_b"],
+            "left",
+        )
         .groupBy("gp")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
     )
-    # left joins off a literal grid frame: a grid point with ZERO
+    # left join off a literal grid frame: a grid point with ZERO
     # candidates must still emit its row (n_candidates = n_hit = 0)
     gp_col = F.col("id").cast("int")
     bands_expr, rows_expr = F.lit(None), F.lit(None)
@@ -1866,8 +1889,7 @@ def lsh_tune(
         rows_expr.cast("int").alias("rows_per_band"),
     )
     per_point = (
-        base.join(F.broadcast(ncand), "gp", "left")
-        .join(F.broadcast(nhit), "gp", "left")
+        base.join(F.broadcast(met), "gp", "left")
         .select(
             "bands",
             "rows_per_band",
