@@ -62,7 +62,22 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     staged = spread(df).select(
         F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w")
     )
-    w = F.col("w")
+    return shingles_from_words(staged, "doc", "w", n)
+
+
+def shingles_from_words(
+    df: DataFrame, id_col: str, words_col: str, n: int = 3
+) -> DataFrame:
+    """The shingle construction of :func:`shingles` over an ALREADY
+    tokenized frame (``words_col`` an array<string> of whitespace
+    tokens, ``text.words`` order) — for callers that need the words
+    array for something else too (q168's n_tokens = size(words)) and
+    pin ONE tokenize pass instead of scanning/splitting the corpus
+    once per consumer (round-16, guide §2.3). The caller controls
+    repartitioning (``shingles`` applies ``spread`` before
+    tokenizing); output contract is identical: distinct word n-grams
+    as (doc, shingle)."""
+    w = F.col(words_col)
     grams = F.when(
         F.size(w) >= n,
         F.transform(
@@ -70,7 +85,10 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]),
         ),
     ).otherwise(F.array())
-    return staged.select("doc", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
 
 
 def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:

@@ -382,11 +382,25 @@ def spearman_rho(
     through :func:`global_rank` with the id tiebreaker, so ranks are
     permutations and the classical ``rho = 1 − 6·Σd²/(n(n²−1))``
     identity is EXACT: Σd² and n are exact bigints, the final rho one
-    double division. Returns one row ``(n, sum_d2, rho)``."""
-    ra = global_rank(df.select(id_col, col_a), col_a, id_col, "ra").select(
+    double division. Returns one row ``(n, sum_d2, rho)``.
+
+    The (id, a, b) input frame is pinned BEFORE the two rank builds
+    (round-16): each build materializes its localCheckpoint with a
+    driver-blocking count read during construction, so without the
+    pin the SECOND build re-scanned the source and re-evaluated both
+    signal expressions at runtime — a re-scan the plan-text audit
+    provably cannot see, because both builds vanish from the returned
+    plan as LogicalRDD leaves (measured at sf0.001: 2.5× one
+    reference documents scan before, 1.0× after; guide §2.3/§5 — the
+    first build's range-shuffle map stage computes the signals once
+    and persists them, the second build reads the cached blocks)."""
+    from excel_to_database_spark.operators.caching import pin
+
+    base = pin(df.select(id_col, col_a, col_b))
+    ra = global_rank(base.select(id_col, col_a), col_a, id_col, "ra").select(
         id_col, "ra"
     )
-    rb = global_rank(df.select(id_col, col_b), col_b, id_col, "rb").select(
+    rb = global_rank(base.select(id_col, col_b), col_b, id_col, "rb").select(
         id_col, "rb"
     )
     j = ra.join(rb, id_col)
@@ -689,7 +703,8 @@ def exact_group_quantiles(
     value_col: str,
     id_col: str,
     quantiles=(10, 50, 90),
-) -> DataFrame:
+    return_ranked: bool = False,
+):
     """EXACT per-group percentiles as order statistics — the exact
     complement to the GK sketch (q101): quantile p is the row at rank
     ``ceil(p·n/100)`` by ``(value, id)`` within the group (discrete
@@ -709,7 +724,18 @@ def exact_group_quantiles(
 
     Use the sketch when groups are huge and ±ε is fine; use this when
     the value feeds a decision that must be reproducible (budget
-    cutoffs, SLA reports)."""
+    cutoffs, SLA reports).
+
+    ``return_ranked`` (round-16) additionally returns the build's
+    checkpoint-backed ``(group, value, id)`` frame as a second result:
+    a consumer that joins the cuts back onto the SAME rows it ranked
+    (q135's winsorized clamp-and-sum) re-reads the already-
+    materialized checkpoint blocks instead of re-scanning the source
+    table — the build executes during construction and vanishes from
+    the returned plan as a LogicalRDD leaf, so without the reuse the
+    runtime pays a second source scan no plan-text audit can see
+    (measured at sf0.001: 2.0× one reference scan before, 1.0×
+    after)."""
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     qs = list(quantiles)
@@ -740,6 +766,9 @@ def exact_group_quantiles(
         F.max(F.when(F.col("__p") == p, F.col(value_col))).alias(f"p{p}")
         for p in qs
     ]
-    return hits.groupBy(group_col).agg(
+    cuts = hits.groupBy(group_col).agg(
         F.max("__n").cast("bigint").alias("n"), *agg
     )
+    if return_ranked:
+        return cuts, ranked.drop("__rn")
+    return cuts

@@ -348,15 +348,29 @@ def q135_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook low-cardinality key, and a lang-only window funnels each
     language's entire 100 TB slice into one task (the round-15 `weak`
     mark, retired here). The per-lang cut table is ≤|langs| rows,
-    broadcast back onto the corpus for one clamp-and-sum pass."""
+    broadcast back onto the corpus for one clamp-and-sum pass.
+
+    The clamp-and-sum pass rides the build's OWN checkpoint-backed
+    (lang, n_chars, doc_id) frame (``return_ranked``, round-16): the
+    rank build executes during construction, so joining the cuts back
+    onto a fresh ``documents`` scan paid a second runtime read of the
+    same three columns — invisible to the plan audit because the build
+    is a LogicalRDD leaf in the returned plan (measured at sf0.001:
+    2.0× one reference scan before, 1.0× after; guide §2.3)."""
     from excel_to_database_spark.operators.selection import exact_group_quantiles
 
     d = t(spark, sf_dir, "documents")
-    cuts = exact_group_quantiles(
-        d.select("lang", "n_chars", "doc_id"), "lang", "n_chars", "doc_id", (10, 90)
-    ).select("lang", "p10", "p90")
+    cuts, base = exact_group_quantiles(
+        d.select("lang", "n_chars", "doc_id"),
+        "lang",
+        "n_chars",
+        "doc_id",
+        (10, 90),
+        return_ranked=True,
+    )
+    cuts = cuts.select("lang", "p10", "p90")
     return (
-        d.join(F.broadcast(cuts), "lang")
+        base.join(F.broadcast(cuts), "lang")
         .groupBy("lang", "p10", "p90")
         .agg(
             F.sum(

@@ -2191,10 +2191,22 @@ def q167_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherits q159's value-exactness, so rank, n, and bucket are all
     oracle-exact."""
     d = t(spark, sf_dir, "documents")
-    fl = T.bigram_lm_fluency(d, "doc_id", "text")
-    scored = fl.join(
-        d.select(F.col("doc_id").alias("doc"), "lang"), "doc"
-    ).select("doc", "lang", "mean_prob")
+    # one tokenize-and-pin pass carries lang too (round-16): the
+    # lang join-back previously re-scanned documents for (doc_id,
+    # lang) — pruned columns, but still a second corpus pass at scale
+    base = (
+        T.spread(d)
+        .select(
+            F.col("doc_id").alias("doc"),
+            "lang",
+            T.words(F.col("text")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fl = T.bigram_lm_fluency_from_words(base, "doc", "w")
+    scored = fl.join(base.select("doc", "lang"), "doc").select(
+        "doc", "lang", "mean_prob"
+    )
     out = T.quality_rank_buckets(scored, "lang", "mean_prob", "doc")
     return out.select(
         F.col("doc").alias("doc_id"),
@@ -2243,10 +2255,28 @@ def q168_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus) never enter the closure — a left join + coalesce
     labels them — and both emitted doubles are single IEEE divisions
     of exact integers, so the whole frame is value-exact against the
-    recursive-CTE oracle."""
+    recursive-CTE oracle.
+
+    ONE tokenize pass serves both sides (round-16): the pinned
+    (doc_id, words) frame feeds the shingle pipeline (via
+    ``shingles_from_words``) AND the n_tokens projection —
+    ``token_count_ws(text)`` is definitionally ``size(words(text))``,
+    so the values are identical by construction. Pre-pin, the CC edge
+    checkpoint materialized the shingle pipeline's own documents scan
+    during construction and the returned plan re-scanned + re-split
+    the text for n_tokens — a second runtime corpus read the plan
+    audit cannot see (measured at sf0.001: 1.5× one reference scan
+    before, 1.0× after; guide §2.3)."""
+    from excel_to_database_spark.operators.caching import pin
+
     d = t(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(D.shingles(d, "doc_id", "text", 3), threshold=0.6)
-    docs = d.select("doc_id", T.token_count_ws(F.col("text")).alias("n_tokens"))
+    base = pin(
+        T.spread(d).select("doc_id", T.words(F.col("text")).alias("__w"))
+    )
+    pairs = D.jaccard_pairs(
+        D.shingles_from_words(base, "doc_id", "__w", 3), threshold=0.6
+    )
+    docs = base.select("doc_id", F.size("__w").alias("n_tokens"))
     return D.soft_dedup_weights(docs, pairs, "doc_id", "n_tokens").select(
         F.col("doc").alias("doc_id"),
         "cluster",
@@ -2819,11 +2849,25 @@ def q177_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     as an INTEGER sum, and each correlation is pure IEEE arithmetic
     over those exact sums — all three r values oracle-exact."""
     d = t(spark, sf_dir, "documents")
-    fl = T.bigram_lm_fluency(d, "doc_id", "text")
-    nv = T.bigram_novelty(d, "doc_id", "text").select("doc", "novelty")
-    qs = d.select(
-        F.col("doc_id").alias("doc"), T.quality_score(F.col("text")).alias("q")
+    # ONE tokenize-and-pin pass serves all three signals (round-16):
+    # fluency and novelty fan the tokenized frame out to their
+    # aggregate/probe branches and quality reads the raw text — built
+    # independently, the fixed plan-node audit counted SEVEN documents
+    # FileScans in this query's plan (2.5× runtime bytes). The shared
+    # eager checkpoint carries (doc, text, words) once; every branch
+    # re-reads blocks.
+    base = (
+        T.spread(d)
+        .select(
+            F.col("doc_id").alias("doc"),
+            "text",
+            T.words(F.col("text")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
     )
+    fl = T.bigram_lm_fluency_from_words(base, "doc", "w")
+    nv = T.bigram_novelty_from_words(base, "doc", "w").select("doc", "novelty")
+    qs = base.select("doc", T.quality_score(F.col("text")).alias("q"))
     sig = (
         fl.select("doc", F.col("mean_prob").alias("x_fluency"))
         .join(nv.withColumnRenamed("novelty", "x_novelty"), "doc")
@@ -3172,9 +3216,19 @@ def q181_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturated booleans are oracle-exact. The budget scalar is one
     bounded driver read of a 1-row aggregate (meta, not data plane)."""
     d = t(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(
-        F.sum(T.token_count_ws(F.col("text"))).cast("bigint").alias("avail_tokens"),
-        (F.length(F.first("source")) % 3 + 1).cast("bigint").alias("weight"),
+    # pinned (round-16): the budget-scalar collect below materializes
+    # the |sources|-row counts frame into the cache, so the returned
+    # plan reads those rows instead of re-running the corpus token
+    # aggregation from parquet — pre-pin the query paid TWO full
+    # corpus scans at runtime (2 documents FileScans in the fixed
+    # plan-node audit, 2.0× runtime bytes; 1.0× post-pin)
+    from excel_to_database_spark.operators.caching import pin
+
+    counts = pin(
+        d.groupBy("source").agg(
+            F.sum(T.token_count_ws(F.col("text"))).cast("bigint").alias("avail_tokens"),
+            (F.length(F.first("source")) % 3 + 1).cast("bigint").alias("weight"),
+        )
     )
     total = counts.agg(F.sum("avail_tokens")).collect()[0][0]  # 1-row meta read
     return T.token_budget_allocation(counts, budget=int(total) // 2)
@@ -3755,9 +3809,21 @@ def _image_replicas(d: DataFrame) -> DataFrame:
 
 def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark twin of _SQL_AHASH_FP's replica corpus (shared by
-    q190/q192/q194/q201)."""
+    q190/q192/q194/q201/q207).
+
+    The (doc_id, text) base is pinned by an EAGER localCheckpoint
+    (round-16): the corpus is a 3-branch union (originals + two
+    replica families, each a filter over the same table), and unpinned
+    every branch scanned the parquet independently — 3 documents
+    FileScans per consumer in the fixed plan-node audit (q207 banded
+    BOTH hashes over it: 6), 2.0× runtime bytes. Post-pin the branches
+    re-read the checkpointed blocks (1 scan; the union races its
+    branches inside one stage, so a LAZY pin would let concurrent
+    tasks duplicate the compute — eager is the right variant here, the
+    CC edge-list argument)."""
     d = t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
-    return d.select("doc_id", "text").unionByName(_image_replicas(d))
+    base = d.select("doc_id", "text").localCheckpoint(eager=True)
+    return base.unionByName(_image_replicas(base))
 
 
 @query(
@@ -5129,9 +5195,6 @@ def q217_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "embedding")
         .localCheckpoint(eager=True)
     )
-    lex = T.bm25_scores(cand, "doc_id", "text", _Q215_TERMS).select(
-        F.col("id").alias("doc_id"), F.col("score").alias("bm25")
-    )
 
     def dfold(arr):
         return F.aggregate(
@@ -5163,12 +5226,36 @@ def q217_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    rl = global_rank(
-        lex.select("doc_id", (-F.col("bm25")).alias("neg")), "neg", "doc_id", "lex_rank"
-    ).select("doc_id", "lex_rank")
-    rv = global_rank(
-        vec.select("doc_id", (-F.col("cosine")).alias("neg")), "neg", "doc_id", "vec_rank"
-    ).select("doc_id", "vec_rank")
+    # the two tower BUILDS are independent (both read only the pinned
+    # candidate blocks) but each blocks the driver — bm25's tokenized-
+    # frame checkpoint, then each global_rank's bounded cell-count
+    # read — so sequential construction left the cluster idle through
+    # every job's tail. Overlapped via a 2-thread pool (guide §2.6:
+    # FIFO back-fill); results are the exact same frames, only the
+    # jobs interleave. Interleaved A/B at sf0.1 via the helper's env
+    # switch: see OPTIMIZATION_r16.md.
+    from excel_to_database_spark.operators.concurrency import overlap_builds
+
+    def _lex_tower():
+        lex = T.bm25_scores(cand, "doc_id", "text", _Q215_TERMS).select(
+            F.col("id").alias("doc_id"), F.col("score").alias("bm25")
+        )
+        return global_rank(
+            lex.select("doc_id", (-F.col("bm25")).alias("neg")),
+            "neg",
+            "doc_id",
+            "lex_rank",
+        ).select("doc_id", "lex_rank")
+
+    def _vec_tower():
+        return global_rank(
+            vec.select("doc_id", (-F.col("cosine")).alias("neg")),
+            "neg",
+            "doc_id",
+            "vec_rank",
+        ).select("doc_id", "vec_rank")
+
+    rl, rv = overlap_builds(_lex_tower, _vec_tower)
     fused = rl.join(rv, "doc_id").select(
         "doc_id",
         "lex_rank",

@@ -49,17 +49,23 @@ def main() -> None:
             print(f"ERR  {name}: {type(exc).__name__}: {exc}", flush=True)
             deep_evict(spark)
             continue
-        counts = {}
-        for tbl in TABLES:
-            # formatted plans render leaves as "Scan parquet [...]
-            # .../<table>" on the node line; count node headers only
-            n = len(
-                re.findall(
-                    rf"Scan parquet[^\n]*[/ ]{tbl}\b", plan
-                )
-            )
-            if n:
-                counts[tbl] = n
+        # formatted plans print the scan's path on the DETAIL block's
+        # "Location:" line, not the node-header line — the original
+        # header-line regex matched NOTHING for path-based reads, so
+        # the audit reported 0 scans for every query (round-16 fix).
+        # Count DISTINCT node ids per table: AQE-cached relations print
+        # the same node under both "Final Plan" and "Initial Plan", so
+        # a raw Location count would double-book one scan.
+        counts: dict = {}
+        for m in re.finditer(
+            r"\((\d+)\) Scan parquet[^\n]*\n((?:(?!\(\d+\) )[^\n]*\n)*)",
+            plan,
+        ):
+            node_id, detail = m.group(1), m.group(2)
+            loc = re.search(r"Location:[^\n]*[/ ](\w+)\.parquet", detail)
+            if loc and loc.group(1) in TABLES:
+                counts.setdefault(loc.group(1), set()).add(node_id)
+        counts = {tbl: len(ids) for tbl, ids in counts.items()}
         multi = {t: c for t, c in counts.items() if c > 1}
         tag = "MULTI" if multi else "ok  "
         if multi:

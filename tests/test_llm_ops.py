@@ -2922,6 +2922,111 @@ def test_hybrid_runtime_single_candidate_build_q217(spark, sf_dir):
     )
 
 
+def test_spearman_runtime_single_corpus_read_q205(spark, sf_dir):
+    """RUNTIME scan-count contract for spearman_rho (round-16): both
+    global_rank builds materialize their checkpoints DURING query
+    construction and vanish from the returned plan as LogicalRDD
+    leaves — so pre-pin, the second build re-scanned documents and
+    re-evaluated both signal expressions at runtime with NOTHING
+    visible to a plan-text audit (measured at sf0.001: 14885b = 2.5×
+    one reference scan). Post-pin (the shared (id, a, b) frame is
+    persisted; build 1's range-shuffle map stage computes it once,
+    build 2 reads the cached blocks): 5954b = 1.0×. Bound 1.25×
+    separates the shapes with margin on both sides."""
+    from excel_to_database_spark.queries import QUERIES
+
+    b0 = _hadoop_file_bytes_read(spark)
+    ref_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref_df.selectExpr(
+        "sum(length(concat_ws('|', doc_id, text, n_chars)))"
+    ).collect()
+    b1 = _hadoop_file_bytes_read(spark)
+    one_scan = b1 - b0
+    assert one_scan > 0
+
+    rows = QUERIES["q205_spearman_rank_agreement"](spark, sf_dir).collect()
+    b2 = _hadoop_file_bytes_read(spark)
+    assert rows and rows[0]["n"] > 0
+    q205_bytes = b2 - b1
+    assert q205_bytes <= 1.25 * one_scan, (
+        f"q205 read {q205_bytes}b vs reference {one_scan}b — "
+        "a rank build re-scanned the corpus at runtime"
+    )
+
+
+def test_soft_dedup_runtime_single_corpus_read_q168(spark, sf_dir):
+    """RUNTIME scan-count contract for q168 (round-16): ONE pinned
+    (doc_id, words) tokenize pass serves the shingle pipeline AND the
+    n_tokens projection. Pre-share, the CC edge checkpoint
+    materialized the shingle pipeline's documents scan during
+    construction and the returned plan re-scanned + re-split the text
+    for token_count_ws (measured at sf0.001: 8931b = 1.5× one
+    reference scan); post-share: 5954b = 1.0×. Bound 1.25×."""
+    from excel_to_database_spark.queries import QUERIES
+
+    b0 = _hadoop_file_bytes_read(spark)
+    ref_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref_df.selectExpr("sum(length(concat_ws('|', doc_id, text)))").collect()
+    b1 = _hadoop_file_bytes_read(spark)
+    one_scan = b1 - b0
+    assert one_scan > 0
+
+    rows = QUERIES["q168_soft_dedup_weights"](spark, sf_dir).collect()
+    b2 = _hadoop_file_bytes_read(spark)
+    assert rows and all(r["cluster_size"] >= 1 for r in rows)
+    q168_bytes = b2 - b1
+    assert q168_bytes <= 1.25 * one_scan, (
+        f"q168 read {q168_bytes}b vs reference {one_scan}b — "
+        "the n_tokens side re-scanned the corpus at runtime"
+    )
+
+
+def test_winsorized_collect_rides_checkpoint_q135(spark, sf_dir):
+    """RUNTIME contract for q135 (round-16): the clamp-and-sum pass
+    rides the rank build's checkpoint-backed frame
+    (exact_group_quantiles(..., return_ranked=True)), so AFTER
+    construction the final collect reads ~0 parquet bytes. Pre-reuse,
+    the collect re-scanned documents for the cuts⋈documents join —
+    ≥ one buffered read unit (2977b at sf0.001), which the 0.25×
+    bound rejects with granularity-proof margin (the total-bytes form
+    would sit at 1.5× vs 2.0× — inside footer-read noise)."""
+    from excel_to_database_spark.queries import QUERIES
+
+    b0 = _hadoop_file_bytes_read(spark)
+    ref_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref_df.selectExpr(
+        "sum(length(concat_ws('|', lang, n_chars, doc_id)))"
+    ).collect()
+    b1 = _hadoop_file_bytes_read(spark)
+    one_scan = b1 - b0
+    assert one_scan > 0
+
+    df = QUERIES["q135_winsorized_stats"](spark, sf_dir)  # build runs here
+    b2 = _hadoop_file_bytes_read(spark)
+    rows = df.collect()
+    b3 = _hadoop_file_bytes_read(spark)
+    assert rows and all(r["p10"] <= r["p90"] for r in rows)
+    collect_bytes = b3 - b2
+    assert collect_bytes <= 0.25 * one_scan, (
+        f"q135's final collect read {collect_bytes}b of parquet vs one "
+        f"scan {one_scan}b — the clamp pass re-scanned documents "
+        "instead of riding the build's checkpoint"
+    )
+
+
+def test_hybrid_overlap_env_equivalence_q217(spark, sf_dir, monkeypatch):
+    """The q217 tower overlap (operators/concurrency.overlap_builds,
+    guide §2.6) is a SCHEDULING change only: the overlapped (default)
+    and sequential (SPARK_GRAFT_OVERLAP=0) constructions must return
+    identical top-10 rows in identical order."""
+    from excel_to_database_spark.queries import QUERIES
+
+    on = [tuple(r) for r in QUERIES["q217_hybrid_rrf_search"](spark, sf_dir).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_OVERLAP", "0")
+    off = [tuple(r) for r in QUERIES["q217_hybrid_rrf_search"](spark, sf_dir).collect()]
+    assert on == off and len(on) == 10
+
+
 def test_embedding_robust_stats_reference_many_vectors_few_dims(spark):
     """The skew shape the round-15 migration exists for (few dims x
     many vectors — every dim holds ALL N rows, the per-dim window

@@ -296,3 +296,50 @@ def test_rollup_incremental_refresh(spark, sf_dir):
         for r in incr_daily.collect()
     }
     assert a == b
+
+
+def test_overlap_builds_order_fallback_and_errors(monkeypatch):
+    """operators/concurrency.overlap_builds (guide §2.6): results come
+    back in argument order, the SPARK_GRAFT_OVERLAP=0 switch falls
+    back to sequential execution with identical results, and a failing
+    thunk propagates loudly instead of vanishing."""
+    import pytest
+
+    from excel_to_database_spark.operators.concurrency import overlap_builds
+
+    assert overlap_builds(lambda: 1) == [1]
+    assert overlap_builds(lambda: 1, lambda: 2, lambda: 3) == [1, 2, 3]
+    monkeypatch.setenv("SPARK_GRAFT_OVERLAP", "0")
+    assert overlap_builds(lambda: "a", lambda: "b") == ["a", "b"]
+    monkeypatch.delenv("SPARK_GRAFT_OVERLAP")
+
+    def boom():
+        raise ValueError("build failed")
+
+    with pytest.raises(ValueError, match="build failed"):
+        overlap_builds(lambda: 1, boom)
+
+
+def test_shingles_from_words_matches_shingles(spark):
+    """shingles_from_words over a pre-tokenized frame emits exactly
+    the (doc, shingle) rows shingles() emits from raw text — the
+    q168 single-tokenize-pass contract (round-16)."""
+    from excel_to_database_spark.operators import dedup as D
+    from excel_to_database_spark.operators.text import words
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),
+            (3, "too short"),
+            (4, ""),
+            (5, "a  b\tc   d"),
+        ],
+        ["id", "txt"],
+    )
+    a = sorted(map(tuple, D.shingles(df, "id", "txt", 3).collect()))
+    staged = df.select(F.col("id").alias("doc"), words(F.col("txt")).alias("w"))
+    b = sorted(
+        map(tuple, D.shingles_from_words(staged, "doc", "w", 3).collect())
+    )
+    assert a == b and len(a) > 0
