@@ -49,12 +49,23 @@ def funnel_times(
     to the events of that stage's type, filtered to ``ts > t_prev``,
     re-aggregated to min. All joins/aggs hash on ``key`` — one logical
     partitioning reused across the whole chain, and the survivor side
-    only ever shrinks."""
+    only ever shrinks.
+
+    Every stage frame is pinned by an EAGER localCheckpoint
+    (round-16): the frames are per-key bounded (one (key, t_i) row per
+    survivor), and a consumer that references several stages — the
+    funnel report unions one count per stage — would otherwise
+    re-execute each stage's whole prefix chain once per reference
+    (q116's plan held 10 events FileScans: 4+3+2+1; runtime bytes were
+    13.9× one reference scan, 4 pruned per-type scans after). The
+    checkpoint also means stage i+1's join reads stage i's blocks,
+    never its lineage."""
     frames: list[DataFrame] = []
     cur = (
         events.filter(F.col(type_col) == stages[0])
         .groupBy(key)
         .agg(F.min(ts).alias("t_0"))
+        .localCheckpoint(eager=True)
     )
     frames.append(cur)
     for i, stage in enumerate(stages[1:], start=1):
@@ -64,6 +75,7 @@ def funnel_times(
             .filter(F.col(ts) > F.col(f"t_{i - 1}"))
             .groupBy(key)
             .agg(F.min(ts).alias(f"t_{i}"))
+            .localCheckpoint(eager=True)
         )
         frames.append(cur)
     return frames

@@ -225,18 +225,30 @@ def tfidf_top_terms(
     ``log_idf=False`` uses the rational weight ``(N+1)/(df+1)`` —
     rank-equivalent per fixed df and bit-identical across engines
     (``ln`` is only ~1-ulp reproducible), which is what the oracle
-    uses."""
+    uses.
+
+    The tokenized (doc, words) frame is pinned by an EAGER
+    localCheckpoint (round-16): it feeds the term explode AND the
+    corpus-size aggregate — which MUST count every document including
+    token-less ones, so it cannot derive from the tf table (the
+    semantic point the round-16 checklist recorded); counting docs on
+    the pinned frame keeps that semantics at zero extra scans
+    (3 documents FileScans before, 1 after)."""
     from pyspark.sql import DataFrame as _DF  # noqa: F401
     from pyspark.sql.window import Window
 
-    tok = spread(df).select(
-        F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("term")
+    staged = (
+        spread(df)
+        .select(F.col(id_col).alias("doc"), words(F.col(text_col)).alias("__w"))
+        .localCheckpoint(eager=True)
     )
+    tok = staged.select("doc", F.explode("__w").alias("term"))
     tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a one-row broadcast frame, not a driver count() —
-    # plan construction stays job-free
-    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    # plan construction stays job-free; counted on the pinned frame
+    # (one row per doc, token-less docs included)
+    n_docs = staged.agg(F.count_distinct(F.col("doc")).alias("__n_docs"))
     ratio = (F.col("__n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")
     idf = (F.log(ratio) + 1) if log_idf else ratio
     scored = (
@@ -802,18 +814,29 @@ def dsir_importance(
     the mean-ratio form keeps the same ordering signal while staying
     transcendental-free, so the score itself is value-checkable).
 
-    Returns (doc, n_words, score). Scale shape: both bucket tables are
-    ≤``buckets`` rows (broadcast joins), the totals join as broadcast
-    1-row frames, and the only Σ-words shuffles are the two bucket
-    hash-aggregates and the final per-doc mean — nothing pairwise,
-    nothing driver-side."""
-    toks = (
+    Returns (doc, n_words, score). Scale shape (round-16): the
+    tokenized (doc, tgt, words) frame is pinned by an EAGER
+    localCheckpoint — pre-pin, the corpus/target bucket tables, the
+    totals row, and the per-word probe each re-scanned the source (4
+    documents FileScans, 3.4× runtime bytes; 1.0× post-pin) — and
+    BOTH distributions plus both totals come from ONE Σ-words
+    hash-aggregate: cb = count per bucket, tb = count_if(tgt) per
+    bucket in the same pass (a bucket with no target hits yields
+    tb = 0, exactly what the old left-join's coalesce produced), and
+    (c_total, t_total) are sums OVER the ≤``buckets``-row table, not
+    another corpus pass. One bounded broadcast table, one probe join,
+    the final per-doc mean — nothing pairwise, nothing driver-side."""
+    staged = (
         spread(df)
         .select(
             F.col(id_col).alias("doc"),
             is_target.alias("tgt"),
-            F.explode(words(F.col(text_col))).alias("w"),
+            words(F.col(text_col)).alias("w"),
         )
+        .localCheckpoint(eager=True)
+    )
+    toks = (
+        staged.select("doc", "tgt", F.explode("w").alias("w"))
         .filter(F.col("w") != "")
         .select(
             "doc",
@@ -824,21 +847,19 @@ def dsir_importance(
             ).alias("b"),
         )
     )
-    cb = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
-    tb = (
-        toks.filter("tgt")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tb"))
+    bt = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cb"),
+        F.count_if(F.col("tgt")).alias("tb"),
     )
     totals = F.broadcast(
-        toks.agg(
-            F.count(F.lit(1)).alias("c_total"),
-            F.count_if(F.col("tgt")).alias("t_total"),
+        bt.agg(
+            F.sum("cb").alias("c_total"),
+            F.sum("tb").alias("t_total"),
         )
     )
     ratio = (
         (
-            (2 * F.coalesce(F.col("tb"), F.lit(0)) + 1)
+            (2 * F.col("tb") + 1)
             * (2 * F.col("c_total") + buckets)
         ).cast("double")
         / (
@@ -846,8 +867,7 @@ def dsir_importance(
         ).cast("double")
     ).cast("decimal(30,12)")
     terms = (
-        toks.join(F.broadcast(cb), "b")
-        .join(F.broadcast(tb), "b", "left")
+        toks.join(F.broadcast(bt), "b")
         .crossJoin(totals)
         .select("doc", ratio.alias("r"))
     )
@@ -1525,11 +1545,15 @@ def padding_efficiency(df, id_col: str, len_col: str, batch_size: int = 8, n_sha
         ).cast("int")
         % n_shards
     ).cast("int")
+    # pinned (round-16): the narrow (id, tok, shard) frame feeds BOTH
+    # policy windows — unpinned each policy re-scanned the source and
+    # re-ran the (regex-heavy) length expression (2 FileScans in
+    # q189's plan, 1 after)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(len_col).cast("bigint").alias("tok"),
         shard.alias("shard"),
-    )
+    ).localCheckpoint(eager=True)
     outs = []
     for policy, order in (
         ("arrival", [F.col("id").asc()]),

@@ -290,9 +290,12 @@ def q134_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable aggregation and the totals row is a broadcast — the plan
     is a single scan at any corpus size."""
     d = t(spark, sf_dir, "documents")
+    # pinned (round-16): the |sources|-row aggregate feeds both the
+    # totals row and the final projection — unpinned the corpus
+    # aggregation ran twice (2 documents FileScans in the plan)
     tok = d.groupBy("source").agg(
         F.sum(F.expr("(n_chars + 3) div 4")).alias("avail")
-    )
+    ).localCheckpoint(eager=True)
     tot = tok.agg(
         F.sum("avail").alias("total"), F.count(F.lit(1)).alias("n_src")
     )

@@ -1324,7 +1324,15 @@ def q98_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's tokens. Corpus frequencies are one map-side-combinable
     groupBy; the join back is on the word key."""
     d = t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
+    # pinned tokenize pass (round-16): the token stream feeds the
+    # frequency aggregate AND the join-back probe — unpinned each
+    # branch re-scanned + re-split the text (2 documents FileScans)
+    staged = (
+        T.spread(d)
+        .select("doc_id", T.words(F.col("text")).alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    tok = staged.select("doc_id", F.explode("__w").alias("word"))
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("corpus_freq"))
     return (
         tok.join(freq, "word")
@@ -1482,9 +1490,13 @@ def q103_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the tiny rate table back onto the corpus, one final
     aggregation. No shuffle touches the raw text twice."""
     d = t(spark, sf_dir, "documents")
+    # pinned (round-16): the narrow (source, doc_id, toks) frame feeds
+    # the rate aggregation AND the sampling probe — unpinned each
+    # branch re-scanned the text and re-tokenized (3 documents
+    # FileScans, 2.0× runtime bytes; 1.0× post-pin)
     tok = d.select(
         "source", "doc_id", T.token_count_ws(F.col("text")).alias("toks")
-    )
+    ).localCheckpoint(eager=True)
     rates = T.mixture_rates(tok, "source", "toks").withColumnRenamed(
         "total_w", "total_tokens"
     )
@@ -1696,7 +1708,14 @@ def q115_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full sort) broadcast back onto the token stream; corpus
     frequencies are one map-side-combinable aggregation."""
     d = t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
+    # pinned tokenize pass (round-16, the q98 shape): token stream
+    # feeds the vocab aggregate AND the OOV probe
+    staged = (
+        T.spread(d)
+        .select("doc_id", T.words(F.col("text")).alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    tok = staged.select("doc_id", F.explode("__w").alias("word"))
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
     vocab = (
         freq.orderBy(F.desc("cf"), F.asc("word"))
@@ -4738,7 +4757,13 @@ def _q212_oracle() -> str:
 
 def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _SQL_VIDEO_FRAMES's clip corpus (base + re-encode
-    + head-trim replicas)."""
+    + head-trim replicas).
+
+    ``base`` is pinned by an EAGER localCheckpoint (round-16, the
+    _image_corpus fix): the corpus is a 3-branch union over it, and
+    unpinned every branch re-scanned the parquet AND re-ran the
+    ≥1100-char repeat inflation (3 documents FileScans in q212's
+    plan, 2.0× runtime bytes; 1.0× post-pin)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     base = d.select(
         "doc_id",
@@ -4746,7 +4771,7 @@ def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat(text, CAST((1100 + length(text) - 1) div length(text)"
             " AS INT))"
         ).alias("text"),
-    )
+    ).localCheckpoint(eager=True)
     re_enc = base.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 10000000).alias("doc_id"),
         F.expr(
