@@ -45,7 +45,22 @@ def main() -> int:
     from excel_to_database_spark.session import get_session
 
     only = set(sys.argv[1:])
-    spark = get_session("check-correctness", shuffle_partitions=8)
+    # isolated warehouse (the bench.py discipline): streaming queries
+    # sink through saveAsTable, and the DEFAULT warehouse dir is the
+    # cwd-shared spark-warehouse/ — a concurrent process executing the
+    # same query (another sweep, scan_audit building plans) writes into
+    # the same physical table path and inflates this run's rowcounts
+    # (observed: q204 read 184 rows vs the oracle's 113 while a
+    # concurrent audit ran the same streaming body)
+    import tempfile
+
+    spark = get_session(
+        "check-correctness",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="etds_check_wh_")
+        },
+    )
     # Silence WindowExec's unpartitioned-window WARN for THIS harness
     # only (production sessions keep it): every registered global
     # window is deliberately driver-small and documented at its site

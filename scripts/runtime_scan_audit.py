@@ -67,7 +67,19 @@ def main() -> None:
     from excel_to_database_spark.queries import ORACLES, QUERIES
     from excel_to_database_spark.session import get_session
 
-    spark = get_session("runtime-scan-audit", shuffle_partitions=8)
+    # isolated warehouse: executing a streaming query runs its
+    # saveAsTable sink — the cwd-shared default warehouse path would
+    # collide with any concurrent run of the same query (the
+    # check_correctness.py note)
+    import tempfile
+
+    spark = get_session(
+        "runtime-scan-audit",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="etds_rtaudit_wh_")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # single-full-scan reference per table: a noop write computes every

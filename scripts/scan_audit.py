@@ -33,7 +33,19 @@ def main() -> None:
     from excel_to_database_spark.queries import QUERIES
     from excel_to_database_spark.session import get_session
 
-    spark = get_session("scan-audit", shuffle_partitions=8)
+    # isolated warehouse: constructing a streaming query's plan runs
+    # its sink body (saveAsTable), and the default cwd-shared
+    # spark-warehouse/ path would collide with any concurrent sweep
+    # of the same query (the check_correctness.py note)
+    import tempfile
+
+    spark = get_session(
+        "scan-audit",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="etds_audit_wh_")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     only = set(sys.argv[1:])
     names = [n for n in sorted(QUERIES) if not only or n in only]
