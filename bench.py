@@ -213,10 +213,113 @@ HEADLINE = [
 
 BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+#: Wall-clock budget for the WHOLE bench invocation (round-16 verdict
+#: #1b: both driver runs were killed at rc=124 deep inside the slope
+#: suites — the default invocation must always reach the final print).
+#: When the budget is exhausted the remaining slope phases are skipped
+#: (and said so in the line); the headline loop itself is never cut —
+#: it is the driver's contract content and fits comfortably.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+
+#: Max stdout-line length the driver can parse: it captures a
+#: 2000-char tail of stdout and extracts the JSON line from it.
+#: Round-16 verdict #1a: the full-name per-query map (~2900 chars,
+#: query names alone 2052) NEVER fit — BENCH_r15 completed (rc=0) and
+#: still parsed null. The printed map is therefore keyed by the stable
+#: qNN prefix (unique across HEADLINE; etl_* rows keep their full
+#: names) at 2 decimals; full names + per-rep arrays + slope blocks
+#: live in the run-stamped bench_runs/ artifact the line points at.
+#: tests/test_bench_contract.py asserts the worst-case line <= this.
+COMPACT_LINE_MAX = 1800
+
 
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+
+def short_key(name: str) -> str:
+    """Stable stdout key for one bench row: the ``qNN`` prefix for
+    query rows (unique across HEADLINE — asserted in tests), the full
+    name for the few ``etl_*`` rows. Full names stay in the artifact."""
+    return name.split("_", 1)[0] if name.startswith("q") else name
+
+
+#: Overflow order for build_compact: keys dropped (in this order) only
+#: if the rendered line still exceeds COMPACT_LINE_MAX. Everything here
+#: also lives in the full bench_runs/ artifact, so dropping from the
+#: LINE loses no data — and the contract keys (metric/value/unit/
+#: queries/sf) are never in this list.
+_TRIM_ORDER = [
+    "slope_30x_skip", "slope_30x_adopt", "slope_30x_dirty", "slope_30x",
+    "slope_10x_skip", "slope_10x_adopt", "slope_10x_dirty",
+    "elapsed_s", "budget_s", "aggregation", "reps",
+    "slope_10x", "code_tree", "git_head",
+]
+
+
+def build_compact(out: dict, artifact: "str | None") -> dict:
+    """The ONE JSON line the driver parses from a 2000-char stdout
+    tail. Everything bulky (full query names, per-rep arrays, slope
+    raws) lives in the run-stamped artifact referenced by ``file``.
+    Guaranteed ≤ COMPACT_LINE_MAX when rendered with compact
+    separators: optional keys are dropped in _TRIM_ORDER until the
+    line fits (the per-query map and the contract header never are)."""
+    compact = {
+        k: v
+        for k, v in out.items()
+        if k not in ("scale_slope", "scale_slope_30x", "query_reps",
+                     "queries", "slope_skipped")
+    }
+    compact["queries"] = {
+        short_key(q): round(v, 2) for q, v in out["queries"].items()
+    }
+    # long hashes only pad the line; 12 hex chars keep them resolvable
+    for k in ("git_head", "code_tree"):
+        if isinstance(compact.get(k), str):
+            compact[k] = compact[k][:12]
+    if artifact:
+        compact["file"] = artifact
+    if out.get("slope_skipped"):
+        compact["slope_skip"] = out["slope_skipped"]
+    for key, label in (("scale_slope", None), ("scale_slope_30x", "slope_30x")):
+        blk = out.get(key)
+        if not blk:
+            continue
+        label = label or f"slope_{blk.get('factor', 10)}x"
+        compact[label] = {
+            short_key(q): round(v, 2) for q, v in blk["slope"].items()
+        }
+        # slope-row hygiene flags (round-16): which rows were adopted
+        # from a same-tree clean recording, and which ship contaminated
+        # because no clean window exists anywhere — the driver-captured
+        # line stays self-describing about measurement quality
+        dirty = sorted(
+            short_key(q) for q, ok in (blk.get("clean") or {}).items() if not ok
+        )
+        if dirty:
+            compact[f"{label}_dirty"] = dirty
+        if blk.get("adopted"):
+            compact[f"{label}_adopt"] = sorted(
+                short_key(q) for q in blk["adopted"]
+            )
+        if blk.get("skipped_budget"):
+            compact[f"{label}_skip"] = sorted(
+                short_key(q) for q in blk["skipped_budget"]
+            )
+    render = lambda d: json.dumps(d, separators=(",", ":"))  # noqa: E731
+    # static order first, then any remaining slope_* key (a non-default
+    # SPARK_GRAFT_SLOPE_FACTOR yields labels the static list can't name)
+    victims = _TRIM_ORDER + sorted(
+        k for k in compact if k.startswith("slope_") and k not in _TRIM_ORDER
+    )
+    for victim in victims:
+        if len(render(compact)) <= COMPACT_LINE_MAX:
+            break
+        if victim in compact:
+            compact.pop(victim)
+            compact["trimmed"] = True
+    return compact
 
 
 #: Accept/retry bar for ONE recording's rep spread (round-14 verdict
@@ -511,6 +614,8 @@ def main() -> None:
 
     import tempfile
 
+    bench_t0 = time.monotonic()
+    deadline = bench_t0 + BENCH_BUDGET_S
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_session(
@@ -590,15 +695,22 @@ def main() -> None:
     # deterministic 10x synthesis of sf_dir, so each round records the
     # scaling SLOPE (scaled/base, ~linear expected) next to the
     # absolute point. Not part of "value" — it is a different scale.
-    # Disable with SPARK_GRAFT_SCALE_SLOPE=0.
+    # Disable with SPARK_GRAFT_SCALE_SLOPE=0. Budget-guarded (round-16
+    # verdict #1b): the suite starts only if >120 s of budget remain
+    # and hands run_slope the hard deadline so it stops mid-suite —
+    # reaching the final print always wins over slope completeness.
     factor = int(os.environ.get("SPARK_GRAFT_SLOPE_FACTOR", "10"))
-    if os.environ.get("SPARK_GRAFT_SCALE_SLOPE", "1") != "0":
+    slope_on = os.environ.get("SPARK_GRAFT_SCALE_SLOPE", "1") != "0"
+    if slope_on and time.monotonic() < deadline - 120:
         from scripts.scale_slope import run_slope
 
-        out["scale_slope"] = run_slope(spark, sf_dir, factor)
+        out["scale_slope"] = run_slope(spark, sf_dir, factor, deadline=deadline)
         out["scale_slope"]["factor"] = factor
         for q, sl in out["scale_slope"]["slope"].items():
             print(f"# slope {q}: {sl}x at {factor}x rows", file=sys.stderr)
+    elif slope_on:
+        out["slope_skipped"] = "budget"
+        print("# scale_slope skipped: bench budget exhausted", file=sys.stderr)
 
     out["git_head"] = _git_head()
     out["code_tree"] = _code_tree()
@@ -607,30 +719,38 @@ def main() -> None:
         _adopt_clean_slopes(out["scale_slope"], run_dir_abs, out["git_head"])
 
     # 30x slope: the same fresh-session-per-query protocol at a deeper
-    # factor, RECORDED per round (round 10 kept the 30x check as a
+    # factor, RECORDED when it runs (round 10 kept the 30x check as a
     # one-off PLANS.md table; the round-9 artifact-vs-claim discrepancy
-    # was only caught because a recorded number existed, so the deeper
-    # factor now ships in the artifact too). min-of-2 per scale, same
-    # as the first block. Skipped when SPARK_GRAFT_SLOPE_FACTOR already
-    # IS 30 (the first block covered it — no double-run, no mislabel).
-    # Disable with SPARK_GRAFT_SCALE_SLOPE_30X=0.
+    # was only caught because a recorded number existed). OPT-IN since
+    # round 17 (SPARK_GRAFT_SCALE_SLOPE_30X=1): the default invocation
+    # must fit the driver's wall-clock budget, and the 10x+30x suites
+    # with 4-attempt contamination retries cost ~50 min (round-16
+    # verdict #1b — both driver runs died rc=124 inside them). Skipped
+    # when SPARK_GRAFT_SLOPE_FACTOR already IS 30 (the first block
+    # covered it — no double-run, no mislabel). Budget-guarded too.
     if (
-        os.environ.get("SPARK_GRAFT_SCALE_SLOPE", "1") != "0"
-        and os.environ.get("SPARK_GRAFT_SCALE_SLOPE_30X", "1") != "0"
+        slope_on
+        and os.environ.get("SPARK_GRAFT_SCALE_SLOPE_30X", "0") == "1"
         and factor != 30
+        and time.monotonic() < deadline - 120
     ):
         from scripts.scale_slope import run_slope
 
-        out["scale_slope_30x"] = run_slope(spark, sf_dir, 30)
+        out["scale_slope_30x"] = run_slope(spark, sf_dir, 30, deadline=deadline)
         _adopt_clean_slopes(out["scale_slope_30x"], run_dir_abs, out["git_head"])
         for q, sl in out["scale_slope_30x"]["slope"].items():
             print(f"# slope {q}: {sl}x at 30x rows", file=sys.stderr)
+    out["budget_s"] = BENCH_BUDGET_S
+    out["elapsed_s"] = round(time.monotonic() - bench_t0, 1)
 
     # the driver captures only the TAIL of stdout and parses the JSON
     # line out of it; round 7 showed the full line (with scale_slope,
-    # ~4k chars) overflows that window and loses its head, so the
-    # printed line is a compact variant that fits the window while the
-    # full result (including scale_slope) is written to disk — to a
+    # ~4k chars) overflows that window and loses its head, and round 16
+    # showed even the slope-free compact variant (~2900 chars — query
+    # names alone are 2052) never fit either (BENCH_r15: rc=0, parsed
+    # null). The printed line now keys the per-query map by the stable
+    # qNN prefix at 2 decimals (see build_compact); the FULL result —
+    # full names, per-rep arrays, slope raws — is written to disk, to a
     # RUN-STAMPED file under bench_runs/ (round-12 judge hygiene
     # finding: a fixed bench_result.json meant every driver re-run
     # overwrote the committed recording; now each run appends its own
@@ -644,34 +764,14 @@ def main() -> None:
     artifact = f"bench_runs/bench_{stamp}.json"
     with open(os.path.join(os.path.dirname(run_dir), artifact), "w") as f:
         f.write(full_line + "\n")
-    compact = {
-        k: v
-        for k, v in out.items()
-        if k not in ("scale_slope", "scale_slope_30x", "query_reps")
-    }
-    if "scale_slope" in out:
-        compact["scale_slope_file"] = artifact
-        # slope ratios inline (base/scaled seconds stay in the full
-        # file): the driver's tail window is small, and the recorded
-        # artifact must carry the slope numbers themselves — keyed by
-        # the factor that actually ran, never a hardcoded label
-        compact[f"slope_{out['scale_slope']['factor']}x"] = out["scale_slope"]["slope"]
-    if "scale_slope_30x" in out:
-        compact["slope_30x"] = out["scale_slope_30x"]["slope"]
-    # slope-row hygiene flags (round-16): which rows were adopted from
-    # a same-tree clean recording, and which ship contaminated because
-    # no clean window exists anywhere — so the driver-captured line is
-    # self-describing about measurement quality
-    for key in ("scale_slope", "scale_slope_30x"):
-        blk = out.get(key)
-        if not blk:
-            continue
-        dirty = sorted(q for q, ok in (blk.get("clean") or {}).items() if not ok)
-        if dirty:
-            compact[f"{key}_contaminated"] = dirty
-        if blk.get("adopted"):
-            compact[f"{key}_adopted"] = sorted(blk["adopted"])
-    print(json.dumps(compact, separators=(",", ":")))
+    line = json.dumps(build_compact(out, artifact), separators=(",", ":"))
+    if len(line) > COMPACT_LINE_MAX:
+        print(
+            f"# WARNING: compact line {len(line)} chars exceeds "
+            f"{COMPACT_LINE_MAX} — driver tail window may truncate it",
+            file=sys.stderr,
+        )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -287,12 +287,25 @@ def _run_one_isolated(name: str, base_dir: str, scaled_dir: str) -> dict:
     )
 
 
-def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
+def run_slope(
+    spark: SparkSession,
+    sf_dir: str,
+    factor: int = 10,
+    deadline: "float | None" = None,
+) -> dict:
     """Time SLOPE_QUERIES at sf_dir and at the synthesized factor× dir,
     EACH QUERY IN ITS OWN FRESH SESSION (separate interpreter + JVM).
     Returns {"factor", "build_s", "isolation", "base": {q: s},
     "scaled": {q: s}, "slope": {q: scaled/base}} — slope ≈ factor means
     linear scaling; slope >> factor flags a super-linear plan.
+
+    ``deadline`` (a ``time.monotonic()`` instant) is the bench budget
+    guard (round-16 verdict #1b: the 4-attempt contamination retries
+    under rolling steal burned the driver's whole wall-clock budget and
+    the run died rc=124 before the final print). Past the deadline no
+    new query starts and no retry is attempted; queries never started
+    are listed under ``skipped_budget`` so the record says what's
+    missing instead of silently narrowing.
 
     The in-suite protocol (all queries timed back-to-back in the bench
     session) recorded slopes that isolation re-runs could not reproduce
@@ -330,7 +343,15 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
         # instead of leading the artifact with a contaminated raw.
         "clean": {},
     }
-    for name in queries:
+    for qi, name in enumerate(queries):
+        if deadline is not None and time.monotonic() >= deadline:
+            out["skipped_budget"] = queries[qi:]
+            print(
+                f"# slope: budget exhausted — skipping {len(queries) - qi} "
+                f"remaining queries ({', '.join(queries[qi:])})",
+                file=sys.stderr,
+            )
+            break
         # contaminated-window retry (round-12 protocol): a point whose
         # calibration probes drifted >20% or whose best rep ran under
         # >10% hypervisor steal is re-measured up to twice; if no clean
@@ -340,6 +361,7 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
         # whiplash: the box steals 45-126 cpu-s in bursts, and one
         # burst inside a min-of-3 used to become the recorded "truth".
         attempts = []
+        clean_found = False
         for _ in range(4):
             r = _run_one_isolated(name, sf_dir, scaled_dir)
             attempts.append(r)
@@ -369,6 +391,7 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
             steal_ok = all(s <= 0.10 for s in steals) if steals else True
             if drift_ok and steal_ok:
                 r["clean"] = True
+                clean_found = True
                 break
             print(
                 f"# slope[{name}]: window contaminated "
@@ -376,8 +399,14 @@ def run_slope(spark: SparkSession, sf_dir: str, factor: int = 10) -> dict:
                 f"{[round(s, 2) for s in steals]}) — retrying",
                 file=sys.stderr,
             )
-        else:
-            # no clean window in 4 tries: record the attempt with the
+            if deadline is not None and time.monotonic() >= deadline:
+                print(
+                    f"# slope[{name}]: budget exhausted — no further retries",
+                    file=sys.stderr,
+                )
+                break
+        if not clean_found:
+            # no clean window in the attempts: record the one with the
             # least |cal drift| (its cal + steal columns still ship, so
             # a reader can reject it; the accept loop above means this
             # only happens when the box never settles)
