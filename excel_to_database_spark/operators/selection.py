@@ -159,6 +159,118 @@ def _descend_multi(
     return out
 
 
+def _grouped_descend(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    targets: "dict[object, list[tuple[object, int]]]",
+    bounds: "dict[object, tuple[int, int]]",
+    descending: bool = False,
+) -> "dict[tuple[object, object], tuple[int, int]]":
+    """Histogram descent for several ranks of several GROUPS at once —
+    the per-group generalization of :func:`_descend_multi` (round-17,
+    guide §2.4: it computes per-group order-statistic VALUES with ZERO
+    data shuffles, where the group_rank build pays a full range
+    exchange + checkpoint of the data to answer the same question).
+
+    ``targets`` maps each group value to ``[(tag, k)]`` rank requests;
+    ``bounds`` maps each group to its exact (min, max) of ``value_col``
+    (ride them on the caller's count aggregation — no bounds job here).
+    Returns ``{(group, tag): (value, residual)}`` with the same
+    per-rank contract as :func:`_descend_multi`.
+
+    Every level is ONE map-side-combinable aggregation shared by all
+    still-active (group, range) cells: a ≤|cells|-row parameter frame
+    (cell id, range, shift, base) broadcast-joins onto the data, rows
+    outside every cell's range are filtered before the aggregate, and
+    the histogram comes back keyed by (cell, bucket) — ≤4096·|cells|
+    rows. Ranges of cells sharing a group are DISJOINT buckets of the
+    parent level, so the broadcast-join fan-out is pruned right back
+    by the range filter. ``df`` should be pinned by the caller: the
+    descent makes ≤⌈log₄₀₉₆(range)⌉ passes over it."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    gfield = df.schema[group_col]
+    c = F.col(value_col).cast("bigint")
+    out: dict = {}
+    # cells: (group, lo, hi, members) with members = [(tag, k_left)]
+    cells = [
+        (g, bounds[g][0], bounds[g][1], [(tag, k) for tag, k in targets[g]])
+        for g in targets
+    ]
+    pschema = StructType(
+        [
+            StructField(group_col, gfield.dataType),
+            StructField("__cell", IntegerType()),
+            StructField("__lo", LongType()),
+            StructField("__hi", LongType()),
+            StructField("__s", IntegerType()),
+            StructField("__base", LongType()),
+        ]
+    )
+    while cells:
+        prows = []
+        shifts = []
+        for i, (g, lo, hi, _members) in enumerate(cells):
+            span = hi - lo + 1  # Python int: cannot overflow
+            s = max(0, span.bit_length() - 12)  # 2^12 = 4096 buckets
+            while ((hi >> s) - (lo >> s)) > _FANOUT - 1:
+                s += 1  # alignment can spill one extra bucket
+            shifts.append(s)
+            prows.append((g, i, lo, hi, s, lo >> s))
+        params = df.sparkSession.createDataFrame(prows, pschema)
+        # same shift-bucketing as _descend_multi (exact for any bigint
+        # range); shiftright takes the per-cell shift as a COLUMN here
+        bexpr = F.expr(
+            f"shiftright(CAST(`{value_col}` AS BIGINT), __s)"
+        ) - F.col("__base")
+        hist_rows = (
+            df.join(F.broadcast(params), group_col)
+            .filter((c >= F.col("__lo")) & (c <= F.col("__hi")))
+            .groupBy("__cell", bexpr.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )  # bounded: ≤ 4096·|cells| histogram rows
+        hists: dict[int, dict[int, int]] = {}
+        for r in hist_rows:
+            hists.setdefault(int(r["__cell"]), {})[int(r["__b"])] = int(r["__n"])
+        nxt = []
+        for i, (g, lo, hi, members) in enumerate(cells):
+            hist = hists.get(i)
+            if not hist:
+                raise ValueError(
+                    f"empty histogram for group {g!r} range [{lo}, {hi}] — "
+                    "bounds do not match the data"
+                )
+            s = shifts[i]
+            base = lo >> s
+            order = sorted(hist, reverse=descending)
+            prefix = []  # (bucket, rows-before-bucket)
+            cum = 0
+            for b in order:
+                prefix.append((b, cum))
+                cum += hist[b]
+            by_bucket: dict[int, list[tuple[object, int]]] = {}
+            for tag, k in members:
+                for b, before in prefix:
+                    if before + hist[b] >= k:
+                        by_bucket.setdefault(b, []).append((tag, k - before))
+                        break
+                else:  # k exceeds the row count: cutoff is the last value
+                    b = order[-1]
+                    by_bucket.setdefault(b, []).append((tag, hist[b]))
+            for b, mem in by_bucket.items():
+                nlo = max(lo, (base + b) << s)
+                nhi = min(hi, ((base + b + 1) << s) - 1)
+                if s == 0:
+                    for tag, k in mem:
+                        out[(g, tag)] = (nlo, k)
+                else:
+                    nxt.append((g, nlo, nhi, mem))
+        cells = nxt
+    return out
+
+
 def _descend(df: DataFrame, col: str, k: int, descending: bool) -> tuple[int, int]:
     """Single-rank form of :func:`_descend_multi` (see there for the
     contract and the shift-bucketing rationale)."""
@@ -704,45 +816,154 @@ def exact_group_quantiles(
     id_col: str,
     quantiles=(10, 50, 90),
     return_ranked: bool = False,
+    max_meta_rows: int = 1 << 20,
 ):
     """EXACT per-group percentiles as order statistics — the exact
     complement to the GK sketch (q101): quantile p is the row at rank
     ``ceil(p·n/100)`` by ``(value, id)`` within the group (discrete
     lower statistic — no interpolation, so nothing float-dependent to
-    match across engines).
+    match across engines). The VALUE at rank k under (value, id) order
+    is the k-th smallest value by multiplicity — the id tiebreaker
+    cannot change which value sits at a rank — so each cut is a pure
+    per-group order-statistic value.
 
-    Ranks come from :func:`group_rank`'s skew-safe construction —
-    ``repartitionByRange`` + bounded (partition, group) count read +
-    per-group offsets — never ``Window.partitionBy(group)`` on the
-    data path (the round-13 `weak` mark: with ~5 sources at 100 TB a
-    per-group window sorts ~20 TB in one task). Because the per-group
-    totals are driver-known from the same bounded read, each group's
-    target ranks ``⌈p·n/100⌉`` are computed exactly on the driver and
-    broadcast back as a ≤|groups|·|quantiles|-row frame; ONE equi-join
-    on (group, rank) picks every percentile row in a single pass, and
-    one pivot emits ``(group, n, p10, p50, p90, …)``.
+    Since round 17 the cuts come from :func:`_grouped_descend`, the
+    per-group histogram descent, with ZERO data shuffles: one
+    bounds+count aggregation (≤|groups| driver rows — it carries the
+    descent bounds AND the exact totals the target ranks need) plus
+    ≤⌈log₄₀₉₆(range)⌉ shared histogram levels, each one map-side-
+    combinable aggregation returning ≤4096·|groups| rows (guide §2.4).
+    The previous construction (rounds 13–16) ranked EVERY row through
+    the group_rank build — a full range exchange + localCheckpoint of
+    the data projection plus a broadcast rank-join, i.e. a 100 TB
+    shuffle to read |groups|·|quantiles| values. All target ranks of
+    all groups ride the same descent levels (the round-16 skew_report
+    multi-rank fusion, generalized per group), and the cuts frame is a
+    driver-literal table: the consumer plan contains no window, no
+    exchange and no join for the cuts at all.
 
     Use the sketch when groups are huge and ±ε is fine; use this when
     the value feeds a decision that must be reproducible (budget
     cutoffs, SLA reports).
 
-    ``return_ranked`` (round-16) additionally returns the build's
-    checkpoint-backed ``(group, value, id)`` frame as a second result:
-    a consumer that joins the cuts back onto the SAME rows it ranked
-    (q135's winsorized clamp-and-sum) re-reads the already-
-    materialized checkpoint blocks instead of re-scanning the source
-    table — the build executes during construction and vanishes from
-    the returned plan as a LogicalRDD leaf, so without the reuse the
-    runtime pays a second source scan no plan-text audit can see
-    (measured at sf0.001: 2.0× one reference scan before, 1.0×
-    after)."""
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    ``return_ranked`` (round-16 contract, kept) additionally returns
+    the build's pinned ``(group, value, id)`` frame as a second
+    result: a consumer that joins the cuts back onto the SAME rows
+    (q135's winsorized clamp-and-sum) re-reads the blocks the
+    descent's bounds pass materialized instead of re-scanning the
+    source table (measured at sf0.001: 2.0× one reference scan before
+    the round-16 reuse, 1.0× after; the descent keeps the 1.0× — its
+    levels all read the pinned blocks). The pin's lifetime follows the
+    registry's normal session-level eviction."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
 
     qs = list(quantiles)
     if not qs:
         raise ValueError("quantiles must be non-empty (e.g. (10, 50, 90))")
     if any((not isinstance(p, int)) or p <= 0 or p > 100 for p in qs):
         raise ValueError(f"quantiles must be integers in (0, 100], got {qs!r}")
+    if not isinstance(
+        df.schema[value_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        # the descent buckets by arithmetic shift, which is only exact
+        # for integral values — any other orderable dtype keeps the
+        # rank-based construction (one range exchange, still bounded)
+        return _exact_group_quantiles_ranked(
+            df, group_col, value_col, id_col, qs, return_ranked
+        )
+    base, release = _pinned(df.select(group_col, value_col, id_col))
+    c = F.col(value_col).cast("bigint")
+    # ONE bounds+count aggregation: min/max feed the descent (no bounds
+    # job of its own — the round-16 skew_report discipline), n gives
+    # the exact target ranks and the totals column the output carries.
+    # The limit bounds what the driver materializes before the
+    # cardinality guard fires (the _group_rank_build discipline).
+    meta = (
+        base.groupBy(group_col)
+        .agg(
+            F.min(c).alias("__lo"),
+            F.max(c).alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+            F.count(c).alias("__nv"),
+        )
+        .limit(max_meta_rows + 1)
+        .collect()
+    )
+    try:
+        if len(meta) > max_meta_rows:
+            raise ValueError(
+                f"exact_group_quantiles meta read exceeds "
+                f"max_meta_rows={max_meta_rows}: {group_col!r} is too "
+                "high-cardinality for the driver-literal construction"
+            )
+        bounds: dict = {}
+        totals: dict = {}
+        for r in meta:
+            g = r[group_col]
+            if g is None:
+                raise ValueError(
+                    f"{group_col!r} has NULL value(s) — group quantiles "
+                    "over a NULL group are undefined here; filter or "
+                    "coalesce first"
+                )
+            if int(r["__nv"]) != int(r["__n"]):
+                raise ValueError(
+                    f"{value_col!r} has NULL value(s) — order statistics "
+                    "over NULLs are undefined here; filter or coalesce "
+                    "them first"
+                )
+            bounds[g] = (int(r["__lo"]), int(r["__hi"]))
+            totals[g] = int(r["__n"])
+        targets = {
+            g: [(int(p), (n * p + 99) // 100) for p in qs]  # ceil(p·n/100)
+            for g, n in totals.items()
+        }
+        res = _grouped_descend(base, group_col, value_col, targets, bounds)
+    except Exception:
+        release()
+        raise
+    gfield = df.schema[group_col]
+    vfield = df.schema[value_col]
+    cschema = StructType(
+        [
+            StructField(group_col, gfield.dataType),
+            StructField("n", LongType()),
+            *[StructField(f"p{p}", vfield.dataType) for p in qs],
+        ]
+    )
+    rows = [
+        tuple([g, totals[g]] + [res[(g, int(p))][0] for p in qs])
+        for g in sorted(totals)
+    ]
+    cuts = df.sparkSession.createDataFrame(rows, cschema)
+    if return_ranked:
+        return cuts, base
+    release()
+    return cuts
+
+
+def _exact_group_quantiles_ranked(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    qs: list,
+    return_ranked: bool,
+):
+    """The rounds-13–16 construction, kept for NON-INTEGRAL value
+    dtypes the histogram descent cannot bucket: rank every row through
+    the group_rank build (range exchange + bounded cell read), compute
+    target ranks from the driver-known totals, and pick every
+    percentile row with one broadcast (group, rank) equi-join."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     ranked, totals = _group_rank_build(
         df.select(group_col, value_col, id_col), group_col, value_col, id_col, "__rn"
     )

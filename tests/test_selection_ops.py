@@ -722,3 +722,92 @@ def test_group_cumsum_plan_no_group_only_window(spark):
     for l in plan.splitlines():
         if "windowspecdefinition" in l and "grp#" in l:
             assert "__pid" in l, l
+
+
+def test_grouped_descend_quantiles_multilevel_regimes(spark):
+    """Round-17: exact_group_quantiles routes through the grouped
+    histogram descent (_grouped_descend). Equivalence vs a sorted
+    reference across the regimes _descend_multi's test covers:
+    negative values, a >2^32 span (multi-level descent, rank
+    divergence into different buckets per group), and tie-heavy small
+    ranges — with per-group ranges that differ wildly so the shared
+    parameter frame carries distinct shifts per cell."""
+    rng = random.Random(1709)
+    rows = []
+    gid = 0
+    regimes = {
+        "neg": lambda: rng.randint(-(10**6), -5),
+        "huge": lambda: rng.randint(0, 1 << 41),
+        "ties": lambda: rng.choice([3, 3, 3, 7, 7, 11]),
+        "one": lambda: 42,
+    }
+    for g, gen in regimes.items():
+        for _ in range(rng.randint(1, 300)):
+            rows.append((g, gen(), gid))
+            gid += 1
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    qs = (1, 10, 50, 90, 100)
+    got = {
+        r["g"]: tuple(r[f"p{p}"] for p in qs)
+        for r in SEL.exact_group_quantiles(df, "g", "v", "id", qs).collect()
+    }
+    for g in regimes:
+        vals = sorted(v for gg, v, _ in rows if gg == g)
+        n = len(vals)
+        want = tuple(vals[(n * p + 99) // 100 - 1] for p in qs)
+        assert got[g] == want, g
+
+
+def test_exact_group_quantiles_cuts_are_driver_literal(spark):
+    """Round-17 structural contract (guide §2.4): the cuts frame is a
+    driver-literal table — NO Exchange, NO window, NO join survives in
+    its plan (the previous construction planned a range exchange +
+    broadcast rank-join + window). The descent's work happens in
+    bounded aggregations during construction."""
+    rows = [("a", i % 97, i) for i in range(500)] + [("b", i, i + 900) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    cuts = SEL.exact_group_quantiles(df, "g", "v", "id")
+    plan = cuts._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_exact_group_quantiles_construction_job_count_bounded(spark):
+    """Round-17 (verdict #6, the skew_report job-count discipline):
+    construction submits only the bounds+count aggregation plus one
+    histogram level per ⌈log4096(range)⌉ — for a range inside one
+    4096-bucket level, that is a handful of tiny driver-bound jobs
+    (AQE splits each collect into stage jobs), never a per-rank or
+    per-group re-descent. 3 quantiles x 2 groups share every pass."""
+    sc = spark.sparkContext
+    rows = [("a", i % 100, i) for i in range(2000)] + [("b", i % 7, i + 9000) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    sc.setJobGroup("egq_jobs", "construction")
+    SEL.exact_group_quantiles(df, "g", "v", "id", (10, 50, 90))
+    sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("egq_jobs"))
+    assert 1 <= jobs <= 6, jobs
+
+
+def test_exact_group_quantiles_rejects_null_values_and_groups(spark):
+    df_nullv = spark.createDataFrame(
+        [("a", 1, 1), ("a", None, 2)], "g string, v int, id int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        SEL.exact_group_quantiles(df_nullv, "g", "v", "id")
+    df_nullg = spark.createDataFrame(
+        [("a", 1, 1), (None, 2, 2)], "g string, v int, id int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        SEL.exact_group_quantiles(df_nullg, "g", "v", "id")
+
+
+def test_exact_group_quantiles_non_integral_falls_back(spark):
+    """Doubles cannot be bucketed by arithmetic shift: the rank-based
+    construction serves them, same order-statistic semantics."""
+    rows = [("a", float(v) / 4.0, v) for v in range(1, 41)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    got = {r["g"]: (r["n"], r["p50"]) for r in SEL.exact_group_quantiles(df, "g", "v", "id").collect()}
+    vals = sorted(v for _, v, _ in rows)
+    assert got["a"] == (40, vals[(40 * 50 + 99) // 100 - 1])
