@@ -185,3 +185,137 @@ def lint_window_funnels(df, query_name: str) -> list[str]:
         return []
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     return [f"{query_name}: {h}" for h in window_funnels(plan)]
+
+
+# ---------------------------------------------------------------------------
+# Multi-scan lint (round-17, verdict #7): the round-16 hidden-re-scan
+# class — ~20 queries whose plans or runtimes read a base table 2–3.5×
+# — was found by scripts/scan_audit.py AFTER its first (vacuous) regex
+# shipped a false all-clear. Wiring the corrected counter into the
+# correctness sweep makes the class un-reintroducible: a NEW query (or
+# a regression in a fixed one) that scans a base table more than once
+# fails the gate the round it appears, unless its multi-scan semantics
+# are triaged into the allowlist below with a one-line reason.
+# ---------------------------------------------------------------------------
+
+#: Base tables of the engine's data model (parquet file stem).
+BASE_TABLES = frozenset(
+    (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings media"
+    ).split()
+)
+
+#: Queries whose >1-scan plans are LEGITIMATE semantics, triaged in
+#: round 16 (OPTIMIZATION_r16.md "Remaining >1-scan plan flags") and
+#: re-enumerated from a fresh full audit in round 17 — each entry
+#: carries its category so the next reader can re-triage. Anything NOT
+#: here that scans a base table twice fails the correctness sweep.
+MULTI_SCAN_ALLOWLIST: dict[str, str] = {
+    # -- TPC-H / relational shapes whose SEMANTICS are two passes
+    #    (correlated subquery + outer, self-join, set ops) --
+    "q19_correlated_scalar_subquery": "correlated avg subquery + outer scan",
+    "q23_cte_top_supplier": "CTE max-over-aggregate + outer scan",
+    "q27_large_quantity_orders": "HAVING-sum subquery + outer scan",
+    "q35_rich_idle_customers": "anti-join + avg subquery over customer",
+    "q38_relational_division": "division: candidate orders + universe scan",
+    "q39_self_join_pairs": "nation self-join (pairs)",
+    "q49_nation_pair_volume": "nation in two roles (supplier/customer side)",
+    "q58_multiset_ops": "INTERSECT/EXCEPT legs scan each side twice",
+    "q62_range_self_join": "events range self-join",
+    "q130_small_quantity_revenue": "Q17 shape: per-part avg subquery + outer",
+    "q131_waiting_suppliers": "Q21 shape: exists + not-exists legs",
+    "q195_min_cost_supplier": "Q2 shape: correlated min-cost subquery + outer",
+    "q196_important_supply": "Q2 family: correlated threshold subquery",
+    "q198_excess_share_suppliers": "Q20 shape: per-(part,supp) rollup + parts",
+    "q152_interval_overlap_join": "interval self-overlap join",
+    # -- temporal two-pass semantics (span/stat derivation + probe) --
+    "q105_gapfill_rollup": "span-bounds derivation + data pass",
+    "q108_asof_nearest": "two-sided nearest: before + after candidates",
+    "q117_retention_cohorts": "cohort anchor + return-visit self-join",
+    "q127_zscore_outliers": "group mean/std aggregate + row probe",
+    "q144_hypertable_rollup": "rollup + span derivation",
+    "q153_gapfill_locf": "hourly span + LOCF carry pass",
+    "q154_cumulative_distinct": "first-seen derivation + per-bucket slices",
+    # -- sketch-vs-exact verification pairs (the audit IS two passes) --
+    "q110_count_min_sketch": "CMS build + exact verify",
+    "q111_bloom_membership": "bloom build + probe",
+    "q119_heavy_hitters": "SpaceSaving shards + exact verify",
+    # -- ANN / quantization audits: index build/probe + exact twin --
+    "q80_knn_bruteforce": "1-row query-vector probe + corpus",
+    "q81_ann_hyperplane_lsh": "probe vector + corpus",
+    "q86_ann_ivf": "centroid build + assign + probe lifecycle",
+    "q162_ann_lsh_exact_twin": "ANN probe + exact twin",
+    "q163_ann_ivf_exact_twin": "IVF lifecycle + exact twin",
+    "q164_ann_ivf_pq_exact_twin": "IVF-PQ lifecycle + exact twin",
+    "q138_embedding_quantization": "original-vs-reconstructed audit",
+    "q139_product_quantization": "codebook build + encode + audit",
+    "q184_dim_ablation": "full-dim vs ablated-dim comparison",
+    "q203_jl_distortion": "original-vs-sketch pair distances",
+    "q125_semantic_dedup_blocked": "centroid derivation + assign + pair join",
+    "q169_semantic_balanced_sample": "cell derivation + assign + sample",
+    "q171_prototypicality_prune": "centroid + member + tail passes (pinned)",
+    # -- dedup: deliberate recompute-over-persist (measured cheaper,
+    #    OPTIMIZATION_r16.md _char_span_edges note) --
+    "q79_substring_dedup": "char-span recompute over persist (measured)",
+    "q147_char_substring_dedup": "char-span recompute over persist (measured)",
+    "q148_line_dedup": "line-index recompute over persist (measured)",
+    "q133_incremental_dedup": "old-snapshot labels + new-batch scan",
+    "q142_boilerplate_line_removal": "line docfreq + doc reconstruction",
+    "q173_source_overlap": "per-source shingle sets in two roles",
+    # -- two-snapshot / drift semantics (disjoint filtered slices) --
+    "q172_corpus_drift": "old vs new snapshot slices",
+    "q174_numeric_drift": "baseline vs current slices",
+    "q176_table_diff": "old vs new snapshot full-outer diff",
+    # -- disjoint split slices (each row read once under pushdown) --
+    "q93_contamination_check": "train/test disjoint slices",
+    "q170_decontaminate_train": "train/test slices + id-only projection",
+    "q180_leakage_safe_split": "split slices through one pair-join pass",
+    # -- adjudicated individually in round 16 --
+    "q122_pagerank": "edge list from two roles; adjacency pinned after",
+    "q151_fuzzy_edit1_join": "edit-distance positional blocking variants",
+    "q193_classifier_quality_budget": "2-column join-back beats wider shuffle",
+    "q200_temperature_mixture": "AQE pre-exec print artifact; runtime 1.0x",
+}
+
+
+def count_table_scans(plan_formatted: str) -> dict[str, int]:
+    """Distinct parquet-scan NODES per base table in a FORMATTED
+    physical plan. Formatted plans print the scan's path on the detail
+    block's ``Location:`` line, not the node-header line (the round-16
+    scan_audit fix); AQE prints cached relations under both Final and
+    Initial plan, so nodes are counted by distinct node id."""
+    import re
+
+    counts: dict[str, set] = {}
+    for m in re.finditer(
+        r"\((\d+)\) Scan parquet[^\n]*\n((?:(?!\(\d+\) )[^\n]*\n)*)",
+        plan_formatted,
+    ):
+        node_id, detail = m.group(1), m.group(2)
+        loc = re.search(r"Location:[^\n]*[/ ](\w+)\.parquet", detail)
+        if loc and loc.group(1) in BASE_TABLES:
+            counts.setdefault(loc.group(1), set()).add(node_id)
+    return {tbl: len(ids) for tbl, ids in counts.items()}
+
+
+def lint_multi_scans(df, query_name: str) -> list[str]:
+    """Flag a query whose formatted physical plan scans any base table
+    more than once, unless allowlisted. Checkpoint/pin-backed shared
+    frames count once structurally — which is the point; the runtime
+    bytes-read tests pin the same fact at the Hadoop-FS counter level
+    for the construction-time builds this lint cannot see."""
+    if query_name in MULTI_SCAN_ALLOWLIST:
+        return []
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    multi = {t: c for t, c in count_table_scans(buf.getvalue()).items() if c > 1}
+    return (
+        [f"{query_name}: scans {multi} — triage into MULTI_SCAN_ALLOWLIST or fix"]
+        if multi
+        else []
+    )

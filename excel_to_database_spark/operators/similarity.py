@@ -2689,75 +2689,99 @@ def embedding_robust_stats(
     of |x − median|; an outlier is ``|x − median| > mad_k · MAD``
     (integer comparison).
 
-    Scale shape (round-15, verdict #2): a DIMENSION is the textbook
-    low-cardinality group (dim=64 → a per-dim window funnels all N
-    vectors of a dimension into ONE task, ~N/64 of the corpus at
-    100 TB) — so both medians rank through
-    ``selection._group_rank_build``: range repartition on
-    (dim, value, id) + eager localCheckpoint + bounded ≤(P+G−1)-row
-    (partition, dim) count read + per-dim prefix offsets broadcast
-    back; every window is bounded by one partition's share of one
-    dim, NEVER a whole dim (plan-contracted: no dim-only windowspec).
-    The lower median is the row at rank ⌈n/2⌉ — per-dim n is
-    driver-known from the same bounded read, so the target ranks join
-    back as a |dims|-row broadcast frame. The deviation and outlier
-    passes reuse the CHECKPOINTED ranked frames (no second posexplode
-    of the source). One posexplode, two group_rank builds, three
-    |dims|-row broadcast joins, one final aggregation. Returns
+    Scale shape (round-17, guide §2.4): a DIMENSION is the textbook
+    low-cardinality group, and BOTH statistics are pure per-dim VALUE
+    order statistics — the lower median is the value at rank ⌈n/2⌉ by
+    (value, id), and the id tiebreaker cannot change which VALUE sits
+    at a rank — so they come from ``selection._grouped_descend`` with
+    ZERO data shuffles. Rounds 15–16 ranked every exploded element
+    through two group_rank builds (two full range exchanges + two
+    localCheckpoints of the |vecs|·|dims|-row frame); now: ONE narrow
+    (dim, q) projection pinned once, one bounds+count aggregation
+    (≤|dims| driver rows), ≤⌈log₄₀₉₆(range)⌉ shared histogram levels
+    for the median, the SAME descent over the derived |q − med(dim)|
+    column for the MAD — whose bounds are driver-DERIVED, not
+    re-aggregated: min is 0 (the median is itself a data value of the
+    dim) and max is max(hi − med, med − lo) — and one final
+    aggregation with the two ≤|dims|-entry statistic maps attached as
+    literals. The id column never leaves the source scan (guide §2.3:
+    project before everything). Returns
     ``(dim, n, median_q, mad_q, n_outliers)``."""
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from excel_to_database_spark.operators.caching import pin
+    from excel_to_database_spark.operators.selection import _grouped_descend
 
-    from excel_to_database_spark.operators.selection import _group_rank_build
-
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(vec_col).alias("dim", "x"),
-    ).select(
-        "id", "dim", F.floor(F.col("x").cast("double") * F.lit(float(scale))).alias("q")
+    ex = pin(
+        df.select(F.posexplode(vec_col).alias("dim", "x")).select(
+            "dim",
+            F.floor(F.col("x").cast("double") * F.lit(float(scale))).alias("q"),
+        )
     )
-
-    def _lower_median(frame: DataFrame, val: str, out: str):
-        # rank within each dim by (value, id) — skew-safe — and pick
-        # the lower-median row (rank ceil(n/2)) via a |dims|-row
-        # broadcast target join; returns (median frame, ranked frame)
-        # so callers reuse the checkpointed data instead of re-deriving
-        ranked, totals = _group_rank_build(frame, "dim", val, "id", "__rn")
-        tschema = StructType(
-            [StructField("dim", IntegerType()), StructField("__rn", LongType())]
-        )
-        targets = frame.sparkSession.createDataFrame(
-            [(d, (n + 1) // 2) for d, n in totals.items()], tschema
-        )
-        med = ranked.join(F.broadcast(targets), ["dim", "__rn"]).select(
-            "dim", F.col(val).alias(out)
-        )
-        return med, ranked.drop("__rn")
-
-    med, ranked_q = _lower_median(ex, "q", "median_q")
-    dev = ranked_q.join(F.broadcast(med), "dim").select(
-        "id", "dim", F.abs(F.col("q") - F.col("median_q")).alias("d")
+    meta = ex.groupBy("dim").agg(
+        F.min("q").alias("__lo"),
+        F.max("q").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+        F.count("q").alias("__nv"),
+    ).collect()  # bounded: one row per dimension; materializes the pin
+    bounds: dict = {}
+    totals: dict = {}
+    for r in meta:
+        if int(r["__nv"]) != int(r["__n"]):
+            raise ValueError(
+                f"{vec_col!r} has NULL element(s) in dim {r['dim']} — "
+                "robust stats over NULLs are undefined here"
+            )
+        bounds[r["dim"]] = (int(r["__lo"]), int(r["__hi"]))
+        totals[r["dim"]] = int(r["__n"])
+    med_targets = {d: [("med", (n + 1) // 2)] for d, n in totals.items()}
+    med = {
+        d: v[0]
+        for (d, _), v in _grouped_descend(ex, "dim", "q", med_targets, bounds).items()
+    }
+    med_map = F.create_map(
+        *[
+            c
+            for d in med
+            for c in (F.lit(d), F.lit(med[d]).cast("bigint"))
+        ]
+    )  # values cast uniformly: lit() types int32/int64 by magnitude
+    dev = ex.select("dim", F.abs(F.col("q") - F.element_at(med_map, F.col("dim"))).alias("d"))
+    # MAD bounds are driver-derived: the median IS a data value of its
+    # dim, so min |q − med| = 0; max is at one of the q extremes
+    dev_bounds = {
+        d: (0, max(bounds[d][1] - med[d], med[d] - bounds[d][0])) for d in med
+    }
+    mad = {
+        d: v[0]
+        for (d, _), v in _grouped_descend(
+            dev, "dim", "d", med_targets, dev_bounds
+        ).items()
+    }
+    mad_map = F.create_map(
+        *[
+            c
+            for d in mad
+            for c in (F.lit(d), F.lit(mad[d]).cast("bigint"))
+        ]
     )
-    mad, ranked_d = _lower_median(dev, "d", "mad_q")
-    out = (
-        ranked_d.join(F.broadcast(mad), "dim")
-        .groupBy("dim")
+    return (
+        ex.groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
-                F.when(F.col("d") > F.lit(mad_k) * F.col("mad_q"), 1).otherwise(0)
+                F.when(
+                    F.abs(F.col("q") - F.element_at(med_map, F.col("dim")))
+                    > F.lit(mad_k) * F.element_at(mad_map, F.col("dim")),
+                    1,
+                ).otherwise(0)
             )
             .cast("bigint")
             .alias("n_outliers"),
         )
-    )
-    return (
-        out.join(F.broadcast(med), "dim")
-        .join(F.broadcast(mad), "dim")
         .select(
             F.col("dim").cast("int").alias("dim"),
             F.col("n").cast("bigint").alias("n"),
-            F.col("median_q").cast("bigint").alias("median_q"),
-            F.col("mad_q").cast("bigint").alias("mad_q"),
+            F.element_at(med_map, F.col("dim")).cast("bigint").alias("median_q"),
+            F.element_at(mad_map, F.col("dim")).cast("bigint").alias("mad_q"),
             "n_outliers",
         )
     )

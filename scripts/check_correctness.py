@@ -105,12 +105,19 @@ def main() -> int:
             # class six rounds migrated off one hand-enumerated
             # contract at a time. Violations fail the gate.
             from excel_to_database_spark.operators.plan_lint import (
+                lint_multi_scans,
                 lint_window_funnels,
             )
 
             for v in lint_window_funnels(sdf, name):
                 failures.append((name, f"window-funnel lint: {v}"))
                 print(f"FAIL {name}: window-funnel lint: {v[:200]}")
+            # multi-scan lint (round-17 verdict #7): a query whose plan
+            # scans a base table more than once fails the gate unless
+            # its two-pass semantics are triaged into the allowlist
+            for v in lint_multi_scans(sdf, name):
+                failures.append((name, f"multi-scan lint: {v}"))
+                print(f"FAIL {name}: multi-scan lint: {v[:200]}")
             scols = sdf.columns
             srows = sdf.collect()
         except Exception as e:

@@ -15,15 +15,9 @@ from __future__ import annotations
 import contextlib
 import io
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents "
-    "embeddings media"
-).split()
 
 
 def main() -> None:
@@ -61,23 +55,15 @@ def main() -> None:
             print(f"ERR  {name}: {type(exc).__name__}: {exc}", flush=True)
             deep_evict(spark)
             continue
-        # formatted plans print the scan's path on the DETAIL block's
-        # "Location:" line, not the node-header line — the original
-        # header-line regex matched NOTHING for path-based reads, so
-        # the audit reported 0 scans for every query (round-16 fix).
-        # Count DISTINCT node ids per table: AQE-cached relations print
-        # the same node under both "Final Plan" and "Initial Plan", so
-        # a raw Location count would double-book one scan.
-        counts: dict = {}
-        for m in re.finditer(
-            r"\((\d+)\) Scan parquet[^\n]*\n((?:(?!\(\d+\) )[^\n]*\n)*)",
-            plan,
-        ):
-            node_id, detail = m.group(1), m.group(2)
-            loc = re.search(r"Location:[^\n]*[/ ](\w+)\.parquet", detail)
-            if loc and loc.group(1) in TABLES:
-                counts.setdefault(loc.group(1), set()).add(node_id)
-        counts = {tbl: len(ids) for tbl, ids in counts.items()}
+        # counting lives in plan_lint.count_table_scans since round 17
+        # (the same function the correctness sweep's multi-scan lint
+        # gates on — one implementation, no drift): distinct node ids
+        # per table from the detail blocks' Location: lines (the
+        # round-16 fix for the vacuous header-line regex; AQE prints
+        # cached relations under both Final and Initial plan)
+        from excel_to_database_spark.operators.plan_lint import count_table_scans
+
+        counts = count_table_scans(plan)
         multi = {t: c for t, c in counts.items() if c > 1}
         tag = "MULTI" if multi else "ok  "
         if multi:
